@@ -1,0 +1,207 @@
+"""The pure micro-batch apply function (SURVEY.md §7.1 minimum slice).
+
+``apply_batch(table, batch_df, batch_id)`` is the entire data plane of
+the engine, kept pure so the Structured Streaming ``foreachBatch`` body
+is exactly this function (SURVEY.md §7.1: "keep it pure").
+
+Stages (each one shuffle at most; lineage in the commit manifest):
+
+1. **validate / quarantine split** -- poison events (NULL url, NULL lsn,
+   unknown op, missing html on I/U) are routed to a side quarantine
+   table instead of failing the batch. Reference analogue: the reject
+   manager + iterative-mode fallback
+   (/root/reference/src/YADAMU/common/yadamuRejectManager.js:48-108,
+   /root/reference/src/YADAMU/common/yadamuWriter.js:467-504) -- in
+   Spark there is no row-at-a-time retry, so the batch is *split* into
+   good/bad DataFrames up front. ON_ERROR=ABORT analogue: abort when
+   quarantined rows exceed ``max_errors``
+   (TABLE_MAX_ERRORS=10, /root/reference/src/YADAMU/common/
+   dbiConstants.js:12).
+2. **extract** -- html -> text via the Arrow-vectorized pandas UDF
+   (functions.extract), only for I/U events.
+3. **last-LSN-wins dedup** -- two-phase *salted* reduction: first
+   groupBy(url, salt) (spreads a hot url over S reducers), then
+   groupBy(url). With skewed keys (one url carrying a large share of a
+   batch) the single-phase reduction serializes on one task; the salted
+   pre-reduce is the classic two-phase combiner. Salting applies ONLY
+   to this reduction shuffle, never to the merge key itself
+   (SURVEY.md §7.2 risk note).
+4. **MERGE** into the LakeTable (LSN-monotonic, batch-id fenced,
+   copy-on-write on touched buckets only).
+
+Exactly-once: the quarantine write is made idempotent by overwriting a
+per-batch partition directory; the merge is fenced in the manifest. A
+replayed batch therefore leaves every output byte-identical.
+
+Metrics invariant (tested):
+``rows_in == rows_merged_in + rows_deduped + rows_quarantined``
+-- the reference's writer reconciliation ``rowsRead == committed + lost
++ skipped`` (/root/reference/src/YADAMU/common/yadamuWriter.js:813-815).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.extract import extract_text
+from ..sources.laketable import LakeTable, MergeResult
+
+QUARANTINE_DIR = "quarantine"
+
+
+class BatchAborted(RuntimeError):
+    """Raised when quarantined rows exceed the max-errors policy
+    (ON_ERROR=ABORT, /root/reference/src/YADAMU/common/yadamuWriter.js
+    :678-708)."""
+
+
+@dataclass
+class BatchMetrics:
+    batch_id: int
+    rows_in: int
+    rows_quarantined: int
+    rows_deduped: int
+    rows_merged_in: int
+    rows_deleted: int
+    fenced: bool
+    version: int | None
+    duration_ms: int
+
+    def check_invariant(self) -> None:
+        assert self.rows_in == self.rows_merged_in + self.rows_deduped + self.rows_quarantined, (
+            f"Inconsistent Metrics: in={self.rows_in} merged={self.rows_merged_in} "
+            f"deduped={self.rows_deduped} quarantined={self.rows_quarantined}"
+        )
+
+    def as_dict(self) -> dict[str, Any]:
+        return dict(self.__dict__)
+
+
+def quarantine_split(df: DataFrame, op_col: str = "op", key: str = "url",
+                     lsn_col: str = "lsn") -> tuple[DataFrame, DataFrame]:
+    """Split a raw event batch into (valid, quarantined-with-reason)."""
+    reason = (
+        F.when(F.col(key).isNull(), "null_key")
+        .when(F.col(lsn_col).isNull(), "null_lsn")
+        .when(~F.col(op_col).isin("I", "U", "D"), "bad_op")
+        .when((F.col(op_col) != "D") & F.col("html").isNull(), "null_html")
+    )
+    tagged = df.withColumn("_reason", reason)
+    return (
+        tagged.filter(F.col("_reason").isNull()).drop("_reason"),
+        tagged.filter(F.col("_reason").isNotNull()),
+    )
+
+
+def last_lsn_dedup(df: DataFrame, key: str = "url", lsn_col: str = "lsn",
+                   salt_buckets: int = 0) -> DataFrame:
+    """Last-writer-wins: keep the max-lsn event per key.
+
+    ``salt_buckets > 0`` enables the two-phase salted reduction for
+    skewed keys. Exact duplicates (same lsn re-delivered) collapse here
+    too: max_by picks one of the identical rows.
+    """
+    payload = [c for c in df.columns if c != key]
+    if salt_buckets > 0:
+        salt = F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt_buckets))
+        partial = (
+            df.groupBy(F.col(key), salt.alias("_salt"))
+            .agg(F.max_by(F.struct(*payload), F.col(lsn_col)).alias("_w"))
+            .select(key, "_w.*")
+        )
+    else:
+        partial = df
+    return (
+        partial.groupBy(key)
+        .agg(F.max_by(F.struct(*[c for c in partial.columns if c != key]),
+                      F.col(lsn_col)).alias("_w"))
+        .select(key, "_w.*")
+    )
+
+
+def apply_batch(
+    table: LakeTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    key: str = "url",
+    op_col: str = "op",
+    lsn_col: str = "lsn",
+    salt_buckets: int = 16,
+    max_errors: int | None = None,
+    run_extract: bool = True,
+) -> BatchMetrics:
+    """Apply one micro-batch of change events to ``table``. Pure:
+    (table, df, batch_id) -> metrics; safe to replay."""
+    spark = batch_df.sparkSession
+
+    # fence first: a replayed batch must not even re-count
+    if table.is_applied(batch_id):
+        return BatchMetrics(batch_id, 0, 0, 0, 0, 0, True, None, 0)
+
+    valid, bad = quarantine_split(batch_df, op_col, key, lsn_col)
+
+    # one pass over the input computes both counts (cache the split input)
+    batch_df = batch_df.persist()
+    try:
+        n_in = batch_df.count()
+        n_bad = bad.count()
+        if max_errors is not None and n_bad > max_errors:
+            raise BatchAborted(f"batch {batch_id}: {n_bad} quarantined > max_errors={max_errors}")
+
+        if n_bad:
+            qdir = os.path.join(table.root, QUARANTINE_DIR, f"batch_id={batch_id}")
+            (
+                bad.withColumn("_batch_id", F.lit(batch_id))
+                .withColumnRenamed("_reason", "reason")
+                .write.mode("overwrite")  # idempotent on replay
+                .parquet(qdir)
+            )
+
+        if run_extract:
+            valid = valid.withColumn(
+                "text",
+                F.when(F.col(op_col) != "D", extract_text(F.col("html"))),
+            )
+
+        reduced = last_lsn_dedup(valid, key, lsn_col, salt_buckets)
+
+        res: MergeResult = table.merge(
+            spark,
+            reduced,
+            batch_id,
+            op_col=op_col,
+            lsn_col=lsn_col,
+            extra_audit={
+                "rows_batch_in": n_in,
+                "rows_quarantined": n_bad,
+            },
+        )
+    finally:
+        batch_df.unpersist()
+
+    metrics = BatchMetrics(
+        batch_id=batch_id,
+        rows_in=n_in,
+        rows_quarantined=n_bad,
+        rows_deduped=n_in - n_bad - res.rows_in,
+        rows_merged_in=res.rows_in,
+        rows_deleted=res.rows_deleted,
+        fenced=res.fenced,
+        version=res.version,
+        duration_ms=res.duration_ms,
+    )
+    metrics.check_invariant()
+    return metrics
+
+
+def quarantine_df(spark, table: LakeTable) -> DataFrame | None:
+    """Read the quarantine side table (None if empty)."""
+    qroot = os.path.join(table.root, QUARANTINE_DIR)
+    if not os.path.exists(qroot) or not os.listdir(qroot):
+        return None
+    return spark.read.option("basePath", qroot).parquet(qroot)
