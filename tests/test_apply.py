@@ -1,0 +1,148 @@
+"""End-to-end micro-batch apply: quarantine, dedup, extraction, merge,
+metrics invariant, full-replay oracle compare (SURVEY.md §7.1 slice)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from yadamu___yet_another_data_migration_utility_spark.fixtures.changelog import (
+    PAGE_SCHEMA,
+    changelog_df,
+)
+from yadamu___yet_another_data_migration_utility_spark.functions.extract import (
+    extract_text_series,
+)
+from yadamu___yet_another_data_migration_utility_spark.operators.apply import (
+    BatchAborted,
+    apply_batch,
+    last_lsn_dedup,
+    quarantine_df,
+    quarantine_split,
+)
+from yadamu___yet_another_data_migration_utility_spark.operators.compare import (
+    changelog_oracle,
+    compare,
+)
+from yadamu___yet_another_data_migration_utility_spark.sources.laketable import LakeTable
+
+
+def mk_table(root, bucket_count=8):
+    return LakeTable.create(root, PAGE_SCHEMA, key="url", bucket_count=bucket_count)
+
+
+def test_extractor_deterministic_and_correct():
+    html = pd.Series(
+        [
+            b"<html><head><title>T</title><style>a{}</style></head>"
+            b"<body><script>var x=1<2;</script><!-- no --><p>Hello&nbsp;&amp;"
+            b" <b>world</b> &#8364;</p></body></html>",
+            None,
+            b"plain text no tags",
+        ]
+    )
+    out1 = extract_text_series(html)
+    out2 = extract_text_series(html)
+    assert out1.equals(out2)
+    assert out1[0] == "T Hello & world €"
+    assert out1[1] is None
+    assert out1[2] == "plain text no tags"
+
+
+def test_last_lsn_dedup_salted_equals_unsalted(spark):
+    df = changelog_df(spark, 2000, 50, dup_mod=10)
+    a = last_lsn_dedup(df, salt_buckets=0).orderBy("url")
+    b = last_lsn_dedup(df, salt_buckets=16).orderBy("url")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # one row per url, each the max lsn
+    mx = df.groupBy("url").agg(F.max("lsn").alias("lsn"))
+    assert a.select("url", "lsn").exceptAll(mx).count() == 0
+
+
+def test_quarantine_split_reasons(spark):
+    rows = [
+        (1, "I", None, "2024-01-01 00:00:00", bytearray(b"<p>x</p>"), "en"),  # null url
+        (2, "X", "https://a/1", "2024-01-01 00:00:00", bytearray(b"<p>x</p>"), "en"),  # bad op
+        (3, "I", "https://a/2", "2024-01-01 00:00:00", None, "en"),  # null html on I
+        (4, "D", "https://a/3", "2024-01-01 00:00:00", None, "en"),  # valid delete
+        (5, "U", "https://a/4", "2024-01-01 00:00:00", bytearray(b"<p>y</p>"), "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "lsn long, op string, url string, warc_ts string, html binary, lang string"
+    )
+    good, bad = quarantine_split(df)
+    assert good.count() == 2
+    reasons = {r["lsn"]: r["_reason"] for r in bad.collect()}
+    assert reasons == {1: "null_key", 2: "bad_op", 3: "null_html"}
+
+
+def test_apply_replay_matches_oracle(spark, tmp_table_root):
+    """Replay a 5k-event changelog in 5 batches; final state must equal
+    the whole-log batch oracle (YADAMU acceptance operator)."""
+    t = mk_table(tmp_table_root)
+    log = changelog_df(spark, 5000, 300, dup_mod=25)
+    n_batches = 5
+    per = 5000 // n_batches
+    for b in range(n_batches):
+        batch = log.filter((F.col("lsn") > b * per) & (F.col("lsn") <= (b + 1) * per))
+        m = apply_batch(t, batch, batch_id=b)
+        m.check_invariant()
+    oracle = changelog_oracle(log.drop("warc_ts"))
+    oracle = oracle.withColumn("text", F.lit(None).cast("string"))  # filled below
+    # oracle text: run the same extractor over the winning html
+    from yadamu___yet_another_data_migration_utility_spark.functions.extract import extract_text
+
+    oracle = oracle.withColumn("text", extract_text(F.col("html")))
+    got = t.read(spark).drop("warc_ts")
+    res = compare(oracle, got, columns=["url", "html", "lang", "text", "_lsn"])
+    assert res.ok, res
+
+
+def test_apply_batch_replay_is_noop(spark, tmp_table_root):
+    t = mk_table(tmp_table_root)
+    log = changelog_df(spark, 500, 50)
+    m1 = apply_batch(t, log, batch_id=0)
+    v = t.current_version()
+    m2 = apply_batch(t, log, batch_id=0)
+    assert not m1.fenced and m2.fenced
+    assert t.current_version() == v
+
+
+def test_apply_quarantine_and_max_errors(spark, tmp_table_root):
+    t = mk_table(tmp_table_root)
+    log = changelog_df(spark, 1000, 100, poison_mod=20, dup_mod=0)
+    m = apply_batch(t, log, batch_id=0)
+    assert m.rows_quarantined > 0
+    m.check_invariant()
+    q = quarantine_df(spark, t)
+    assert q is not None and q.count() == m.rows_quarantined
+    assert set(q.select("reason").distinct().toPandas()["reason"]) <= {
+        "null_key", "null_lsn", "bad_op", "null_html"
+    }
+    # ON_ERROR=ABORT analogue
+    t2 = mk_table(tmp_table_root + "_2")
+    with pytest.raises(BatchAborted):
+        apply_batch(t2, log, batch_id=0, max_errors=1)
+
+
+def test_schema_evolution_mid_stream(spark, tmp_table_root):
+    """Batch 1 without content_type, batch 2 with it: table evolves,
+    old rows read NULL, final state matches oracle over evolved log."""
+    t = mk_table(tmp_table_root)
+    log = changelog_df(spark, 1000, 80, evolve_from=501, dup_mod=0)
+    b1 = log.filter(F.col("lsn") <= 500).drop("content_type")
+    b2 = log.filter(F.col("lsn") > 500)
+    apply_batch(t, b1, batch_id=0)
+    assert "content_type" not in t.schema().fieldNames()
+    apply_batch(t, b2, batch_id=1)
+    assert "content_type" in t.schema().fieldNames()
+
+    from yadamu___yet_another_data_migration_utility_spark.functions.extract import extract_text
+
+    oracle = changelog_oracle(log.drop("warc_ts")).withColumn(
+        "text", extract_text(F.col("html"))
+    )
+    got = t.read(spark).drop("warc_ts")
+    res = compare(oracle, got, columns=["url", "lang", "text", "content_type", "_lsn"])
+    assert res.ok, res
