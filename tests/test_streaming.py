@@ -1,0 +1,91 @@
+"""Structured Streaming replay: end-to-end, checkpoint resume after a
+mid-replay kill (the reference's LOSTCONNECTION suite analogue,
+/root/reference/qa/regression/lostConnection.json)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from yadamu___yet_another_data_migration_utility_spark.fixtures.changelog import (
+    PAGE_SCHEMA,
+    changelog_df,
+    write_wal_segments,
+)
+from yadamu___yet_another_data_migration_utility_spark.functions.extract import extract_text
+from yadamu___yet_another_data_migration_utility_spark.operators.compare import (
+    changelog_oracle,
+    compare,
+)
+from yadamu___yet_another_data_migration_utility_spark.sources.laketable import LakeTable
+from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
+    replay_available,
+    start_replay,
+)
+
+N_EVENTS, N_URLS, N_SEGMENTS = 3000, 200, 6
+
+
+def _setup(spark, tmp_path):
+    log = changelog_df(spark, N_EVENTS, N_URLS, dup_mod=40)
+    wal = str(tmp_path / "wal")
+    write_wal_segments(log, wal, N_SEGMENTS)
+    table = LakeTable.create(str(tmp_path / "pages"), PAGE_SCHEMA, key="url", bucket_count=8)
+    return log, wal, table
+
+
+def _assert_matches_oracle(spark, log, table):
+    oracle = changelog_oracle(log.drop("warc_ts")).withColumn(
+        "text", extract_text(F.col("html"))
+    )
+    got = table.read(spark).drop("warc_ts")
+    res = compare(oracle, got, columns=["url", "html", "lang", "text", "_lsn"])
+    assert res.ok, res
+
+
+def test_streaming_replay_matches_oracle(spark, tmp_path):
+    log, wal, table = _setup(spark, tmp_path)
+    metrics = replay_available(spark, table, wal, str(tmp_path / "ckpt"))
+    assert len(metrics) == N_SEGMENTS
+    for m in metrics:
+        m.check_invariant()
+    _assert_matches_oracle(spark, log, table)
+    # audit chain covers all batches exactly once
+    audits = [a for a in table.audit_entries() if a["operation"] == "merge"]
+    assert sorted(a["batch_id"] for a in audits) == list(range(N_SEGMENTS))
+
+
+def test_streaming_kill_and_resume_exactly_once(spark, tmp_path):
+    """Crash the query right AFTER the table commit of batch 1 but
+    BEFORE Spark checkpoints it -- the worst-case double-apply window --
+    then restart from the same checkpoint: the re-delivered batch must
+    fence as a no-op and the final state must match the oracle."""
+    log, wal, table = _setup(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+
+    applied = []
+
+    def crash_after_two(m):
+        applied.append(m)
+        if len(applied) == 2:
+            raise RuntimeError("injected crash after table commit, before checkpoint")
+
+    q = start_replay(
+        spark, table, wal, ckpt, available_now=True, on_metrics=crash_after_two
+    )
+    try:
+        q.awaitTermination()
+    except Exception:
+        pass  # expected: injected crash
+    assert len(applied) == 2
+    assert table.current_version() >= 2
+    assert not q.isActive
+
+    # restart from the same checkpoint: batch 1 is re-delivered (it was
+    # never checkpointed) and must fence; the rest replay normally
+    metrics2 = replay_available(spark, table, wal, ckpt)
+    assert any(m.fenced for m in metrics2), "re-delivered batch should have fenced"
+    _assert_matches_oracle(spark, log, table)
+    merge_audits = [a for a in table.audit_entries() if a["operation"] == "merge"]
+    batch_ids = [a["batch_id"] for a in merge_audits]
+    assert len(batch_ids) == len(set(batch_ids)) == N_SEGMENTS  # each applied exactly once
+    assert len(applied) + len([m for m in metrics2 if not m.fenced]) == N_SEGMENTS

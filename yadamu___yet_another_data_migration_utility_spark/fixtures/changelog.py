@@ -161,17 +161,26 @@ def write_wal_segments(
     directory per segment) for Structured Streaming file-source replay
     with maxFilesPerTrigger -- the analogue of the reference's ordered
     {table}->{data}xN->{eod} message protocol
-    (/root/reference/src/YADAMU/common/dbReader.js:334-396)."""
-    total = df.count()
-    per = max(1, (total + n_segments - 1) // n_segments)
-    seg = F.least(
-        F.floor((F.col(order_col) - 1) / F.lit(per)), F.lit(n_segments - 1)
-    ).cast("int")
-    (
-        df.withColumn("_seg", seg)
-        .repartition(n_segments, "_seg")
-        .sortWithinPartitions(order_col)
-        .write.partitionBy("_seg")
-        .mode("overwrite")
-        .parquet(path)
-    )
+    (/root/reference/src/YADAMU/common/dbReader.js:334-396).
+
+    Segments are appended sequentially (ascending mtime) into one flat
+    directory so Spark's file source discovers them oldest-first. The
+    engine tolerates reordering anyway (LSN-monotonic merge), but
+    in-order delivery matches a real WAL tail."""
+    df = df.persist()
+    try:
+        mx = df.agg(F.max(order_col)).collect()[0][0] or 0
+        per = max(1, (mx + n_segments - 1) // n_segments)
+        for s in range(n_segments):
+            lo, hi = s * per, (s + 1) * per
+            seg = df.filter((F.col(order_col) > lo) & (F.col(order_col) <= hi))
+            if s == n_segments - 1:
+                seg = df.filter(F.col(order_col) > lo)
+            (
+                seg.sort(order_col)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(path)
+            )
+    finally:
+        df.unpersist()
