@@ -83,14 +83,19 @@ class BatchMetrics:
 
 
 def quarantine_split(df: DataFrame, op_col: str = "op", key: str = "url",
-                     lsn_col: str = "lsn") -> tuple[DataFrame, DataFrame]:
-    """Split a raw event batch into (valid, quarantined-with-reason)."""
+                     lsn_col: str = "lsn", html_col: str = "html") -> tuple[DataFrame, DataFrame]:
+    """Split a raw event batch into (valid, quarantined-with-reason).
+    The payload-presence check applies only when the payload column
+    exists in this changelog's schema."""
     reason = (
         F.when(F.col(key).isNull(), "null_key")
         .when(F.col(lsn_col).isNull(), "null_lsn")
         .when(~F.col(op_col).isin("I", "U", "D"), "bad_op")
-        .when((F.col(op_col) != "D") & F.col("html").isNull(), "null_html")
     )
+    if html_col in df.columns:
+        reason = reason.when(
+            (F.col(op_col) != "D") & F.col(html_col).isNull(), "null_html"
+        )
     tagged = df.withColumn("_reason", reason)
     return (
         tagged.filter(F.col("_reason").isNull()).drop("_reason"),
@@ -162,7 +167,7 @@ def apply_batch(
                 .parquet(qdir)
             )
 
-        if run_extract:
+        if run_extract and "html" in valid.columns:
             valid = valid.withColumn(
                 "text",
                 F.when(F.col(op_col) != "D", extract_text(F.col("html"))),

@@ -1,0 +1,481 @@
+"""Driver-facing query catalog (SURVEY.md §2 coverage).
+
+Every entry has a Spark implementation ``(spark, sf_dir) -> DataFrame``
+and (where SQL-expressible) a DuckDB oracle under the same name with
+IDENTICAL output column names. The driver compares row count + schema +
+order-insensitive value hash, so:
+
+- money arithmetic runs in DECIMAL (exact, order-independent) and is
+  cast to DOUBLE only at the very end -- both engines then produce
+  bit-identical doubles;
+- averages are computed as CAST(SUM(decimal) AS DOUBLE)/COUNT so no
+  engine-specific decimal-average scale rules leak in;
+- top-k uses ROW_NUMBER with a full deterministic tiebreak, never a
+  bare LIMIT;
+- hash-dependent operators (fingerprints, minhash) use md5, which both
+  engines implement identically -- never engine-private hashes.
+
+Scale notes are inline per query; the common ones: dimension joins are
+broadcast (region/nation/customer/supplier at TPC-H shape are tiny
+relative to fact tables), aggregations are partial-agg friendly
+(algebraic), and filters/projections sit directly on the parquet scan
+so Catalyst pushes them down (verified via .explain in tests/bench).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# exact money/quantity arithmetic (see module docstring)
+def _dec(col: str, p: int = 15, s: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+def _sum_dbl(c: F.Column) -> F.Column:
+    # ROUND to scale 4 before the double cast: a scale-4 decimal of this
+    # magnitude converts to double exactly in both engines, whereas
+    # DuckDB's decimal(38,10)->double is not correctly rounded (observed
+    # 1-ulp drift). Both engines round half-away-from-zero for positives.
+    return F.round(F.sum(c), 4).cast("double")
+
+
+# ======================================================================
+# Relational core (reference: the QA harness's relational semantics --
+# row counts / aggregation over replicated tables; SURVEY.md §2.b)
+# ======================================================================
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(15,2))), 4) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,2))), 4) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(7,4)))), 4) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(7,4))) * (1 + CAST(l_tax AS DECIMAL(7,4)))), 4) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(7,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: full-scan partial-aggregable rollup. Scale: pure
+    map-side combine + tiny shuffle (one group per flag/status pair);
+    the shipdate filter and 7-column projection push to the scan."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp")
+    )
+    qty, price, disc, tax = (
+        _dec("l_quantity"), _dec("l_extendedprice"), _dec("l_discount", 7, 4), _dec("l_tax", 7, 4),
+    )
+    n = F.count(F.lit(1))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        _sum_dbl(qty).alias("sum_qty"),
+        _sum_dbl(price).alias("sum_base_price"),
+        _sum_dbl(price * (F.lit(1) - disc)).alias("sum_disc_price"),
+        _sum_dbl(price * (F.lit(1) - disc) * (F.lit(1) + tax)).alias("sum_charge"),
+        (F.sum(qty).cast("double") / n).alias("avg_qty"),
+        (F.sum(price).cast("double") / n).alias("avg_price"),
+        (F.sum(disc).cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+    WITH rev AS (
+      SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, o.o_orderpriority,
+             CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l.l_discount AS DECIMAL(7,4)))), 4) AS DOUBLE) AS revenue
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+      GROUP BY 1, 2, 3
+    )
+    SELECT o_orderkey, revenue, o_orderdate, o_orderpriority
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey) AS rn FROM rev)
+    WHERE rn <= 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. Scale: customer is the small side -> broadcast
+    both joins' build sides where they fit; deterministic top-10 via
+    ROW_NUMBER (never bare LIMIT over a nondeterministic order)."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               l.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_sum_dbl(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 7, 4))).alias("revenue"))
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    w = W.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@_register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l.l_discount AS DECIMAL(7,4)))), 4) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join. Scale: every dimension
+    (region/nation/supplier/customer) broadcasts; only the
+    lineitem-orders join shuffles, and AQE can re-plan it."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_sum_dbl(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 7, 4))).alias("revenue"))
+    )
+
+
+@_register(
+    "top_customer_per_nation",
+    """
+    WITH tot AS (
+      SELECT n.n_name, c.c_custkey, c.c_name,
+             CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(15,2))), 4) AS DOUBLE) AS total_spent
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT n_name, c_name, total_spent
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY total_spent DESC, c_custkey) AS rn FROM tot)
+    WHERE rn = 1
+    """,
+)
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-1 per group (arg-max). Scale: the window partitions by
+    nation over an already-reduced aggregate, so the window input is
+    tiny; the heavy lifting is the partial-aggregable groupBy."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    tot = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(_sum_dbl(_dec("o_totalprice")).alias("total_spent"))
+    )
+    w = W.partitionBy("n_name").orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
+    return (
+        tot.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("n_name", "c_name", "total_spent")
+    )
+
+
+@_register(
+    "part_type_price_stats",
+    """
+    SELECT p_brand, p_type,
+           COUNT(*) AS n_parts,
+           CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(15,2))), 4) AS DOUBLE) AS sum_price,
+           CAST(MIN(CAST(p_retailprice AS DECIMAL(15,2))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(p_retailprice AS DECIMAL(15,2))) AS DOUBLE) AS max_price,
+           COUNT(DISTINCT p_size) AS n_sizes
+    FROM part
+    GROUP BY p_brand, p_type
+    """,
+)
+def part_type_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate rollup with COUNT DISTINCT (expands to a two-phase
+    agg under Catalyst -- still partial-agg friendly per group)."""
+    p = load(spark, sf_dir, "part")
+    price = _dec("p_retailprice")
+    return p.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        _sum_dbl(price).alias("sum_price"),
+        F.min(price).cast("double").alias("min_price"),
+        F.max(price).cast("double").alias("max_price"),
+        F.countDistinct("p_size").alias("n_sizes"),
+    )
+
+
+@_register(
+    "events_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup on the event stream table -- the batch
+    shape of the streaming hourly aggregation. Scale: algebraic aggs,
+    map-side combine; DOUBLE values pass through DECIMAL(18,3) so the
+    sum is order-independent and engine-exact."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        _sum_dbl(F.col("value").cast("decimal(18,3)")).alias("sum_value"),
+    )
+
+
+@_register(
+    "events_user_props",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_user_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload access: JSON property extraction (the
+    reference carries JSON columns as opaque strings and parses
+    server-side, /root/reference/src/YADAMU/common/yadamuLibrary.js
+    :49-52; Spark parses inline with get_json_object -- JVM-side)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# ======================================================================
+# CDC operators over an events-derived changelog (north rule core).
+# The changelog is derived IDENTICALLY in Spark and DuckDB so the
+# oracle sees the same input: lsn=event_id, key from user_id,
+# op: error->D, signup->I, else U.
+# ======================================================================
+
+_CDC_SQL_SRC = """
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type = 'signup' THEN 'I'
+                  ELSE 'U' END AS op,
+             concat('https://site', CAST(user_id % 10 AS VARCHAR), '.example.com/u/', CAST(user_id AS VARCHAR)) AS url,
+             ts, value, event_type
+      FROM events
+"""
+
+
+def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.concat(
+            F.lit("https://site"),
+            (F.col("user_id") % 10).cast("string"),
+            F.lit(".example.com/u/"),
+            F.col("user_id").cast("string"),
+        ).alias("url"),
+        F.col("ts"),
+        F.col("value"),
+        F.col("event_type"),
+    )
+
+
+@_register(
+    "cdc_last_state",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn FROM chg
+    )
+    SELECT url, lsn AS last_lsn, op, event_type, value, ts
+    FROM last WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins final state via max_by reduction -- the engine's
+    dedup semantics as a standalone query (SURVEY.md §2.c dedup row).
+    Scale: single hash-agg shuffle on the key; no window sort needed
+    (max_by beats row_number for arg-max: no per-partition sort)."""
+    chg = cdc_changelog(spark, sf_dir)
+    payload = [c for c in chg.columns if c != "url"]
+    return (
+        chg.groupBy("url")
+        .agg(F.max_by(F.struct(*payload), F.col("lsn")).alias("_w"))
+        .select("url", "_w.*")
+        .filter(F.col("op") != "D")
+        .withColumnRenamed("lsn", "last_lsn")
+        .select("url", "last_lsn", "op", "event_type", "value", "ts")
+    )
+
+
+@_register(
+    "cdc_dedup_salted",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC})
+    SELECT url, MAX(lsn) AS last_lsn, COUNT(*) AS n_events
+    FROM chg GROUP BY url
+    """,
+)
+def cdc_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED reduction (hot-key safe): pre-aggregate per
+    (url, salt) then reduce per url -- the skew strategy the engine uses
+    before every MERGE (SURVEY.md §4 skew row). Results must equal the
+    unsalted single-phase aggregate, which is what the oracle computes."""
+    chg = cdc_changelog(spark, sf_dir)
+    salt = F.pmod(F.xxhash64(F.col("lsn")), F.lit(8))
+    partial = chg.groupBy(F.col("url"), salt.alias("_salt")).agg(
+        F.max("lsn").alias("_mx"), F.count(F.lit(1)).alias("_n")
+    )
+    return partial.groupBy("url").agg(
+        F.max("_mx").alias("last_lsn"), F.sum("_n").alias("n_events")
+    )
+
+
+@_register(
+    "cdc_quarantine_split",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    poisoned AS (
+      SELECT CASE WHEN lsn % 97 = 0 THEN NULL ELSE url END AS url,
+             CASE WHEN lsn % 101 = 0 THEN 'X' ELSE op END AS op,
+             lsn FROM chg
+    )
+    SELECT CASE WHEN url IS NULL THEN 'null_key'
+                WHEN op NOT IN ('I','U','D') THEN 'bad_op' END AS reason,
+           COUNT(*) AS n, MIN(lsn) AS min_lsn, MAX(lsn) AS max_lsn
+    FROM poisoned
+    WHERE url IS NULL OR op NOT IN ('I','U','D')
+    GROUP BY 1
+    """,
+)
+def cdc_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-quarantine operator (reference reject manager,
+    /root/reference/src/YADAMU/common/yadamuRejectManager.js:48-108):
+    deterministically poison the changelog, split, report per-reason
+    counts. Uses the engine's real quarantine_split."""
+    from ..operators.apply import quarantine_split
+
+    chg = cdc_changelog(spark, sf_dir)
+    poisoned = chg.withColumn(
+        "url", F.when(F.col("lsn") % 97 == 0, F.lit(None)).otherwise(F.col("url"))
+    ).withColumn(
+        "op", F.when(F.col("lsn") % 101 == 0, F.lit("X")).otherwise(F.col("op"))
+    )
+    _, bad = quarantine_split(poisoned)
+    return bad.groupBy(F.col("_reason").alias("reason")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lsn").alias("min_lsn"),
+        F.max("lsn").alias("max_lsn"),
+    )
+
+
+@_register(
+    "cdc_replay_merge",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn FROM chg
+    )
+    SELECT url, lsn AS last_lsn, event_type, value, ts
+    FROM last WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: replay the events-derived changelog through the REAL
+    engine -- LakeTable MERGE in 5 micro-batches (fenced, bucketed,
+    copy-on-write) -- then read the final table state back. The oracle
+    computes the same final state in one SQL window; matching it proves
+    the incremental MERGE path equals the declarative semantics
+    (YADAMU's round-trip acceptance, SURVEY.md §5)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_replay_")
+    table = LakeTable.create(root, schema, key="url", bucket_count=16, overwrite=True)
+    bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    n_batches = 5
+    per = max(1, (hi - lo + 1 + n_batches - 1) // n_batches)
+    for b in range(n_batches):
+        batch = chg.filter(
+            (F.col("lsn") >= lo + b * per) & (F.col("lsn") < lo + (b + 1) * per)
+        )
+        apply_batch(table, batch, batch_id=b, run_extract=False)
+    return (
+        table.read(spark)
+        .withColumnRenamed("_lsn", "last_lsn")
+        .select("url", "last_lsn", "event_type", "value", "ts")
+    )
