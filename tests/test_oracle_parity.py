@@ -10,7 +10,7 @@ import duckdb
 import pandas as pd
 import pytest
 
-from yadamu___yet_another_data_migration_utility_spark.plans.catalog import ORACLES, QUERIES
+from yadamu___yet_another_data_migration_utility_spark.plans import ORACLES, QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = [

@@ -2,3 +2,4 @@
 oracle SQL. __spark_entry__ and bench.py import from here."""
 
 from .catalog import ORACLES, QUERIES  # noqa: F401
+from . import textops  # noqa: F401  (registers its queries into the dicts)

@@ -1,0 +1,531 @@
+"""Training-data pipeline operators: dedup, text analysis, similarity.
+
+These are first-class components for the 100 TB web-text use case (the
+task brief lists them alongside SURVEY.md §2). Every oracle-checked
+entry derives all hashes from md5 (identical in Spark and DuckDB) --
+never engine-private hash functions -- and computes float similarity
+with the SAME operation order in both engines.
+
+Scale notes:
+- exact dedup / fingerprinting: hash-groupBy, partial-agg friendly.
+- n-gram jaccard: explode(shingles) + self-join on shingle -- the exact
+  method; quadratic only within shingle-sharing groups. The scale path
+  is minhash_lsh_dedup: band-bucket join generates candidates in
+  O(docs x bands), then the exact verify runs only on candidates.
+- ANN: brute-force cosine is the correctness baseline (broadcast the
+  query set, one pass over the corpus); the LSH-bucketed variant
+  (functions.similarity) is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .catalog import ORACLES, QUERIES, _register, load
+
+# ----------------------------------------------------------------------
+# shared text helpers (Spark side)
+# ----------------------------------------------------------------------
+
+#: deterministic dup-augmented documents: every 7th doc gets a near-dup
+#: copy (id+100000, text + a short tail), every 10th an exact copy
+#: (id+200000). Both engines build the same input, so dedup operators
+#: have real work at any SF.
+_DOCS_AUG_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, concat(text, ' zz near dup tail') AS text
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+_SHINGLES_SQL = """
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                   for i in generate_series(1, len(w) - 2)])) AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM docs_aug)
+      WHERE len(w) >= 3
+"""
+
+
+def docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz near dup tail")).alias("text"))
+    )
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
+def shingles(df: DataFrame) -> DataFrame:
+    """Distinct 3-word shingles per doc (explode). Matches _SHINGLES_SQL
+    term-for-term: split on single space, 1-indexed slice of 3."""
+    w = F.split(F.lower(F.col("text")), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.array_join(F.slice(w, i, 3), " "),
+    )
+    return (
+        df.withColumn("_w", w)
+        .filter(F.size("_w") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def _md5_long(c: F.Column) -> F.Column:
+    """60-bit hash from md5 -- identical in Spark and DuckDB
+    (CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) on the DuckDB
+    side)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+_MD5_LONG_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+# ======================================================================
+# Deduplication
+# ======================================================================
+
+
+@_register(
+    "dedup_exact",
+    f"""
+    WITH docs_aug AS ({_DOCS_AUG_SQL})
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM docs_aug
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content fingerprint, keep min id.
+    Scale: single shuffle on the md5 (uniform by construction -- no
+    skew); at 100 TB you'd group on (md5, length) to cheapen compares."""
+    d = docs_aug(spark, sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH docs_aug AS ({_DOCS_AUG_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           ROUND(CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.6 via shingle
+    self-join. Scale: the join key is the shingle -- cardinality
+    explodes only for stop-shingles; the minhash variant below is the
+    100 TB path. Jaccard = int/int double division: engine-identical."""
+    sh = shingles(docs_aug(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.col("n_inter").cast("double") / (F.col("s1.n") + F.col("s2.n") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(s1), F.col("doc1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("doc2") == F.col("s2.doc_id"))
+        .filter(jac >= 0.6)
+        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_MINHASH_K = 6  # 3 bands x 2 rows
+
+_MINHASH_SQL = f"""
+    WITH docs_aug AS ({_DOCS_AUG_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    hashes AS (
+      SELECT doc_id, k,
+             MIN({_MD5_LONG_SQL.format(x="concat(CAST(k AS VARCHAR), ':', shingle)")}) AS mh
+      FROM sh, (SELECT unnest(generate_series(0, {_MINHASH_K - 1})) AS k)
+      GROUP BY doc_id, k
+    ),
+    sig AS (
+      SELECT doc_id, k // 2 AS band,
+             MIN(CASE WHEN k % 2 = 0 THEN mh END) AS h0,
+             MIN(CASE WHEN k % 2 = 1 THEN mh END) AS h1
+      FROM hashes GROUP BY doc_id, k // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc1, c.doc2, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc1
+      JOIN sh b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           ROUND(CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter) >= 0.5
+"""
+
+
+@_register("minhash_lsh_dedup", _MINHASH_SQL)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection -- the 100 TB dedup path:
+    shingle -> K=6 md5-derived minhashes -> 3 bands of 2 -> band-bucket
+    self-join for candidates -> exact-Jaccard verify (>= 0.5) on
+    candidates only. Scale: candidate generation is linear in docs
+    (band join on uniform 120-bit keys -- no skew), the quadratic
+    verify touches only same-bucket pairs."""
+    sh = shingles(docs_aug(spark, sf_dir))
+    ks = spark.range(_MINHASH_K).select(F.col("id").cast("int").alias("k"))
+    hashes = (
+        sh.crossJoin(F.broadcast(ks))
+        .groupBy("doc_id", "k")
+        .agg(F.min(_md5_long(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("shingle")))).alias("mh"))
+    )
+    sig = (
+        hashes.groupBy("doc_id", (F.col("k") / 2).cast("int").alias("band"))
+        .agg(
+            F.min(F.when(F.col("k") % 2 == 0, F.col("mh"))).alias("h0"),
+            F.min(F.when(F.col("k") % 2 == 1, F.col("mh"))).alias("h1"),
+        )
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.h0") == F.col("b.h0"))
+               & (F.col("a.h1") == F.col("b.h1")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc1"))
+        .join(sb, (F.col("sb.doc_id") == F.col("doc2")) & (F.col("sb.shingle") == F.col("sa.shingle")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    jac = F.col("n_inter").cast("double") / (F.col("s1.n") + F.col("s2.n") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(s1), F.col("doc1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("doc2") == F.col("s2.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ======================================================================
+# Text analysis
+# ======================================================================
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "de", "una", "y"],
+}
+
+
+def _sql_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({words})))"
+
+
+@_register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id, lang,
+           {_sql_hits('en')} AS en_hits,
+           {_sql_hits('de')} AS de_hits,
+           {_sql_hits('fr')} AS fr_hits,
+           {_sql_hits('es')} AS es_hits,
+           CASE
+             WHEN {_sql_hits('en')} >= greatest({_sql_hits('de')}, {_sql_hits('fr')}, {_sql_hits('es')}) THEN 'en'
+             WHEN {_sql_hits('de')} >= greatest({_sql_hits('fr')}, {_sql_hits('es')}) THEN 'de'
+             WHEN {_sql_hits('fr')} >= {_sql_hits('es')} THEN 'fr'
+             ELSE 'es'
+           END AS lang_guess
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (n-gram-heuristic family). All JVM-side
+    builtins (split + filter + size) -- embarrassingly parallel, no
+    shuffle. Deterministic argmax tie-break order en>de>fr>es."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+
+    def hits(lang: str) -> F.Column:
+        arr = F.array(*[F.lit(x) for x in _STOPWORDS[lang]])
+        return F.size(F.filter(w, lambda t: F.array_contains(arr, t)))
+
+    en, de, fr, es = hits("en"), hits("de"), hits("fr"), hits("es")
+    guess = (
+        F.when(en >= F.greatest(de, fr, es), "en")
+        .when(de >= F.greatest(fr, es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id", "lang",
+        en.alias("en_hits"), de.alias("de_hits"),
+        fr.alias("fr_hits"), es.alias("es_hits"),
+        guess.alias("lang_guess"),
+    )
+
+
+@_register(
+    "text_quality_stats",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha_tokens,
+           length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+           ROUND(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text), 6) AS space_ratio,
+           ROUND(CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           (length(text) >= 100 AND len(string_split(text, ' ')) >= 20) AS quality_ok
+    FROM documents
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / token / punctuation / stopword ratios
+    plus a keep-flag -- the standard pre-training filter features. No
+    shuffle; everything codegen'd on the scan."""
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = F.split(text, " ")
+    ltoks = F.split(F.lower(text), " ")
+    stop = F.array(*[F.lit(x) for x in _STOPWORDS["en"]])
+    n_tokens = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.length(text).alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.lower(text), F.lit("[a-z]+"), F.lit(0))).alias("n_alpha_tokens"),
+        (F.length(text) - F.length(F.regexp_replace(text, "[.,;:!?]", ""))).alias("n_punct"),
+        F.round(
+            (F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit("")))).cast("double")
+            / F.length(text), 6,
+        ).alias("space_ratio"),
+        F.round(
+            F.size(F.filter(ltoks, lambda t: F.array_contains(stop, t))).cast("double") / n_tokens, 6
+        ).alias("stopword_ratio"),
+        ((F.length(text) >= 100) & (n_tokens >= 20)).alias("quality_ok"),
+    )
+
+
+@_register(
+    "doc_fingerprint",
+    f"""
+    WITH docs_aug AS ({_DOCS_AUG_SQL})
+    SELECT doc_id,
+           md5(lower(text)) AS fp,
+           {_MD5_LONG_SQL.format(x="lower(text)")} AS fp60,
+           len(list_distinct([array_to_string(w[i:i+2], ' ')
+                              for i in generate_series(1, len(w) - 2)])) AS n_shingles
+    FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM docs_aug)
+    WHERE len(w) >= 3
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full md5, a 60-bit integer fingerprint
+    (join-friendly), and the distinct-shingle cardinality."""
+    d = docs_aug(spark, sf_dir)
+    w = F.split(F.lower(F.col("text")), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.array_join(F.slice(w, i, 3), " "),
+    )
+    return (
+        d.withColumn("_w", w)
+        .filter(F.size("_w") >= 3)
+        .select(
+            "doc_id",
+            F.md5(F.lower(F.col("text"))).alias("fp"),
+            _md5_long(F.lower(F.col("text"))).alias("fp60"),
+            F.size(F.array_distinct(sh)).alias("n_shingles"),
+        )
+    )
+
+
+@_register(
+    "token_stats_by_source",
+    """
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           MIN(n_chars) AS min_declared,
+           MAX(n_chars) AS max_declared
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per (source, lang) -- the budget query a
+    training-data pipeline runs first. Partial-agg friendly."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min("n_chars").alias("min_declared"),
+        F.max("n_chars").alias("max_declared"),
+    )
+
+
+# ======================================================================
+# Similarity search
+# ======================================================================
+
+
+@_register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 8),
+    t AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS te FROM embeddings),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(list_zip(qe, te), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+                  * sqrt(list_sum(list_transform(te, x -> x * x)))) AS sim
+      FROM q, t WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS sim_r
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM sims)
+    WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 -- the ANN correctness baseline. The
+    query set broadcasts; one pass over the corpus; dot/norms via
+    zip_with + aggregate (JVM-side, no Python). The oracle spells the
+    identical double-precision formula (cast-to-double BEFORE multiply,
+    sequential sums) so results match bit-for-bit pre-rounding."""
+    e = load(spark, sf_dir, "embeddings")
+    to_d = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), to_d("embedding").alias("qe")
+    )
+    t = e.select(F.col("vec_id").alias("neighbor_id"), to_d("embedding").alias("te"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    def norm(a):
+        return F.sqrt(F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        ))
+
+    sims = (
+        t.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (dot(F.col("qe"), F.col("te")) / (norm(F.col("qe")) * norm(F.col("te")))).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim_r"))
+    )
+
+
+@_register(
+    "embedding_label_centroids",
+    """
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(emb1 AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS centroid_d0,
+           ROUND(CAST(SUM(CAST(emb2 AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS centroid_d1
+    FROM (SELECT label, CAST(embedding[1] AS DOUBLE) AS emb1, CAST(embedding[2] AS DOUBLE) AS emb2
+          FROM embeddings)
+    GROUP BY label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (dims 0,1): the reduce step of
+    k-means / IVF coarse quantization. Sums run in DECIMAL for
+    order-independence, divided as double."""
+    e = load(spark, sf_dir, "embeddings")
+    d0 = F.element_at("embedding", 1).cast("double").cast("decimal(18,8)")
+    d1 = F.element_at("embedding", 2).cast("double").cast("decimal(18,8)")
+    n = F.count(F.lit(1))
+    return e.groupBy("label").agg(
+        n.alias("n"),
+        F.round((F.sum(d0).cast("double") / n), 6).alias("centroid_d0"),
+        F.round((F.sum(d1).cast("double") / n), 6).alias("centroid_d1"),
+    )
+
+
+# ======================================================================
+# Multimodal plumbing (binary columns + typed metadata; decode stubbed)
+# ======================================================================
+
+
+@_register(
+    "media_metadata",
+    """
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS content_hash,
+           concat('application/x-', source) AS mime
+    FROM documents
+    """,
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction: the documents' text encoded as
+    a binary column stands in for image/audio payloads (the container
+    has no codec libs -- see functions.multimodal for the stubbed
+    decode). Length + content hash + mime tagging, all JVM-side."""
+    d = load(spark, sf_dir, "documents")
+    media = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(media).alias("n_bytes"),
+        F.md5(media).alias("content_hash"),
+        F.concat(F.lit("application/x-"), F.col("source")).alias("mime"),
+    )
+
+
+__all__ = ["QUERIES", "ORACLES"]
