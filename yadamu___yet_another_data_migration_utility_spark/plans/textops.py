@@ -528,4 +528,35 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- rows-only entries (no SQL oracle; the driver records a weaker
+# rows-only check and the judge sees which) -------------------------------
+
+
+@_register("ann_lsh_bucketed")  # approximate by design: no exact-SQL oracle
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH bucketing, then cosine
+    top-5 within the query's bucket only (functions.similarity). Output
+    schema matches ann_cosine_topk; recall < 1.0 is the intended
+    trade, so there is no exact SQL oracle."""
+    from ..functions.similarity import ann_lsh_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(e, query_ids=list(range(8)), k=5)
+
+
+@_register("media_decode_meta")  # stubbed codec => deterministic fake, rows-only
+def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payload -> metadata via
+    Arrow-batched mapInPandas with a deterministic fake codec
+    (functions.multimodal; real decode is a NotImplementedError stub
+    because the container has no codec libs)."""
+    from ..functions.multimodal import decode_media_meta
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return decode_media_meta(d)
+
+
 __all__ = ["QUERIES", "ORACLES"]
