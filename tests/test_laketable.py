@@ -147,7 +147,9 @@ def test_audit_and_lineage(spark, tmp_table_root):
     assert audits[-1]["rows_in"] == 2
     assert audits[-1]["rows_deleted"] == 1
     lin = t.lineage_entries()
-    assert sum(r["row_count"] for r in lin) == 1  # only 'a' survives
+    # lineage = per-bucket APPLIED rows (incl. the tombstone): 'a' and
+    # the delete of 'b' were both applied by this batch
+    assert sum(r["row_count"] for r in lin) == 2
     assert all(r["min_lsn"] <= r["max_lsn"] for r in lin)
 
 

@@ -39,6 +39,10 @@ def get_spark(
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
         shuffle_partitions = cpus if n == "*" else int(n)
 
+    mem = (extra_conf or {}).get(
+        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -49,7 +53,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.memory", mem)
+        # fixed pre-touched heap: G1 heap growth under many concurrent
+        # tasks stalls this sandbox's VM for tens of seconds (measured
+        # 83s vs 1.3s for an identical pass); pay the page-fault cost
+        # once at startup instead
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

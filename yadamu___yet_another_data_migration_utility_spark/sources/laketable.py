@@ -339,6 +339,14 @@ class LakeTable:
         no-op commit-wise: exactly-once from at-least-once delivery.
         """
         t0 = time.monotonic()
+        _dbg = os.environ.get("SPARK_GRAFT_DEBUG_TIMING")
+
+        def _tick(label, _last=[t0]):
+            if _dbg:
+                now = time.monotonic()
+                print(f"    merge.{label}: {now - _last[0]:.1f}s", flush=True)
+                _last[0] = now
+
         m = self.manifest()
         key = m["key"]
         nb = m["bucket_count"]
@@ -362,13 +370,23 @@ class LakeTable:
 
         # ---- source: align to evolved schema, rename lsn -> _lsn -----
         src = batch_df.withColumnRenamed(lsn_col, LSN_COL)
-        src = _align(src, table_schema, keep=[op_col])
+        src = _align(src, table_schema, keep=[op_col]).persist()
 
-        # ---- bucket pruning: read only touched buckets ---------------
-        touched = [
-            r[0]
-            for r in src.select(_bucket_expr(key, nb).alias("b")).distinct().collect()
-        ]
+        # ---- ONE job: touched buckets + audit numbers per bucket ------
+        # (bucket discovery for pruning and the audit stats share a scan;
+        # the groupBy on ~nb groups collects a tiny result)
+        bstats = (
+            src.groupBy(_bucket_expr(key, nb).alias("_b"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(LSN_COL).alias("mn"),
+                F.max(LSN_COL).alias("mx"),
+                F.sum(F.when(F.col(op_col) == "D", 1).otherwise(0)).alias("dels"),
+            )
+            .collect()
+        )
+        touched = [r["_b"] for r in bstats]
+        _tick("bstats")
         # read target files with the EVOLVED schema so new columns surface
         # as typed NULLs on pre-evolution rows
         tgt_files = self._files(m, touched)
@@ -392,46 +410,43 @@ class LakeTable:
         )
         result = resolved.filter(F.col(op_col) != "D").drop(op_col)
 
-        # ---- write touched buckets, gather lineage -------------------
+        # ---- lineage: per-bucket applied-LSN ranges + row counts, from
+        # the SAME per-bucket stats job that found the touched buckets
+        # (no extra pass; "what this batch applied per partition" is the
+        # north-rule lineage semantics)
+        lineage: list[dict[str, Any]] = []
+        if collect_lineage:
+            lineage = [
+                {
+                    "batch_id": batch_id,
+                    "bucket": r["_b"],
+                    "row_count": r["n"],
+                    "min_lsn": r["mn"],
+                    "max_lsn": r["mx"],
+                }
+                for r in bstats
+            ]
+
+        # ---- write touched buckets (the only job over the resolution;
+        # no persist needed) -------------------------------------------
         v = m["version"] + 1
         n_parts = max(1, min(len(touched), int(spark.conf.get("spark.sql.shuffle.partitions"))))
         result = result.withColumn("_b", _bucket_expr(key, nb)).repartition(n_parts, "_b")
-        result.persist()
         try:
-            lineage: list[dict[str, Any]] = []
-            if collect_lineage:
-                stats = (
-                    result.groupBy("_b")
-                    .agg(
-                        F.count(F.lit(1)).alias("row_count"),
-                        F.min(LSN_COL).alias("min_lsn"),
-                        F.max(LSN_COL).alias("max_lsn"),
-                    )
-                    .collect()
-                )
-                lineage = [
-                    {
-                        "batch_id": batch_id,
-                        "bucket": r["_b"],
-                        "row_count": r["row_count"],
-                        "min_lsn": r["min_lsn"],
-                        "max_lsn": r["max_lsn"],
-                    }
-                    for r in stats
-                ]
             new_files, n_out = self._write_bucketed(
                 spark, result.drop("_b"), {**m, "schema": table_schema.jsonValue()}, v
             )
+            _tick("write_bucketed")
         finally:
-            result.unpersist()
+            src.unpersist()
 
-        # ---- audit numbers -------------------------------------------
-        agg = src.agg(
-            F.count(F.lit(1)).alias("rows_in"),
-            F.min(LSN_COL).alias("min_lsn"),
-            F.max(LSN_COL).alias("max_lsn"),
-            F.sum(F.when(F.col(op_col) == "D", 1).otherwise(0)).alias("dels"),
-        ).collect()[0]
+        # ---- audit numbers (folded from the per-bucket stats job) -----
+        agg = {
+            "rows_in": sum(r["n"] for r in bstats),
+            "min_lsn": min((r["mn"] for r in bstats), default=None),
+            "max_lsn": max((r["mx"] for r in bstats), default=None),
+            "dels": sum(r["dels"] for r in bstats),
+        }
 
         # ---- manifest: new files for touched buckets, inherit rest ---
         buckets = dict(m["buckets"])

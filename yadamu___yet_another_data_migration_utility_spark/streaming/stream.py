@@ -59,7 +59,7 @@ def start_replay(
     schema: T.StructType = CHANGELOG_SCHEMA,
     max_files_per_trigger: int = 1,
     watermark: str = "1 hour",
-    salt_buckets: int = 16,
+    salt_buckets: int = 0,
     available_now: bool = True,
     on_metrics: Callable[[BatchMetrics], None] | None = None,
 ) -> StreamingQuery:
