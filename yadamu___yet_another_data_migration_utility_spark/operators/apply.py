@@ -166,61 +166,68 @@ def apply_batch(
     if table.is_applied(batch_id):
         return BatchMetrics(batch_id, 0, 0, 0, 0, 0, True, None, 0)
 
-    # tag once and persist the tagged frame. Input/quarantine counts ride
-    # on an Observation attached above the validity filter: the
-    # quarantine-write job (always the first pass over the batch)
-    # materializes the cache AND the counts, so no dedicated counting
-    # job runs. Per-batch job count: quarantine write + merge stats +
-    # merge write = 3.
+    # Input/quarantine counts ride on an Observation attached above the
+    # validity filter; the merge's per-bucket stats job (which
+    # materializes the reduced batch) fires it, so a clean batch costs
+    # exactly TWO Spark jobs: merge stats + merge write. The quarantine
+    # write is a third job only when bad rows actually exist -- it runs
+    # inside the merge's pre-write hook, i.e. still strictly BEFORE the
+    # commit, so a crash between quarantine write and merge commit
+    # replays both (the quarantine write is an idempotent per-batch
+    # directory overwrite).
     from pyspark.sql import Observation
 
     obs = Observation(f"apply_batch_{batch_id}")
     tagged = _tag_quarantine(batch_df, op_col, key, lsn_col).observe(
         obs, F.count(F.lit(1)).alias("n_in"), F.count("_reason").alias("n_bad")
-    ).persist()
+    )
     valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
-    bad = tagged.filter(F.col("_reason").isNotNull())
-    try:
-        # job 1: quarantine write. Runs BEFORE the merge so a crash
-        # between the two cannot lose quarantined rows (the merge's
-        # fence would skip a post-merge write on replay). This same job
-        # materializes the cached batch and fires the Observation, so
-        # the counts are free and available for the abort policy.
-        qdir = os.path.join(table.root, QUARANTINE_DIR, f"batch_id={batch_id}")
-        (
-            bad.withColumn("_batch_id", F.lit(batch_id))
-            .withColumnRenamed("_reason", "reason")
-            .write.mode("overwrite")  # idempotent on replay
-            .parquet(qdir)
+
+    reduced = last_lsn_dedup(valid, key, lsn_col, salt_buckets)
+
+    # extract AFTER dedup: text is a pure function of html, so only
+    # winner rows need the pandas UDF (fewer rows through Python),
+    # and the dedup reduction sorts/shuffles a narrower payload
+    if run_extract and "html" in reduced.columns:
+        reduced = reduced.withColumn(
+            "text",
+            F.when(F.col(op_col) != "D", extract_text(F.col("html"))),
         )
-        counts = obs.get
-        n_in, n_bad = counts["n_in"], counts["n_bad"]
-        if max_errors is not None and n_bad > max_errors:
+
+    # filled by the hook once the observation has fired; doubles as the
+    # extra_audit dict (merge reads it at manifest-build time, after the
+    # hook has populated it)
+    counts: dict[str, int] = {}
+
+    def _pre_write() -> None:
+        got = obs.get
+        counts["rows_batch_in"] = got["n_in"]
+        counts["rows_quarantined"] = got["n_bad"]
+        if max_errors is not None and got["n_bad"] > max_errors:
             raise BatchAborted(
-                f"batch {batch_id}: {n_bad} quarantined > max_errors={max_errors}"
+                f"batch {batch_id}: {got['n_bad']} quarantined > max_errors={max_errors}"
+            )
+        if got["n_bad"] > 0:
+            qdir = os.path.join(table.root, QUARANTINE_DIR, f"batch_id={batch_id}")
+            (
+                _tag_quarantine(batch_df, op_col, key, lsn_col)
+                .filter(F.col("_reason").isNotNull())
+                .withColumn("_batch_id", F.lit(batch_id))
+                .withColumnRenamed("_reason", "reason")
+                .write.mode("overwrite")  # idempotent on replay
+                .parquet(qdir)
             )
 
-        reduced = last_lsn_dedup(valid, key, lsn_col, salt_buckets)
-
-        # extract AFTER dedup: text is a pure function of html, so only
-        # winner rows need the pandas UDF (fewer rows through Python),
-        # and the dedup reduction sorts/shuffles a narrower payload
-        if run_extract and "html" in reduced.columns:
-            reduced = reduced.withColumn(
-                "text",
-                F.when(F.col(op_col) != "D", extract_text(F.col("html"))),
-            )
-
-        res: MergeResult = table.merge(
-            spark,
-            reduced,
-            batch_id,
-            op_col=op_col,
-            lsn_col=lsn_col,
-            extra_audit={"rows_batch_in": n_in, "rows_quarantined": n_bad},
-        )
-    finally:
-        tagged.unpersist()
+    res: MergeResult = table.merge(
+        spark,
+        reduced,
+        batch_id,
+        op_col=op_col,
+        lsn_col=lsn_col,
+        extra_audit=counts,
+        pre_write_hook=_pre_write,
+    )
+    n_in, n_bad = counts["rows_batch_in"], counts["rows_quarantined"]
 
     metrics = BatchMetrics(
         batch_id=batch_id,

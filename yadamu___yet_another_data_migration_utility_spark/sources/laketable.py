@@ -320,6 +320,7 @@ class LakeTable:
         lsn_col: str = "lsn",
         collect_lineage: bool = True,
         extra_audit: dict[str, Any] | None = None,
+        pre_write_hook: Any = None,
     ) -> MergeResult:
         """Copy-on-write CDC MERGE -- the engine's core operator (W5 in
         SURVEY.md §2.a; absent from the reference, which is insert-only).
@@ -337,6 +338,14 @@ class LakeTable:
         ``_lsn``) makes replay of a duplicated batch a no-op row-wise,
         and the batch-id fence in the same manifest commit makes it a
         no-op commit-wise: exactly-once from at-least-once delivery.
+
+        ``pre_write_hook`` (if given) is a zero-arg callable invoked
+        after the per-bucket stats job (which materializes the source
+        and fires any Observation attached upstream by the caller) and
+        BEFORE any data file is written or committed. If it raises, the
+        merge aborts cleanly: no data files, no manifest, no fence --
+        the abort-policy seam used by operators.apply (side-effects the
+        hook performed, e.g. an idempotent quarantine write, stand).
         """
         t0 = time.monotonic()
         _dbg = os.environ.get("SPARK_GRAFT_DEBUG_TIMING")
@@ -371,68 +380,69 @@ class LakeTable:
         # ---- source: align to evolved schema, rename lsn -> _lsn -----
         src = batch_df.withColumnRenamed(lsn_col, LSN_COL)
         src = _align(src, table_schema, keep=[op_col]).persist()
-
-        # ---- ONE job: touched buckets + audit numbers per bucket ------
-        # (bucket discovery for pruning and the audit stats share a scan;
-        # the groupBy on ~nb groups collects a tiny result)
-        bstats = (
-            src.groupBy(_bucket_expr(key, nb).alias("_b"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min(LSN_COL).alias("mn"),
-                F.max(LSN_COL).alias("mx"),
-                F.sum(F.when(F.col(op_col) == "D", 1).otherwise(0)).alias("dels"),
-            )
-            .collect()
-        )
-        touched = [r["_b"] for r in bstats]
-        _tick("bstats")
-        # read target files with the EVOLVED schema so new columns surface
-        # as typed NULLs on pre-evolution rows
-        tgt_files = self._files(m, touched)
-        if tgt_files:
-            tgt = spark.read.schema(table_schema).parquet(*tgt_files)
-        else:
-            tgt = spark.createDataFrame([], table_schema)
-        tgt = tgt.withColumn(op_col, F.lit("K"))
-
-        # ---- last-writer-wins resolution (one shuffle on key) --------
-        # union(target rows, batch rows) -> max_by(payload, _lsn).
-        # Replayed rows tie on _lsn with identical payloads, so ties are
-        # benign; tombstone replays have no target row to tie with.
-        all_cols = data_cols + [LSN_COL, op_col]
-        unioned = tgt.select(*all_cols).unionByName(src.select(*all_cols))
-        winner = F.max_by(F.struct(*[c for c in all_cols if c != key]), F.col(LSN_COL))
-        resolved = (
-            unioned.groupBy(key)
-            .agg(winner.alias("_w"))
-            .select(key, "_w.*")
-        )
-        result = resolved.filter(F.col(op_col) != "D").drop(op_col)
-
-        # ---- lineage: per-bucket applied-LSN ranges + row counts, from
-        # the SAME per-bucket stats job that found the touched buckets
-        # (no extra pass; "what this batch applied per partition" is the
-        # north-rule lineage semantics)
-        lineage: list[dict[str, Any]] = []
-        if collect_lineage:
-            lineage = [
-                {
-                    "batch_id": batch_id,
-                    "bucket": r["_b"],
-                    "row_count": r["n"],
-                    "min_lsn": r["mn"],
-                    "max_lsn": r["mx"],
-                }
-                for r in bstats
-            ]
-
-        # ---- write touched buckets (the only job over the resolution;
-        # no persist needed) -------------------------------------------
-        v = m["version"] + 1
-        n_parts = max(1, min(len(touched), int(spark.conf.get("spark.sql.shuffle.partitions"))))
-        result = result.withColumn("_b", _bucket_expr(key, nb)).repartition(n_parts, "_b")
         try:
+            # ---- ONE job: touched buckets + audit numbers per bucket --
+            # (bucket discovery for pruning and the audit stats share a
+            # scan; the groupBy on ~nb groups collects a tiny result)
+            bstats = (
+                src.groupBy(_bucket_expr(key, nb).alias("_b"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min(LSN_COL).alias("mn"),
+                    F.max(LSN_COL).alias("mx"),
+                    F.sum(F.when(F.col(op_col) == "D", 1).otherwise(0)).alias("dels"),
+                )
+                .collect()
+            )
+            touched = [r["_b"] for r in bstats]
+            _tick("bstats")
+            if pre_write_hook is not None:
+                pre_write_hook()  # may raise -> clean abort, nothing committed
+            # read target files with the EVOLVED schema so new columns
+            # surface as typed NULLs on pre-evolution rows
+            tgt_files = self._files(m, touched)
+            if tgt_files:
+                tgt = spark.read.schema(table_schema).parquet(*tgt_files)
+            else:
+                tgt = spark.createDataFrame([], table_schema)
+            tgt = tgt.withColumn(op_col, F.lit("K"))
+
+            # ---- last-writer-wins resolution (one shuffle on key) ----
+            # union(target rows, batch rows) -> max_by(payload, _lsn).
+            # Replayed rows tie on _lsn with identical payloads, so ties
+            # are benign; tombstone replays have no target row to tie with.
+            all_cols = data_cols + [LSN_COL, op_col]
+            unioned = tgt.select(*all_cols).unionByName(src.select(*all_cols))
+            winner = F.max_by(F.struct(*[c for c in all_cols if c != key]), F.col(LSN_COL))
+            resolved = (
+                unioned.groupBy(key)
+                .agg(winner.alias("_w"))
+                .select(key, "_w.*")
+            )
+            result = resolved.filter(F.col(op_col) != "D").drop(op_col)
+
+            # ---- lineage: per-bucket applied-LSN ranges + row counts,
+            # from the SAME per-bucket stats job that found the touched
+            # buckets (no extra pass; "what this batch applied per
+            # partition" is the north-rule lineage semantics)
+            lineage: list[dict[str, Any]] = []
+            if collect_lineage:
+                lineage = [
+                    {
+                        "batch_id": batch_id,
+                        "bucket": r["_b"],
+                        "row_count": r["n"],
+                        "min_lsn": r["mn"],
+                        "max_lsn": r["mx"],
+                    }
+                    for r in bstats
+                ]
+
+            # ---- write touched buckets (the only job over the
+            # resolution; no persist needed) ---------------------------
+            v = m["version"] + 1
+            n_parts = max(1, min(len(touched), int(spark.conf.get("spark.sql.shuffle.partitions"))))
+            result = result.withColumn("_b", _bucket_expr(key, nb)).repartition(n_parts, "_b")
             new_files, n_out = self._write_bucketed(
                 spark, result.drop("_b"), {**m, "schema": table_schema.jsonValue()}, v
             )
