@@ -183,7 +183,25 @@ def apply_batch(
     )
     valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
 
-    reduced = last_lsn_dedup(valid, key, lsn_col, salt_buckets)
+    # last-writer-wins, scale path: a NARROW argmax shuffle (key + lsn
+    # only, ~tens of bytes/row, map-side combined) finds each key's
+    # winning lsn, then a semi-join fetches the winner payloads. AQE
+    # broadcasts the winner set when small (64 MB threshold in
+    # session.py/bench.py), so the wide html payload is never shuffled
+    # by the dedup at all in the common case; past the threshold it
+    # falls back to a shuffle join -- either way no SortAggregate over
+    # wide structs (measured: the wide max_by shuffle was the dominant
+    # non-scaling cost at 1M-event batches). Exact redelivered
+    # duplicates (same key AND lsn -- by CDC contract byte-identical
+    # events) survive this reduction; the merge's resolution collapses
+    # them via a benign max_by tie. The strict one-row-per-key operator
+    # remains last_lsn_dedup (public catalog); passing salt_buckets > 0
+    # selects it with two-phase salting.
+    if salt_buckets > 0:
+        reduced = last_lsn_dedup(valid, key, lsn_col, salt_buckets)
+    else:
+        winners = valid.groupBy(key).agg(F.max(lsn_col).alias(lsn_col))
+        reduced = valid.join(winners, on=[key, lsn_col], how="leftsemi")
 
     # extract AFTER dedup: text is a pure function of html, so only
     # winner rows need the pandas UDF (fewer rows through Python),

@@ -325,9 +325,11 @@ class LakeTable:
         """Copy-on-write CDC MERGE -- the engine's core operator (W5 in
         SURVEY.md §2.a; absent from the reference, which is insert-only).
 
-        ``batch_df`` must be pre-reduced to ONE row per key (last LSN
-        wins -- see operators.apply) and carry ``op`` ('I'/'U'/'D') and
-        ``lsn``. Semantics == Iceberg::
+        ``batch_df`` must be pre-reduced to one winning lsn per key
+        (last LSN wins -- see operators.apply); byte-identical
+        redelivered duplicates of the winner may remain (the resolution
+        below collapses them via a benign max_by tie). It carries
+        ``op`` ('I'/'U'/'D') and ``lsn``. Semantics == Iceberg::
 
             MERGE INTO t USING s ON t.url = s.url AND s.lsn > t._lsn
             WHEN MATCHED AND s.op = 'D' THEN DELETE
@@ -439,12 +441,18 @@ class LakeTable:
                 ]
 
             # ---- write touched buckets (the only job over the
-            # resolution; no persist needed) ---------------------------
+            # resolution; no persist needed). The writer splits each
+            # task's rows into per-bucket files via partitionBy, so no
+            # extra repartition-by-bucket shuffle is needed: that
+            # second wide shuffle of the full payload bought nothing
+            # but one-file-per-bucket cosmetics. Files per commit are
+            # bounded by (AQE-coalesced resolve partitions x touched
+            # buckets), and each commit REPLACES the touched buckets'
+            # file lists in the manifest, so counts never accumulate;
+            # compact() exists for pathological cases. ----------------
             v = m["version"] + 1
-            n_parts = max(1, min(len(touched), int(spark.conf.get("spark.sql.shuffle.partitions"))))
-            result = result.withColumn("_b", _bucket_expr(key, nb)).repartition(n_parts, "_b")
             new_files, n_out = self._write_bucketed(
-                spark, result.drop("_b"), {**m, "schema": table_schema.jsonValue()}, v
+                spark, result, {**m, "schema": table_schema.jsonValue()}, v
             )
             _tick("write_bucketed")
         finally:
