@@ -89,3 +89,26 @@ def test_streaming_kill_and_resume_exactly_once(spark, tmp_path):
     batch_ids = [a["batch_id"] for a in merge_audits]
     assert len(batch_ids) == len(set(batch_ids)) == N_SEGMENTS  # each applied exactly once
     assert len(applied) + len([m for m in metrics2 if not m.fenced]) == N_SEGMENTS
+
+
+def test_replay_compaction_and_metrics_tables(spark, tmp_path):
+    """Auto-compaction mid-replay keeps state correct, and the audit /
+    lineage metrics surface as DataFrames with consistent counts."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    log, wal, table = _setup(spark, tmp_path)
+    replay_available(
+        spark, table, wal, str(tmp_path / "ckpt"),
+        compact_every=2, compact_max_files=1,
+    )
+    _assert_matches_oracle(spark, log, table)
+
+    adf = table.audit_df(spark)
+    merges = adf.filter(F.col("operation") == "merge")
+    assert merges.count() == N_SEGMENTS
+    ldf = table.lineage_df(spark)
+    assert ldf.count() > 0
+    # per-partition lineage row counts must sum to the audit rows_in
+    sums = ldf.groupBy("batch_id").agg(F.sum("row_count").alias("n"))
+    bad = sums.join(merges, "batch_id").filter(F.col("n") != F.col("rows_in"))
+    assert bad.count() == 0

@@ -269,6 +269,33 @@ class LakeTable:
     def is_applied(self, batch_id: int) -> bool:
         return str(batch_id) in self.manifest()["applied_batches"]
 
+    def audit_df(self, spark: SparkSession) -> DataFrame:
+        """The engine's metrics table as a DataFrame: one row per commit
+        (batch_id, operation, rows_in/applied/deleted, lsn range,
+        touched buckets, version). North-rule 'metrics tables';
+        reference analogue: reportPerformance rows
+        (/root/reference/src/YADAMU/common/yadamuWriter.js:749-841)."""
+        rows = self.audit_entries()
+        schema = ("batch_id long, operation string, rows_in long, rows_applied long, "
+                  "rows_deleted long, min_lsn long, max_lsn long, touched_buckets long, "
+                  "version long, rows_batch_in long, rows_quarantined long")
+        return spark.createDataFrame(
+            [{k: r.get(k) for k in
+              ("batch_id", "operation", "rows_in", "rows_applied", "rows_deleted",
+               "min_lsn", "max_lsn", "touched_buckets", "version",
+               "rows_batch_in", "rows_quarantined")} for r in rows],
+            schema,
+        )
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        """Per-partition lineage as a DataFrame: applied LSN ranges +
+        row counts per (version, batch, bucket) -- the north rule's
+        per-partition lineage table."""
+        return spark.createDataFrame(
+            self.lineage_entries() or [],
+            "version long, batch_id long, bucket int, row_count long, min_lsn long, max_lsn long",
+        )
+
     # ------------------------------------------------------------------
     # write paths
     # ------------------------------------------------------------------
