@@ -70,6 +70,7 @@ HEADLINE_ORDER = [
     "cdc_dedup_salted",
     "cdc_quarantine_split",
     "cdc_replay_merge",
+    "cdc_scd2_history",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "minhash_lsh_dedup",

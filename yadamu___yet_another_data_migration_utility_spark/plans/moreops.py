@@ -27,10 +27,10 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .catalog import _register, load, _sum_dbl, _dec
+from .catalog import _CDC_SQL_SRC, _register, cdc_changelog, load, _sum_dbl, _dec
 from .textops import _DOCS_AUG_SQL, _SHINGLES_SQL, _MD5_LONG_SQL, _md5_long, docs_aug, shingles
 
 # ======================================================================
@@ -242,6 +242,43 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws.alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
         F.round(bpe.cast("double") / ws, 6).alias("tokens_per_word"),
+    )
+
+
+# ======================================================================
+# SCD2 (type-2 history) derivation from the change log
+# ======================================================================
+
+
+@_register(
+    "cdc_scd2_history",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC})
+    SELECT url, lsn, op, event_type, value,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           (LEAD(ts) OVER w IS NULL AND op <> 'D') AS is_current
+    FROM chg
+    WINDOW w AS (PARTITION BY url ORDER BY lsn)
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: every change event
+    becomes a version row valid from its own timestamp until the NEXT
+    event's timestamp (open-ended + flagged current for the last
+    non-delete). The standard lake-side CDC product next to the
+    last-state table (the reference replicates state only -- history is
+    the CDC reframing's addition, like W5). Scale: one shuffle by key +
+    per-key sort for LEAD; no cross-key ordering, so the window
+    parallelizes per url and spills safely."""
+    chg = cdc_changelog(spark, sf_dir)
+    w = W.partitionBy("url").orderBy("lsn")
+    nxt = F.lead("ts").over(w)
+    return chg.select(
+        "url", "lsn", "op", "event_type", "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        (nxt.isNull() & (F.col("op") != "D")).alias("is_current"),
     )
 
 
