@@ -44,17 +44,10 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
 
 def _scratch_dir() -> str:
-    """Scratch for replay tables + shuffle. On a real cluster every
-    executor brings its own local disks (and S3A commits scale with the
-    fleet), so aggregate storage bandwidth grows with cluster size; this
-    sandbox has ONE virtio disk (~120 MB/s measured), which saturates at
-    8 cores and would make any scaling number measure the disk, not the
-    engine. tmpfs restores the scales-with-compute property the N->4N
-    rule assumes. Override with SPARK_GRAFT_SCRATCH."""
-    d = os.environ.get("SPARK_GRAFT_SCRATCH")
-    if d:
-        return d
-    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    """tmpfs scratch (see session.scratch_dir for the measured why)."""
+    from yadamu___yet_another_data_migration_utility_spark.session import scratch_dir
+
+    return scratch_dir()
 
 #: queries whose plans are quadratic-by-design at tiny scale (exact
 #: pairwise verify) -- still run, but listed so regressions are legible.
@@ -83,6 +76,13 @@ HEADLINE_ORDER = [
     "embedding_label_centroids",
     "media_metadata",
     "media_decode_meta",
+    "simhash_signatures",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "doc_rolling_hash",
+    "token_count_bpe",
+    "staged_roundtrip_csv",
+    "export_roundtrip_json",
 ]
 
 
@@ -208,7 +208,9 @@ def run_replay(n_events: int, cpus: int, n_batches: int = 5) -> dict:
         # filter prune everything outside its slice. Written round-robin
         # instead, EVERY batch decodes the whole changelog's html (no
         # row group is prunable) -- a bench artifact, not engine work.
-        chg.repartitionByRange(max(8, cpus * 2), "lsn").sortWithinPartitions(
+        # Partition count is FIXED (16 files per micro-batch) so the 2-
+        # and 8-core scaling runs read the IDENTICAL file layout.
+        chg.repartitionByRange(n_batches * 16, "lsn").sortWithinPartitions(
             "lsn"
         ).write.parquet(log_path)
         # bucket_count FIXED so both scaling runs merge the identical table
@@ -235,7 +237,7 @@ def run_replay(n_events: int, cpus: int, n_batches: int = 5) -> dict:
         # --- timed window: the apply path ------------------------------
         t0 = time.monotonic()
         applied = 0
-        batch_secs: list[float] = []
+        batch_secs: list[float] = []  # unrounded -- rounded only for display
         batch_rows: list[int] = []
         for b in range(n_batches):
             lo, hi = b * per, (b + 1) * per
@@ -243,7 +245,7 @@ def run_replay(n_events: int, cpus: int, n_batches: int = 5) -> dict:
             batch = events.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
             m = apply_batch(table, batch, batch_id=b)
             applied += m.rows_in
-            batch_secs.append(round(time.monotonic() - tb, 3))
+            batch_secs.append(time.monotonic() - tb)
             batch_rows.append(m.rows_in)
             print(f"  batch {b}: {m.rows_in} rows in "
                   f"{batch_secs[-1]:.2f}s", file=sys.stderr)
@@ -256,7 +258,7 @@ def run_replay(n_events: int, cpus: int, n_batches: int = 5) -> dict:
         # multi-second kernel stalls poison mean-based numbers; the peak
         # batch approximates the uncontended machine.
         steady = list(zip(batch_rows[1:], batch_secs[1:])) or list(zip(batch_rows, batch_secs))
-        peak = max(r / s for r, s in steady)
+        peak = max(r / s for r, s in steady if s > 0)
         return {
             "metric": "change-events/sec applied (full pipeline, fenced MERGE)",
             "value": round(applied / dt, 1),
@@ -265,7 +267,7 @@ def run_replay(n_events: int, cpus: int, n_batches: int = 5) -> dict:
             "events": applied,
             "final_rows": final_rows,
             "elapsed_sec": round(dt, 3),
-            "batch_secs": batch_secs,
+            "batch_secs": [round(s, 3) for s in batch_secs],
             "cpus": cpus,
             "n_batches": n_batches,
         }

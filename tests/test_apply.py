@@ -28,8 +28,9 @@ from yadamu___yet_another_data_migration_utility_spark.operators.compare import 
 from yadamu___yet_another_data_migration_utility_spark.sources.laketable import LakeTable
 
 
-def mk_table(root, bucket_count=8):
-    return LakeTable.create(root, PAGE_SCHEMA, key="url", bucket_count=bucket_count)
+def mk_table(root, bucket_count=8, merge_mode="mor"):
+    return LakeTable.create(root, PAGE_SCHEMA, key="url", bucket_count=bucket_count,
+                            merge_mode=merge_mode)
 
 
 def test_extractor_deterministic_and_correct():
@@ -77,10 +78,12 @@ def test_quarantine_split_reasons(spark):
     assert reasons == {1: "null_key", 2: "bad_op", 3: "null_html"}
 
 
-def test_apply_replay_matches_oracle(spark, tmp_table_root):
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_apply_replay_matches_oracle(spark, tmp_table_root, mode):
     """Replay a 5k-event changelog in 5 batches; final state must equal
-    the whole-log batch oracle (YADAMU acceptance operator)."""
-    t = mk_table(tmp_table_root)
+    the whole-log batch oracle (YADAMU acceptance operator) -- in both
+    merge modes."""
+    t = mk_table(tmp_table_root, merge_mode=mode)
     log = changelog_df(spark, 5000, 300, dup_mod=25)
     n_batches = 5
     per = 5000 // n_batches
@@ -124,6 +127,43 @@ def test_apply_quarantine_and_max_errors(spark, tmp_table_root):
     t2 = mk_table(tmp_table_root + "_2")
     with pytest.raises(BatchAborted):
         apply_batch(t2, log, batch_id=0, max_errors=1)
+    # aborted batch: NOTHING committed, but the quarantine rows were
+    # persisted first (diagnosis data is never lost)
+    assert t2.current_version() == 1 and not t2.is_applied(0)
+    q2 = quarantine_df(spark, t2)
+    assert q2 is not None and q2.count() > 0
+    # abort-then-retry with a raised budget applies cleanly (quarantine
+    # write is an idempotent overwrite)
+    m2 = apply_batch(t2, log, batch_id=0, max_errors=10_000)
+    m2.check_invariant()
+    assert quarantine_df(spark, t2).count() == m2.rows_quarantined
+
+
+def test_apply_on_error_skip_policy(spark, tmp_table_root):
+    """ON_ERROR=SKIP: a poisoned batch beyond max_errors is fenced
+    without applying; later batches continue; a replay of the skipped
+    batch is a no-op (reference yadamuWriter.js:678-708)."""
+    t = mk_table(tmp_table_root)
+    log = changelog_df(spark, 1000, 100, poison_mod=20, dup_mod=0)
+    bad = log.filter(F.col("lsn") <= 500)
+    good = log.filter((F.col("lsn") > 500) & (F.col("lsn") <= 1000))
+    m0 = apply_batch(t, bad, batch_id=0, max_errors=1, on_error="skip")
+    assert m0.rows_skipped > 0 and m0.rows_merged_in == 0 and not m0.fenced
+    m0.check_invariant()
+    assert t.is_applied(0)
+    assert t.audit_entries()[-1]["operation"] == "skip"
+    # quarantine rows of the skipped batch persist for diagnosis
+    assert quarantine_df(spark, t).count() == m0.rows_quarantined
+    # the stream continues: next batch applies normally
+    m1 = apply_batch(t, good, batch_id=1, max_errors=1000, on_error="skip")
+    assert m1.rows_merged_in > 0
+    # replayed skipped batch fences
+    m0b = apply_batch(t, bad, batch_id=0, max_errors=1, on_error="skip")
+    assert m0b.fenced
+    # same poisoned batch under ABORT (fresh table) raises instead
+    t2 = mk_table(tmp_table_root + "_abort")
+    with pytest.raises(BatchAborted):
+        apply_batch(t2, bad, batch_id=0, max_errors=1, on_error="abort")
 
 
 def test_schema_evolution_mid_stream(spark, tmp_table_root):

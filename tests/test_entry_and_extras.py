@@ -1,5 +1,7 @@
-"""Driver-contract smoke tests + rows-only operators (LSH ANN,
-multimodal plumbing)."""
+"""Driver-contract smoke tests + measured-recall acceptance for the
+approximate (LSH) operators: their bucketing is exactly hash-checked by
+the oracles, and THIS file pins how much of the brute-force truth the
+buckets recover."""
 
 from __future__ import annotations
 
@@ -21,20 +23,72 @@ def test_contract_shapes(spark):
     os_ = entrymod.oracle_sql()
     assert set(os_.keys()) <= set(qs.keys())
     assert len(qs) >= 20
-    # only the genuinely non-SQL-expressible ops lack oracles
-    assert set(qs.keys()) - set(os_.keys()) == {"ann_lsh_bucketed", "media_decode_meta"}
+    # every catalog entry is oracle-checked (r1 verdict item 5: the
+    # LSH + stub-codec entries gained exact oracles by replicating
+    # their deterministic algorithms in SQL)
+    assert set(qs.keys()) == set(os_.keys())
 
 
-def test_ann_lsh_is_subset_of_bruteforce_space(spark):
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """Measured recall@5 of the bucketed ANN against the brute-force
+    baseline, over the same 8 queries. Single-table 8-bit LSH on
+    near-orthogonal synthetic vectors is the weakest case for LSH;
+    the pinned floor documents the trade (scale path = more tables)."""
     qs = entrymod.queries()
-    lsh = qs["ann_lsh_bucketed"](spark, SF)
-    rows = lsh.collect()
-    assert rows, "LSH ANN returned nothing"
-    assert {r["query_id"] for r in rows} <= set(range(8))
-    # ranks are 1..5 per query, sims in [-1, 1]
-    for r in rows:
-        assert 1 <= r["rank"] <= 5
-        assert -1.0001 <= r["sim_r"] <= 1.0001
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["ann_cosine_topk"](spark, SF).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["ann_lsh_bucketed"](spark, SF).collect()
+    }
+    assert brute and lsh
+    recall = len(brute & lsh) / len(brute)
+    # pinned floor; measured value printed for the record
+    print(f"ann_lsh_bucketed recall@5 vs brute force: {recall:.3f}")
+    assert recall >= 0.2, f"recall collapsed: {recall}"
+
+
+def test_embedding_dedup_candidate_recall(spark):
+    """Measured recall of the 16x4 multi-table LSH candidate pairs vs
+    the exact >=0.35 brute-force pair set (the r1 BNLJ implementation,
+    reproduced here as the test oracle)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    to_d = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    p = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("probe_id"), to_d("embedding").alias("pe")
+    )
+    t = e.select(F.col("vec_id").alias("cand_id"), to_d("embedding").alias("te"))
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v)
+
+    def norm(x):
+        return F.sqrt(F.aggregate(F.transform(x, lambda a: a * a), F.lit(0.0), lambda s, v: s + v))
+
+    sim = dot(F.col("pe"), F.col("te")) / (norm(F.col("pe")) * norm(F.col("te")))
+    exact = {
+        (r["probe_id"], r["cand_id"])
+        for r in t.join(F.broadcast(p), F.col("probe_id") < F.col("cand_id"))
+        .select("probe_id", "cand_id", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.35)
+        .collect()
+    }
+    got = {
+        (r["probe_id"], r["cand_id"])
+        for r in entrymod.queries()["dedup_embedding_cosine"](spark, SF).collect()
+    }
+    assert exact, "test setup: no exact pairs at this SF"
+    recall = len(exact & got) / len(exact)
+    print(f"dedup_embedding_cosine candidate recall vs exact: {recall:.3f}")
+    # these tail pairs (sim 0.35-0.46) are the HARD case for hyperplane
+    # LSH; genuinely-near pairs (>=0.9) recall ~0.998 at 16x4
+    assert recall >= 0.5, f"recall collapsed: {recall}"
+    # no false positives: the exact-verify stage must keep candidates
+    # only when they really clear the threshold
+    extra = got - exact
+    assert not extra, f"pairs below threshold leaked through verify: {sorted(extra)[:5]}"
 
 
 def test_media_decode_meta_deterministic(spark):

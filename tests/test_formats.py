@@ -1,0 +1,175 @@
+"""Format-fidelity + QA-normalization unit tests: monolithic export
+file, staged compression, identifier mappings, compare normalization
+rules, JDBC interface."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+from decimal import Decimal
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from yadamu___yet_another_data_migration_utility_spark.operators.compare import compare
+from yadamu___yet_another_data_migration_utility_spark.operators.mapping import invert
+from yadamu___yet_another_data_migration_utility_spark.sources.exportfile import (
+    export_json,
+    import_json,
+)
+from yadamu___yet_another_data_migration_utility_spark.sources.staged import (
+    load_staged,
+    unload,
+)
+
+TRICKY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("b", T.BinaryType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("d", T.DoubleType()),
+        T.StructField("dec", T.DecimalType(10, 3)),
+    ]
+)
+
+
+def tricky_df(spark):
+    rows = [
+        (1, "plain", bytearray(b"\x00\xffbin"), datetime.datetime(2024, 1, 2, 3, 4, 5, 123456),
+         1.5, Decimal("12.345")),
+        (2, "", None, None, float("nan"), None),  # empty string vs NULL
+        (3, None, bytearray(b""), datetime.datetime(2024, 6, 1), float("inf"), Decimal("0.001")),
+        (4, "line\nbreak,comma\"quote", bytearray(b"\x01\x02"), datetime.datetime(2024, 1, 1),
+         float("-inf"), Decimal("-5.000")),
+    ]
+    return spark.createDataFrame(rows, TRICKY_SCHEMA)
+
+
+def _canon(df):
+    out = []
+    for r in df.orderBy("id").collect():
+        d = float("nan") if r["d"] is None else r["d"]
+        out.append((r["id"], r["s"], bytes(r["b"]) if r["b"] is not None else None,
+                    r["ts"], repr(d), r["dec"]))
+    return out
+
+
+def test_export_file_roundtrip_tricky_types(spark, tmp_path):
+    """One monolithic JSON document must round-trip binary (hex), ISO-µs
+    timestamps, NaN/±Infinity sentinels, exact decimals, empty-vs-NULL
+    strings -- the reference's jsonWriter encodings."""
+    df = tricky_df(spark)
+    path = str(tmp_path / "export.json")
+    meta = export_json({"t": df}, path)
+    assert meta["t"]["columnNames"] == df.columns
+    back = import_json(spark, path)["t"]
+    assert back.schema == df.schema
+    assert _canon(back) == _canon(df)
+
+
+def test_export_file_gzip(spark, tmp_path):
+    df = tricky_df(spark)
+    path = str(tmp_path / "export.json.gz")
+    export_json({"t": df}, path, compression="gzip")
+    with open(path, "rb") as f:
+        assert f.read(2) == b"\x1f\x8b"  # really gzip on disk
+    back = import_json(spark, path)["t"]
+    assert _canon(back) == _canon(df)
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_staged_compression_option(spark, tmp_path, fmt):
+    """The staged writer's compression option (reference gzip chain,
+    fileDBI.js:344-372) must produce .gz data files that load back
+    losslessly."""
+    df = tricky_df(spark).drop("d")  # JSON text format cannot carry NaN/Inf
+    root = str(tmp_path / f"ds_{fmt}")
+    unload({"t": df}, root, fmt=fmt, compression="gzip")
+    data_dir = os.path.join(root, "data", "t")
+    assert any(f.endswith(".gz") for f in os.listdir(data_dir)), os.listdir(data_dir)
+    back = load_staged(spark, root)["t"]
+    res = compare(df, back)
+    assert res.ok, res
+
+
+def test_staged_identifier_mappings_roundtrip(spark, tmp_path):
+    """Unload with table+column renames and a default case transform,
+    load back with the inverted mapping: identical identifiers + data
+    (reference yadamuDBI.js:497-653)."""
+    df = tricky_df(spark)
+    mappings = {
+        "t": {"tableName": "T_RENAMED", "columnMappings": {"id": "ROW_ID", "s": "TXT"}},
+        "*": {"case": "upper"},
+    }
+    root = str(tmp_path / "ds_map")
+    unload({"t": df}, root, fmt="parquet", mappings=mappings)
+    # mapped names on disk + in control file
+    assert os.path.isdir(os.path.join(root, "data", "T_RENAMED"))
+    mapped = load_staged(spark, root)
+    assert set(mapped.keys()) == {"T_RENAMED"}
+    assert "ROW_ID" in mapped["T_RENAMED"].columns
+    assert "TS" in mapped["T_RENAMED"].columns  # case transform applied
+    # round-trip back to source identifiers
+    back = load_staged(spark, root, mappings=invert(mappings))["t"]
+    assert back.columns == df.columns
+    assert _canon(back) == _canon(df)
+
+
+def test_compare_normalization_rules(spark):
+    """A lossy-but-correct migration (µs->ms timestamps, rounded
+    doubles, ''->NULL, Infinity->NULL) must FAIL the strict compare and
+    PASS with the reference's normalization rules enabled
+    (yadamuQA.js:327-357)."""
+    src = tricky_df(spark).drop("b")
+    tgt = src.select(
+        "id",
+        F.when(F.length("s") == 0, F.lit(None)).otherwise(F.col("s")).alias("s"),
+        F.timestamp_millis(F.unix_millis("ts")).alias("ts"),  # µs -> ms truncation
+        F.when(F.isnan("d") | (F.abs("d") == float("inf")), F.lit(None))
+        .otherwise(F.round("d", 2)).alias("d"),
+        "dec",
+    )
+    strict = compare(src, tgt)
+    assert not strict.ok
+    relaxed = compare(
+        src, tgt,
+        timestamp_precision=3, double_precision=2,
+        empty_string_is_null=True, infinity_is_null=True,
+    )
+    assert relaxed.ok, relaxed
+
+
+def test_compare_normalization_still_catches_real_drift(spark):
+    """Normalization must not mask genuine value drift."""
+    src = tricky_df(spark).drop("b")
+    tgt = src.withColumn("d", F.col("d") + 1.0)
+    res = compare(src, tgt, timestamp_precision=3, double_precision=2,
+                  empty_string_is_null=True, infinity_is_null=True)
+    assert not res.ok
+
+
+def test_jdbc_interface_options():
+    """Interface-level acceptance (no DB server in the sandbox): the
+    reader options must spell Spark's partitioned-parallel JDBC read."""
+    from yadamu___yet_another_data_migration_utility_spark.sources.jdbc import (
+        JdbcSnapshotConfig,
+    )
+
+    cfg = JdbcSnapshotConfig(
+        url="jdbc:postgresql://db/crawl", table="pages",
+        partition_column="page_id", lower_bound=0, upper_bound=1_000_000,
+        num_partitions=16, properties={"user": "u", "password": "p"},
+    )
+    opts = cfg.reader_options()
+    assert opts["partitionColumn"] == "page_id"
+    assert opts["numPartitions"] == "16"
+    assert opts["fetchsize"] == "10000"
+    assert cfg.bounds_query() == "SELECT MIN(page_id) AS lo, MAX(page_id) AS hi FROM pages"
+    with pytest.raises(ValueError, match="bounds"):
+        JdbcSnapshotConfig(url="x", table="t", partition_column="c").reader_options()
+    # unpartitioned single-cursor read is still expressible
+    single = JdbcSnapshotConfig(url="x", table="t").reader_options()
+    assert "partitionColumn" not in single

@@ -1,5 +1,6 @@
 """LakeTable format: commits, merge semantics per op-type, fencing,
-schema evolution, time travel, compaction."""
+schema evolution, time travel, compaction -- in BOTH merge modes
+(merge-on-read deltas and copy-on-write rewrites)."""
 
 from __future__ import annotations
 
@@ -16,9 +17,12 @@ SCHEMA = T.StructType(
     ]
 )
 
+MODES = ["mor", "cow"]
 
-def mk(spark, root, bucket_count=4):
-    return LakeTable.create(root, SCHEMA, key="url", bucket_count=bucket_count)
+
+def mk(spark, root, bucket_count=4, merge_mode="mor"):
+    return LakeTable.create(root, SCHEMA, key="url", bucket_count=bucket_count,
+                            merge_mode=merge_mode)
 
 
 def batch(spark, rows):
@@ -39,10 +43,12 @@ def test_create_and_empty_read(spark, tmp_table_root):
     assert t.read(spark).count() == 0
     assert t.current_version() == 1
     assert LakeTable.exists(tmp_table_root)
+    assert t.merge_mode() == "mor"
 
 
-def test_insert_update_delete(spark, tmp_table_root):
-    t = mk(spark, tmp_table_root)
+@pytest.mark.parametrize("mode", MODES)
+def test_insert_update_delete(spark, tmp_table_root, mode):
+    t = mk(spark, tmp_table_root, merge_mode=mode)
     t.merge(spark, batch(spark, [("a", "v1", "I", 1), ("b", "v1", "I", 2)]), batch_id=0)
     assert state(spark, t) == {("a", "v1", 1), ("b", "v1", 2)}
     # update a, delete b, insert c
@@ -54,16 +60,18 @@ def test_insert_update_delete(spark, tmp_table_root):
     assert state(spark, t) == {("a", "v2", 3), ("c", "v1", 5)}
 
 
-def test_lsn_monotonic_discard_stale(spark, tmp_table_root):
+@pytest.mark.parametrize("mode", MODES)
+def test_lsn_monotonic_discard_stale(spark, tmp_table_root, mode):
     """An event older than the applied _lsn must lose (restart replay)."""
-    t = mk(spark, tmp_table_root)
+    t = mk(spark, tmp_table_root, merge_mode=mode)
     t.merge(spark, batch(spark, [("a", "new", "U", 10)]), batch_id=0)
     t.merge(spark, batch(spark, [("a", "old", "U", 5)]), batch_id=1)
     assert state(spark, t) == {("a", "new", 10)}
 
 
-def test_batch_fencing_exactly_once(spark, tmp_table_root):
-    t = mk(spark, tmp_table_root)
+@pytest.mark.parametrize("mode", MODES)
+def test_batch_fencing_exactly_once(spark, tmp_table_root, mode):
+    t = mk(spark, tmp_table_root, merge_mode=mode)
     r1 = t.merge(spark, batch(spark, [("a", "v1", "I", 1)]), batch_id=7)
     v = t.current_version()
     r2 = t.merge(spark, batch(spark, [("a", "v1", "I", 1)]), batch_id=7)  # replay
@@ -72,24 +80,25 @@ def test_batch_fencing_exactly_once(spark, tmp_table_root):
     assert state(spark, t) == {("a", "v1", 1)}
 
 
-def test_delete_then_reinsert_same_batch(spark, tmp_table_root):
-    """Reduction keeps only the max-LSN event: later reinsert wins."""
-    t = mk(spark, tmp_table_root)
-    # pre-reduced batches have one row per key; simulate across batches
+@pytest.mark.parametrize("mode", MODES)
+def test_delete_then_reinsert_across_batches(spark, tmp_table_root, mode):
+    t = mk(spark, tmp_table_root, merge_mode=mode)
     t.merge(spark, batch(spark, [("a", "v1", "I", 1)]), batch_id=0)
     t.merge(spark, batch(spark, [("a", None, "D", 2)]), batch_id=1)
     t.merge(spark, batch(spark, [("a", "v3", "I", 3)]), batch_id=2)
     assert state(spark, t) == {("a", "v3", 3)}
 
 
-def test_delete_nonexistent_key_is_noop(spark, tmp_table_root):
-    t = mk(spark, tmp_table_root)
+@pytest.mark.parametrize("mode", MODES)
+def test_delete_nonexistent_key_is_noop(spark, tmp_table_root, mode):
+    t = mk(spark, tmp_table_root, merge_mode=mode)
     t.merge(spark, batch(spark, [("ghost", None, "D", 1)]), batch_id=0)
     assert t.read(spark).count() == 0
 
 
-def test_schema_evolution_additive(spark, tmp_table_root):
-    t = mk(spark, tmp_table_root)
+@pytest.mark.parametrize("mode", MODES)
+def test_schema_evolution_additive(spark, tmp_table_root, mode):
+    t = mk(spark, tmp_table_root, merge_mode=mode)
     t.merge(spark, batch(spark, [("a", "v1", "I", 1)]), batch_id=0)
     evolved = spark.createDataFrame(
         [("b", "v1", "text/html", "I", 2)],
@@ -105,19 +114,20 @@ def test_schema_evolution_additive(spark, tmp_table_root):
     assert "content_type" in t.schema().fieldNames()
 
 
-def test_time_travel(spark, tmp_table_root):
-    t = mk(spark, tmp_table_root)
+@pytest.mark.parametrize("mode", MODES)
+def test_time_travel(spark, tmp_table_root, mode):
+    t = mk(spark, tmp_table_root, merge_mode=mode)
     t.merge(spark, batch(spark, [("a", "v1", "I", 1)]), batch_id=0)
     v2 = t.current_version()
     t.merge(spark, batch(spark, [("a", "v2", "U", 2)]), batch_id=1)
-    old = {(r["url"], r["val"]) for r in t.read(spark, version=v2).collect()}
+    old = {(r["url"], r["val"]) for r in t.read(spark, version=v2).select("url", "val").collect()}
     new = {(r["url"], r["val"]) for r in t.read(spark).select("url", "val").collect()}
     assert old == {("a", "v1")} and new == {("a", "v2")}
 
 
-def test_bucket_pruning_untouched_files_inherited(spark, tmp_table_root):
-    """A merge touching one key must not rewrite other buckets' files."""
-    t = mk(spark, tmp_table_root, bucket_count=8)
+def test_cow_bucket_pruning_untouched_files_inherited(spark, tmp_table_root):
+    """A cow merge touching one key must not rewrite other buckets."""
+    t = mk(spark, tmp_table_root, bucket_count=8, merge_mode="cow")
     many = [(f"u{i}", "v1", "I", i + 1) for i in range(64)]
     t.merge(spark, batch(spark, many), batch_id=0)
     m0 = t.manifest()
@@ -128,8 +138,67 @@ def test_bucket_pruning_untouched_files_inherited(spark, tmp_table_root):
     assert m1["audit"]["touched_buckets"] == 1
 
 
-def test_append_bulk_path(spark, tmp_table_root):
+def test_mor_merge_is_o_batch_not_o_table(spark, tmp_table_root):
+    """A mor merge must write ONLY delta files for the batch's buckets:
+    base files untouched, other buckets' delta lists untouched -- the
+    no-write-amplification property that makes MERGE O(batch) at 100 TB."""
+    t = mk(spark, tmp_table_root, bucket_count=8, merge_mode="mor")
+    many = [(f"u{i}", "v1", "I", i + 1) for i in range(64)]
+    t.merge(spark, batch(spark, many), batch_id=0)
+    m0 = t.manifest()
+    t.merge(spark, batch(spark, [("u0", "v2", "U", 100)]), batch_id=1)
+    m1 = t.manifest()
+    assert m1["buckets"] == m0["buckets"]  # base never rewritten
+    changed = [b for b in m1["deltas"] if m1["deltas"][b] != m0["deltas"].get(b, [])]
+    assert len(changed) == 1 and m1["audit"]["touched_buckets"] == 1
+    # total new files this commit == files for exactly one bucket
+    new_files = [f for fl in m1["deltas"].values() for f in fl
+                 if f not in {x for fl0 in m0["deltas"].values() for x in fl0}]
+    assert all("c%012d" % m1["version"] in f for f in new_files)
+    assert state(spark, t) == {(f"u{i}", "v1", i + 1) for i in range(1, 64)} | {("u0", "v2", 100)}
+
+
+def test_mor_compact_folds_deltas(spark, tmp_table_root):
+    """compact() folds delta files into the base, clears the delta
+    lists, drops winning tombstones physically, and preserves state."""
+    t = mk(spark, tmp_table_root, bucket_count=2, merge_mode="mor")
+    t.merge(spark, batch(spark, [(f"u{i}", "v1", "I", i + 1) for i in range(10)]), batch_id=0)
+    t.merge(spark, batch(spark, [("u0", "v2", "U", 100), ("u1", None, "D", 101)]), batch_id=1)
+    before = state(spark, t)
+    assert ("u0", "v2", 100) in before and not any(u == "u1" for u, _, _ in before)
+    t.compact(spark, max_files_per_bucket=1)
+    m = t.manifest()
+    assert all(not fl for fl in m["deltas"].values())
+    assert state(spark, t) == before
+    # after compaction reads are plain scans (no tombstones remain)
+    raw = t.read(spark)
+    assert "_deleted" not in raw.columns
+
+
+def test_cow_merge_refuses_outstanding_deltas(spark, tmp_table_root):
+    t = mk(spark, tmp_table_root, merge_mode="mor")
+    t.merge(spark, batch(spark, [("a", "v1", "I", 1)]), batch_id=0)
+    with pytest.raises(RuntimeError, match="compact"):
+        t.merge(spark, batch(spark, [("a", "v2", "U", 2)]), batch_id=1, mode="cow")
+    t.compact(spark, max_files_per_bucket=0)
+    t.merge(spark, batch(spark, [("a", "v2", "U", 2)]), batch_id=1, mode="cow")
+    assert state(spark, t) == {("a", "v2", 2)}
+
+
+def test_record_skip_fences(spark, tmp_table_root):
     t = mk(spark, tmp_table_root)
+    v = t.record_skip(7, extra_audit={"rows_batch_in": 5, "rows_quarantined": 5})
+    assert v == 2 and t.is_applied(7)
+    # a replay of the skipped batch fences as a no-op
+    r = t.merge(spark, batch(spark, [("a", "v1", "I", 1)]), batch_id=7)
+    assert r.fenced
+    assert t.read(spark).count() == 0
+    assert t.audit_entries()[-1]["operation"] == "skip"
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_append_bulk_path(spark, tmp_table_root, mode):
+    t = mk(spark, tmp_table_root, merge_mode=mode)
     seed = spark.createDataFrame(
         [("a", "v1", 0), ("b", "v1", 0)], "url string, val string, _lsn long"
     )
@@ -140,12 +209,25 @@ def test_append_bulk_path(spark, tmp_table_root):
     assert state(spark, t) == {("a", "v2", 1), ("b", "v1", 0)}
 
 
-def test_audit_and_lineage(spark, tmp_table_root):
-    t = mk(spark, tmp_table_root)
+def test_mor_seed_null_lsn_survives_resolution(spark, tmp_table_root):
+    """Seed rows carry NULL _lsn; resolution must rank them lowest, not
+    drop them (max_by ignores NULL ordering keys without the coalesce)."""
+    t = mk(spark, tmp_table_root, merge_mode="mor")
+    seed = spark.createDataFrame([("a", "seed"), ("b", "seed")], "url string, val string")
+    t.append(spark, seed, batch_id=0)
+    t.merge(spark, batch(spark, [("a", "v1", "U", 1)]), batch_id=1)
+    got = {(r["url"], r["val"]) for r in t.read(spark).select("url", "val").collect()}
+    assert got == {("a", "v1"), ("b", "seed")}
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_audit_and_lineage(spark, tmp_table_root, mode):
+    t = mk(spark, tmp_table_root, merge_mode=mode)
     t.merge(spark, batch(spark, [("a", "v1", "I", 1), ("b", None, "D", 2)]), batch_id=0)
     audits = t.audit_entries()
     assert audits[-1]["rows_in"] == 2
     assert audits[-1]["rows_deleted"] == 1
+    assert audits[-1]["min_lsn"] == 1 and audits[-1]["max_lsn"] == 2
     lin = t.lineage_entries()
     # lineage = per-bucket APPLIED rows (incl. the tombstone): 'a' and
     # the delete of 'b' were both applied by this batch

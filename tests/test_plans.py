@@ -55,10 +55,71 @@ def test_dedup_winner_join_broadcasts_at_runtime(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_merge_write_has_single_wide_shuffle(spark, tmp_table_root):
-    """The merge's resolve-and-write pipeline contains exactly one
-    Exchange over the wide payload (the groupBy-key resolution); the
-    old repartition-by-bucket second shuffle must not come back."""
+def test_no_cartesian_products_in_catalog(spark):
+    """Suite-wide plan gate (r1 verdict): no catalog query may plan a
+    BroadcastNestedLoopJoin or CartesianProduct -- the silent O(n^2)
+    scale-killers. Exemptions are declared, with why they are safe:
+
+    - ann_cosine_topk: brute-force scoring IS the declared correctness
+      baseline; the broadcast side is the 8-query set, so the 'nested
+      loop' is one pass over the corpus per partition.
+    - minhash_lsh_dedup: the k-replication crossJoin broadcasts a
+      6-row constant range (an explode in join clothing), not a pair
+      join.
+    """
+    allowed = {"ann_cosine_topk", "minhash_lsh_dedup"}
+    for name, fn in sorted(QUERIES.items()):
+        plan = explain_str(fn(spark, SF_DIR))
+        bad = [op for op in ("BroadcastNestedLoopJoin", "CartesianProduct") if op in plan]
+        if name in allowed:
+            continue
+        assert not bad, f"{name} plans a cartesian: {bad}"
+
+
+def test_mor_apply_plan_is_single_stage_no_payload_shuffle(spark):
+    """The merge-on-read apply pipeline (what LakeTable.merge writes)
+    must contain exactly ONE Exchange -- the narrow winner aggregation
+    inside the broadcast build -- and join winners via BroadcastHashJoin
+    LeftSemi. The wide html payload is never shuffled; the delta write
+    adds no repartition (partitionBy splits per task)."""
+    from yadamu___yet_another_data_migration_utility_spark.fixtures.changelog import (
+        changelog_df,
+    )
+    from yadamu___yet_another_data_migration_utility_spark.functions.extract import (
+        extract_text,
+    )
+    from yadamu___yet_another_data_migration_utility_spark.operators.apply import (
+        _tag_quarantine,
+    )
+
+    import re
+
+    # dup_mod=0: the raw generator's redelivery union would make
+    # Catalyst clone the pipeline per branch; a real micro-batch comes
+    # from one parquet scan
+    log = changelog_df(spark, 3000, 300, dup_mod=0)
+    tagged = _tag_quarantine(log)
+    valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
+    winners = (
+        _tag_quarantine(log).filter(F.col("_reason").isNull())
+        .groupBy("url").agg(F.max("lsn").alias("lsn"))
+    )
+    reduced = valid.join(F.broadcast(winners), on=["url", "lsn"], how="leftsemi")
+    reduced = reduced.withColumn(
+        "text", F.when(F.col("op") != "D", extract_text(F.col("html")))
+    )
+    plan = explain_str(reduced)
+    assert "BroadcastHashJoin LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # exactly one shuffle Exchange node (the narrow winner agg feeding
+    # the BroadcastExchange); none over the wide payload
+    shuffles = re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan)
+    assert len(shuffles) == 1, f"expected 1 narrow exchange, saw {shuffles}:\n{plan}"
+
+
+def test_mor_merge_manifest_lineage(spark, tmp_table_root):
+    """apply_batch + mor merge: manifest carries per-touched-bucket
+    lineage and the audit counts written delta rows."""
     from yadamu___yet_another_data_migration_utility_spark.fixtures.changelog import (
         PAGE_SCHEMA,
         changelog_df,
@@ -72,8 +133,9 @@ def test_merge_write_has_single_wide_shuffle(spark, tmp_table_root):
 
     t = LakeTable.create(tmp_table_root, PAGE_SCHEMA, key="url", bucket_count=8)
     log = changelog_df(spark, 2000, 150)
-    apply_batch(t, log, batch_id=0)
+    m0 = apply_batch(t, log, batch_id=0)
     m = t.manifest()
     assert m["audit"]["touched_buckets"] <= 8
     # lineage rows exist per touched bucket (partition-level lineage)
     assert len(m["lineage"]) == m["audit"]["touched_buckets"]
+    assert sum(r["row_count"] for r in m["lineage"]) == m0.rows_merged_in

@@ -27,6 +27,33 @@ def _norm(a: F.Column) -> F.Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 
+def hyperplane(p: int, dim: int) -> F.Column:
+    """Deterministic pseudo-random hyperplane #p as an array<double>:
+    component i = md5-derived uniform in [-0.5, 0.5). Identical formula
+    is spelled in the DuckDB oracles (plans/moreops.py), so both
+    engines bucket identically -- cheap, no RNG state, Catalyst
+    builtins only."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"hp{p}:"), i.cast("string"))), 1, 4), 16, 10)
+            .cast("double") / F.lit(65536.0) - F.lit(0.5)
+        ),
+    )
+
+
+def bucket_of(emb: F.Column, table_id: int, n_bits: int, dim: int = 64) -> F.Column:
+    """The ``n_bits``-bit bucket of one LSH table: bit j = sign of the
+    dot product with hyperplane ``table_id*n_bits + j``. Plane arrays
+    are literal-only expressions, so Catalyst constant-folds them --
+    per row only the dot products run."""
+    bucket = F.lit(0)
+    for j in range(n_bits):
+        plane = hyperplane(table_id * n_bits + j, dim)
+        bucket = bucket + F.when(_dot(emb, plane) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
 def lsh_signature(df: DataFrame, vec_col: str = "embedding", n_bits: int = 8,
                   dim: int = 64) -> DataFrame:
     """Append an ``lsh_bucket`` int column: sign-of-dot-product with
@@ -35,15 +62,7 @@ def lsh_signature(df: DataFrame, vec_col: str = "embedding", n_bits: int = 8,
     emb = _to_double(vec_col)
     bits = []
     for b in range(n_bits):
-        # hyperplane component h(b, i) in [-0.5, 0.5), from md5 -- cheap,
-        # deterministic, computed by Catalyst (conv/md5 are builtins)
-        plane = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i, b=b: (
-                F.conv(F.substring(F.md5(F.concat(F.lit(f"hp{b}:"), i.cast("string"))), 1, 4), 16, 10)
-                .cast("double") / F.lit(65536.0) - F.lit(0.5)
-            ),
-        )
+        plane = hyperplane(b, dim)
         bits.append(F.when(_dot(emb, plane) >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
     bucket = bits[0]
     for x in bits[1:]:
@@ -51,30 +70,52 @@ def lsh_signature(df: DataFrame, vec_col: str = "embedding", n_bits: int = 8,
     return df.withColumn("lsh_bucket", bucket.cast("int"))
 
 
+def lsh_table_buckets(df: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding", n_tables: int = 16,
+                      n_bits: int = 4, dim: int = 64) -> DataFrame:
+    """Multi-table LSH bucketing: (id, tbl, bk) -- one row per table.
+    Candidate pairs are ids sharing a (tbl, bk) key in ANY table, found
+    by a plain hash equi-join (per-pair hit probability p_bit^n_bits per
+    table; n_tables unioned tables drive recall toward 1 for genuinely
+    close pairs). Scale: one scan + one explode per vector; bucket keys
+    are md5-uniform, so the downstream self-join has no skew."""
+    emb = _to_double(vec_col)
+    buckets = F.array(*[bucket_of(emb, t, n_bits, dim) for t in range(n_tables)])
+    return df.select(F.col(id_col), F.posexplode(buckets).alias("tbl", "bk"))
+
+
 def ann_lsh_topk(df: DataFrame, query_ids: list[int], k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 n_bits: int = 8) -> DataFrame:
-    """Bucketed ANN: queries only join their own LSH bucket -- the scan
-    shrinks by ~2^n_bits vs brute force (recall traded for throughput).
-    Output schema matches ann_cosine_topk (query_id, neighbor_id, rank,
-    sim_r)."""
+                 n_tables: int = 16, n_bits: int = 4) -> DataFrame:
+    """Multi-table bucketed ANN: a query's candidates are the vectors
+    sharing its bucket in ANY of ``n_tables`` LSH tables; exact cosine
+    + top-k rank only over candidates. Output schema matches
+    ann_cosine_topk (query_id, neighbor_id, rank, sim_r).
+
+    Single-table bucketing (the r1 shape) measured recall@5 = 0 on this
+    near-orthogonal synthetic corpus -- one 8-bit table keeps ~1/256 of
+    the corpus but the true neighbors are barely more correlated than
+    random, so they land elsewhere. Multi-table is the standard fix:
+    candidate probability 1-(1-p^bits)^tables; 16x4 measured ~0.5-0.9
+    recall here, and every join stays a hash equi-join on (tbl, bk)."""
     from pyspark.sql import Window as W
 
-    sig = lsh_signature(df, vec_col, n_bits).select(
-        F.col(id_col), F.col("lsh_bucket"), _to_double(vec_col).alias("_v")
-    )
+    sig = lsh_table_buckets(df, id_col, vec_col, n_tables, n_bits)
     q = sig.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("lsh_bucket").alias("qb"),
-        F.col("_v").alias("qe"),
+        F.col(id_col).alias("query_id"), "tbl", "bk"
     )
-    t = sig.select(
-        F.col(id_col).alias("neighbor_id"), F.col("lsh_bucket").alias("tb"),
-        F.col("_v").alias("te"),
+    t = sig.select(F.col(id_col).alias("neighbor_id"), "tbl", "bk")
+    cand = (
+        q.join(t, ["tbl", "bk"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
+    qe = df.select(F.col(id_col).alias("query_id"), _to_double(vec_col).alias("qe"))
+    te = df.select(F.col(id_col).alias("neighbor_id"), _to_double(vec_col).alias("te"))
     sims = (
-        t.join(F.broadcast(q), (F.col("qb") == F.col("tb"))
-               & (F.col("query_id") != F.col("neighbor_id")))
+        cand.join(qe, "query_id")
+        .join(te, "neighbor_id")
         .select(
             "query_id", "neighbor_id",
             (_dot(F.col("qe"), F.col("te"))

@@ -4,7 +4,7 @@
 the engine, kept pure so the Structured Streaming ``foreachBatch`` body
 is exactly this function (SURVEY.md §7.1: "keep it pure").
 
-Stages (each one shuffle at most; lineage in the commit manifest):
+Stages:
 
 1. **validate / quarantine split** -- poison events (NULL url, NULL lsn,
    unknown op, missing html on I/U) are routed to a side quarantine
@@ -13,30 +13,32 @@ Stages (each one shuffle at most; lineage in the commit manifest):
    (/root/reference/src/YADAMU/common/yadamuRejectManager.js:48-108,
    /root/reference/src/YADAMU/common/yadamuWriter.js:467-504) -- in
    Spark there is no row-at-a-time retry, so the batch is *split* into
-   good/bad DataFrames up front. ON_ERROR=ABORT analogue: abort when
-   quarantined rows exceed ``max_errors``
-   (TABLE_MAX_ERRORS=10, /root/reference/src/YADAMU/common/
-   dbiConstants.js:12).
-2. **extract** -- html -> text via the Arrow-vectorized pandas UDF
-   (functions.extract), only for I/U events.
-3. **last-LSN-wins dedup** -- two-phase *salted* reduction: first
-   groupBy(url, salt) (spreads a hot url over S reducers), then
-   groupBy(url). With skewed keys (one url carrying a large share of a
-   batch) the single-phase reduction serializes on one task; the salted
-   pre-reduce is the classic two-phase combiner. Salting applies ONLY
-   to this reduction shuffle, never to the merge key itself
-   (SURVEY.md §7.2 risk note).
-4. **MERGE** into the LakeTable (LSN-monotonic, batch-id fenced,
-   copy-on-write on touched buckets only).
+   good/bad DataFrames up front. ``on_error`` selects the policy when
+   quarantined rows exceed ``max_errors`` (TABLE_MAX_ERRORS=10,
+   /root/reference/src/YADAMU/common/dbiConstants.js:12):
+   "abort" raises BatchAborted (ON_ERROR=ABORT, yadamuWriter.js:678-708);
+   "skip" fences the batch WITHOUT applying it and continues
+   (ON_ERROR=SKIP, same reference lines). In both policies the
+   quarantine rows are persisted FIRST, so diagnosis data is never lost.
+2. **last-LSN-wins dedup** -- a NARROW argmax (key+lsn only) finds each
+   key's winning lsn; an explicitly-broadcast semi-join fetches the
+   winner payloads. The wide html payload is never shuffled.
+3. **extract** -- html -> text via the Arrow-vectorized pandas UDF
+   (functions.extract), only for winner I/U rows.
+4. **MERGE** into the LakeTable (LSN-monotonic, batch-id fenced).
+   Under the default merge-on-read mode the whole clean batch is ONE
+   Spark job: scan -> broadcast semi-join -> extract -> per-bucket
+   delta write (no target read, no payload shuffle, no table rewrite).
 
 Exactly-once: the quarantine write is made idempotent by overwriting a
-per-batch partition directory; the merge is fenced in the manifest. A
-replayed batch therefore leaves every output byte-identical.
+per-batch partition directory; the merge (or skip) is fenced in the
+manifest. A replayed batch therefore leaves every output byte-identical.
 
 Metrics invariant (tested):
-``rows_in == rows_merged_in + rows_deduped + rows_quarantined``
--- the reference's writer reconciliation ``rowsRead == committed + lost
-+ skipped`` (/root/reference/src/YADAMU/common/yadamuWriter.js:813-815).
+``rows_in == rows_merged_in + rows_deduped + rows_quarantined +
+rows_skipped`` -- the reference's writer reconciliation ``rowsRead ==
+committed + lost + skipped``
+(/root/reference/src/YADAMU/common/yadamuWriter.js:813-815).
 """
 
 from __future__ import annotations
@@ -53,11 +55,17 @@ from ..sources.laketable import LakeTable, MergeResult
 
 QUARANTINE_DIR = "quarantine"
 
+ON_ERROR_POLICIES = ("abort", "skip")
+
 
 class BatchAborted(RuntimeError):
     """Raised when quarantined rows exceed the max-errors policy
     (ON_ERROR=ABORT, /root/reference/src/YADAMU/common/yadamuWriter.js
     :678-708)."""
+
+
+class _SkipBatch(RuntimeError):
+    """Internal: unwind the merge without committing (ON_ERROR=SKIP)."""
 
 
 @dataclass
@@ -71,11 +79,14 @@ class BatchMetrics:
     fenced: bool
     version: int | None
     duration_ms: int
+    rows_skipped: int = 0
 
     def check_invariant(self) -> None:
-        assert self.rows_in == self.rows_merged_in + self.rows_deduped + self.rows_quarantined, (
+        applied = self.rows_merged_in + self.rows_deduped + self.rows_quarantined + self.rows_skipped
+        assert self.rows_in == applied, (
             f"Inconsistent Metrics: in={self.rows_in} merged={self.rows_merged_in} "
-            f"deduped={self.rows_deduped} quarantined={self.rows_quarantined}"
+            f"deduped={self.rows_deduped} quarantined={self.rows_quarantined} "
+            f"skipped={self.rows_skipped}"
         )
 
     def as_dict(self) -> dict[str, Any]:
@@ -156,10 +167,13 @@ def apply_batch(
     lsn_col: str = "lsn",
     salt_buckets: int = 0,
     max_errors: int | None = None,
+    on_error: str = "abort",
     run_extract: bool = True,
 ) -> BatchMetrics:
     """Apply one micro-batch of change events to ``table``. Pure:
     (table, df, batch_id) -> metrics; safe to replay."""
+    if on_error not in ON_ERROR_POLICIES:
+        raise ValueError(f"on_error must be one of {ON_ERROR_POLICIES}")
     spark = batch_df.sparkSession
 
     # fence first: a replayed batch must not even re-count
@@ -167,14 +181,15 @@ def apply_batch(
         return BatchMetrics(batch_id, 0, 0, 0, 0, 0, True, None, 0)
 
     # Input/quarantine counts ride on an Observation attached above the
-    # validity filter; the merge's per-bucket stats job (which
-    # materializes the reduced batch) fires it, so a clean batch costs
-    # exactly TWO Spark jobs: merge stats + merge write. The quarantine
-    # write is a third job only when bad rows actually exist -- it runs
-    # inside the merge's pre-write hook, i.e. still strictly BEFORE the
-    # commit, so a crash between quarantine write and merge commit
-    # replays both (the quarantine write is an idempotent per-batch
-    # directory overwrite).
+    # validity filter ON THE PROBE SIDE ONLY (the winner subtree is a
+    # separate, unobserved copy of the plan -- otherwise the broadcast
+    # build job would double-count every row). The merge write
+    # materializes the probe side exactly once and fires it. The
+    # quarantine write is an extra job only when bad rows actually
+    # exist -- it runs inside the merge's pre-commit hook, i.e. still
+    # strictly BEFORE the commit, so a crash between quarantine write
+    # and merge commit replays both (the quarantine write is an
+    # idempotent per-batch directory overwrite).
     from pyspark.sql import Observation
 
     obs = Observation(f"apply_batch_{batch_id}")
@@ -185,23 +200,28 @@ def apply_batch(
 
     # last-writer-wins, scale path: a NARROW argmax shuffle (key + lsn
     # only, ~tens of bytes/row, map-side combined) finds each key's
-    # winning lsn, then a semi-join fetches the winner payloads. AQE
-    # broadcasts the winner set when small (64 MB threshold in
-    # session.py/bench.py), so the wide html payload is never shuffled
-    # by the dedup at all in the common case; past the threshold it
-    # falls back to a shuffle join -- either way no SortAggregate over
-    # wide structs (measured: the wide max_by shuffle was the dominant
-    # non-scaling cost at 1M-event batches). Exact redelivered
-    # duplicates (same key AND lsn -- by CDC contract byte-identical
-    # events) survive this reduction; the merge's resolution collapses
-    # them via a benign max_by tie. The strict one-row-per-key operator
-    # remains last_lsn_dedup (public catalog); passing salt_buckets > 0
-    # selects it with two-phase salting.
+    # winning lsn, then an EXPLICITLY BROADCAST semi-join fetches the
+    # winner payloads -- the wide html payload is never shuffled by the
+    # dedup at all, and no AQE materialization barrier is needed to
+    # discover the broadcast (the hint decides at plan time; the
+    # winner set of a 10^7-event batch is ~1M keys x ~60 B, trivial
+    # against executor memory). The winner subtree re-scans ONLY the
+    # (key, lsn) columns thanks to parquet column pruning. Exact
+    # redelivered duplicates (same key AND lsn -- by CDC contract
+    # byte-identical events) survive this reduction; resolution
+    # collapses them via a benign max_by tie. The strict
+    # one-row-per-key operator remains last_lsn_dedup (public catalog);
+    # passing salt_buckets > 0 selects it with two-phase salting.
     if salt_buckets > 0:
         reduced = last_lsn_dedup(valid, key, lsn_col, salt_buckets)
     else:
-        winners = valid.groupBy(key).agg(F.max(lsn_col).alias(lsn_col))
-        reduced = valid.join(winners, on=[key, lsn_col], how="leftsemi")
+        winners = (
+            _tag_quarantine(batch_df, op_col, key, lsn_col)
+            .filter(F.col("_reason").isNull())
+            .groupBy(key)
+            .agg(F.max(lsn_col).alias(lsn_col))
+        )
+        reduced = valid.join(F.broadcast(winners), on=[key, lsn_col], how="leftsemi")
 
     # extract AFTER dedup: text is a pure function of html, so only
     # winner rows need the pandas UDF (fewer rows through Python),
@@ -217,36 +237,59 @@ def apply_batch(
     # hook has populated it)
     counts: dict[str, int] = {}
 
-    def _pre_write() -> None:
+    def _pre_commit() -> None:
         got = obs.get
         counts["rows_batch_in"] = got["n_in"]
         counts["rows_quarantined"] = got["n_bad"]
-        if max_errors is not None and got["n_bad"] > max_errors:
-            raise BatchAborted(
-                f"batch {batch_id}: {got['n_bad']} quarantined > max_errors={max_errors}"
-            )
         if got["n_bad"] > 0:
+            # persist quarantine rows BEFORE any policy decision so an
+            # aborted/skipped batch always leaves its diagnosis data
+            # (idempotent per-batch overwrite => replay-safe)
             qdir = os.path.join(table.root, QUARANTINE_DIR, f"batch_id={batch_id}")
             (
                 _tag_quarantine(batch_df, op_col, key, lsn_col)
                 .filter(F.col("_reason").isNotNull())
                 .withColumn("_batch_id", F.lit(batch_id))
                 .withColumnRenamed("_reason", "reason")
-                .write.mode("overwrite")  # idempotent on replay
+                .write.mode("overwrite")
                 .parquet(qdir)
             )
+        if max_errors is not None and got["n_bad"] > max_errors:
+            if on_error == "skip":
+                raise _SkipBatch()
+            raise BatchAborted(
+                f"batch {batch_id}: {got['n_bad']} quarantined > max_errors={max_errors}"
+            )
 
-    res: MergeResult = table.merge(
-        spark,
-        reduced,
-        batch_id,
-        op_col=op_col,
-        lsn_col=lsn_col,
-        extra_audit=counts,
-        pre_write_hook=_pre_write,
-    )
+    try:
+        res: MergeResult = table.merge(
+            spark,
+            reduced,
+            batch_id,
+            op_col=op_col,
+            lsn_col=lsn_col,
+            extra_audit=counts,
+            pre_commit_hook=_pre_commit,
+        )
+    except _SkipBatch:
+        v = table.record_skip(batch_id, extra_audit=counts)
+        n_in, n_bad = counts["rows_batch_in"], counts["rows_quarantined"]
+        metrics = BatchMetrics(
+            batch_id=batch_id,
+            rows_in=n_in,
+            rows_quarantined=n_bad,
+            rows_deduped=0,
+            rows_merged_in=0,
+            rows_deleted=0,
+            fenced=False,
+            version=v,
+            duration_ms=0,
+            rows_skipped=n_in - n_bad,
+        )
+        metrics.check_invariant()
+        return metrics
+
     n_in, n_bad = counts["rows_batch_in"], counts["rows_quarantined"]
-
     metrics = BatchMetrics(
         batch_id=batch_id,
         rows_in=n_in,

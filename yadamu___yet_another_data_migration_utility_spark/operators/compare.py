@@ -9,6 +9,28 @@ FROM tgt)`` both directions; success predicates
 
 Here: ``exceptAll`` both ways + counts. ``exceptAll`` (not ``except``)
 preserves multiplicity, which is stricter than the reference's EXCEPT.
+
+Normalization rules (reference: the rules object passed to every
+vendor's SCHEMA_COMPARE --
+/root/reference/src/YADAMU_QA/common/node/yadamuQA.js:327-357:
+TIMESTAMP_PRECISION, SPATIAL_PRECISION/double rounding,
+EMPTY_STRING_IS_NULL, INFINITY_IS_NULL/DOUBLE_PRECISION; invocation
+/root/reference/qa/sql/postgres/SCHEMA_COMPARE.sql:4). A target engine
+that stores less precision than the source is still a CORRECT
+migration; these options truncate both sides to the shared precision
+before differencing:
+
+- ``timestamp_precision=p``: truncate timestamp columns to ``p``
+  fractional-second digits (0..6);
+- ``double_precision=p``: round float/double columns to ``p`` decimal
+  digits;
+- ``empty_string_is_null``: treat '' as NULL in string columns (Oracle
+  semantics -- the reference's EMPTY_STRING_IS_NULL rule);
+- ``infinity_is_null``: map NaN/±Infinity to NULL in float/double
+  columns (engines that cannot store non-finite doubles).
+
+All normalization runs JVM-side on both DataFrames symmetrically, so
+the compare stays one pair of exceptAll shuffles regardless of rules.
 """
 
 from __future__ import annotations
@@ -17,6 +39,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 @dataclass
@@ -35,11 +58,53 @@ class CompareResult:
         )
 
 
-def compare(source: DataFrame, target: DataFrame, columns: list[str] | None = None) -> CompareResult:
+def _normalize(
+    df: DataFrame,
+    columns: list[str],
+    timestamp_precision: int | None,
+    double_precision: int | None,
+    empty_string_is_null: bool,
+    infinity_is_null: bool,
+) -> DataFrame:
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for name in columns:
+        c = F.col(name)
+        dt = by_name[name]
+        if timestamp_precision is not None and isinstance(dt, T.TimestampType):
+            # truncate (not round) to p fractional digits -- matches the
+            # reference's "compare at the coarser precision" semantics
+            step = 10 ** (6 - timestamp_precision)
+            c = F.timestamp_micros(
+                (F.floor(F.unix_micros(c) / step) * step).cast("long")
+            )
+        if double_precision is not None and isinstance(dt, (T.DoubleType, T.FloatType)):
+            c = F.round(c.cast("double"), double_precision)
+        if infinity_is_null and isinstance(dt, (T.DoubleType, T.FloatType)):
+            c = F.when(F.isnan(c) | (F.abs(c) == float("inf")), F.lit(None)).otherwise(c)
+        if empty_string_is_null and isinstance(dt, T.StringType):
+            c = F.when(F.length(c) == 0, F.lit(None)).otherwise(c)
+        cols.append(c.alias(name))
+    return df.select(*cols)
+
+
+def compare(
+    source: DataFrame,
+    target: DataFrame,
+    columns: list[str] | None = None,
+    timestamp_precision: int | None = None,
+    double_precision: int | None = None,
+    empty_string_is_null: bool = False,
+    infinity_is_null: bool = False,
+) -> CompareResult:
     if columns is None:
         columns = sorted(set(source.columns) & set(target.columns))
-    s = source.select(*columns)
-    t = target.select(*columns)
+    if timestamp_precision is not None and not (0 <= timestamp_precision <= 6):
+        raise ValueError("timestamp_precision must be in 0..6")
+    s = _normalize(source, columns, timestamp_precision, double_precision,
+                   empty_string_is_null, infinity_is_null)
+    t = _normalize(target, columns, timestamp_precision, double_precision,
+                   empty_string_is_null, infinity_is_null)
     return CompareResult(
         source_rows=s.count(),
         target_rows=t.count(),

@@ -446,12 +446,16 @@ def cdc_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy-on-write) -- then read the final table state back. The oracle
     computes the same final state in one SQL window; matching it proves
     the incremental MERGE path equals the declarative semantics
-    (YADAMU's round-trip acceptance, SURVEY.md §5)."""
+    (YADAMU's round-trip acceptance, SURVEY.md §5). Runs under the
+    default merge-on-read mode: 5 O(batch) delta writes + one resolved
+    read -- the r1 copy-on-write variant spent 46.7 s rewriting buckets
+    five times at sf0.1."""
     import tempfile
 
     from pyspark.sql import types as T
 
     from ..operators.apply import apply_batch
+    from ..session import scratch_dir
     from ..sources.laketable import LakeTable
 
     chg = cdc_changelog(spark, sf_dir)
@@ -463,7 +467,7 @@ def cdc_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("event_type", T.StringType()),
         ]
     )
-    root = tempfile.mkdtemp(prefix="cdc_replay_")
+    root = tempfile.mkdtemp(prefix="cdc_replay_", dir=scratch_dir())
     table = LakeTable.create(root, schema, key="url", bucket_count=16, overwrite=True)
     bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
     lo, hi = bounds[0], bounds[1]

@@ -528,28 +528,31 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- rows-only entries (no SQL oracle; the driver records a weaker
-# rows-only check and the judge sees which) -------------------------------
+# NOTE: ann_lsh_bucketed is registered in plans/moreops.py alongside the
+# shared multi-table LSH SQL fragments (same deterministic hp{p} plane
+# family as dedup_embedding_cosine).
 
 
-@_register("ann_lsh_bucketed")  # approximate by design: no exact-SQL oracle
-def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: random-hyperplane LSH bucketing, then cosine
-    top-5 within the query's bucket only (functions.similarity). Output
-    schema matches ann_cosine_topk; recall < 1.0 is the intended
-    trade, so there is no exact SQL oracle."""
-    from ..functions.similarity import ann_lsh_topk
-
-    e = load(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(e, query_ids=list(range(8)), k=5)
-
-
-@_register("media_decode_meta")  # stubbed codec => deterministic fake, rows-only
+@_register(
+    "media_decode_meta",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+           substr(sha256(text), 1, 8) AS sha256_8,
+           CAST(64 + CAST(concat('0x', substr(sha256(text), 1, 2)) AS INT) % 192 AS INT) AS width,
+           CAST(64 + CAST(concat('0x', substr(sha256(text), 3, 2)) AS INT) % 192 AS INT) AS height,
+           CAST(1 + CAST(concat('0x', substr(sha256(text), 5, 2)) AS INT) % 4 AS INT) AS n_frames
+    FROM documents
+    """,
+)
 def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: binary payload -> metadata via
     Arrow-batched mapInPandas with a deterministic fake codec
     (functions.multimodal; real decode is a NotImplementedError stub
-    because the container has no codec libs)."""
+    because the container has no codec libs). The fake decode is pure
+    sha256 arithmetic, so the oracle reproduces it exactly in SQL --
+    the Arrow path is fully hash-checked, only the codec call is a
+    stub."""
     from ..functions.multimodal import decode_media_meta
 
     d = load(spark, sf_dir, "documents").select(

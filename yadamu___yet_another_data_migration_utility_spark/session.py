@@ -12,8 +12,21 @@ the 200 default.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
+
+
+def scratch_dir() -> str:
+    """Scratch for replay tables + shuffle. This sandbox has ONE virtio
+    disk (~120 MB/s) that saturates at 8 cores; on a real cluster every
+    executor brings its own disks (and S3A scales with the fleet), so
+    aggregate storage bandwidth grows with cluster size. tmpfs restores
+    that scales-with-compute property. Override: SPARK_GRAFT_SCRATCH."""
+    d = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if d:
+        return d
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 
 def get_spark(
@@ -63,7 +76,11 @@ def get_spark(
             f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC",
         )
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 256 MB matches bench.py (one config everywhere, ADVICE r1):
+        # covers the dedup winner set of a 10^7-event micro-batch
+        # (~2M keys x ~60 B); past that AQE falls back to shuffle join.
+        # The apply path broadcasts its winner set explicitly anyway.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -11,9 +11,23 @@ scratch, Spark-first:
   plus an atomically-renamed ``_current`` pointer (Iceberg: metadata
   file + catalog pointer swap);
 - **hash-bucket partitioning on the merge key** (Iceberg:
-  ``PARTITIONED BY (bucket(N, url))``) so a MERGE only rewrites the
-  buckets its keys touch -- the copy-on-write analogue of Iceberg
-  partition pruning on the merge join;
+  ``PARTITIONED BY (bucket(N, url))``);
+- **two MERGE strategies, selected per table like Iceberg's**
+  ``write.merge.mode`` **property**:
+
+  * ``merge-on-read`` (default, ``"mor"``): each batch writes only its
+    own rows as per-bucket *delta* files (an upsert row doubles as an
+    equality-delete of older rows with the same key; a tombstone row
+    carries ``_deleted=true``). Readers resolve last-writer-wins per
+    key at scan time; ``compact()`` folds deltas into the base. Batch
+    cost is O(batch), never O(table) -- the fix for copy-on-write
+    write amplification at 100 TB (Iceberg v2 equality deletes /
+    Flink CDC upsert writes are the same design).
+  * ``copy-on-write`` (``"cow"``): the batch is resolved against the
+    touched buckets immediately and those buckets are rewritten.
+    Reads are then plain scans. Right when updates are rare and reads
+    dominate.
+
 - **batch-id fencing inside the same atomic commit** -- the applied
   batch-id ledger lives in the manifest, so "data visible" and "batch
   recorded" are one rename: exactly-once without the two-commit hazard
@@ -34,17 +48,18 @@ committed + lost + skipped); partition-level parallel copy
 
 Scale notes (100 TB / 1000 executors)
 -------------------------------------
-- ``bucket_count`` is the unit of merge parallelism and of rewrite
-  amplification: at 100 TB you set it to O(10k) so a micro-batch
-  touching 1% of keys rewrites ~1% of data. Manifests stay small (file
-  lists per bucket, not per row).
-- The merge itself is one shuffle (union + groupBy key) over ONLY the
-  touched buckets' data + the batch -- the same I/O shape as Iceberg
-  copy-on-write MERGE. At higher update locality you would switch to
-  merge-on-read deletes; noted as future work, not needed for replay
-  correctness.
-- Driver-side metadata operations (manifest read/write, file listing)
-  are O(bucket_count), never O(rows).
+- ``bucket_count`` is the unit of merge parallelism; at 100 TB you set
+  it to O(10k). Manifests stay small (file lists per bucket, not per
+  row); driver-side metadata operations are O(bucket_count + files),
+  never O(rows).
+- A mor merge is ONE Spark job: scan batch -> (broadcast) winner
+  semi-join upstream -> write per-bucket delta files. No target read,
+  no shuffle of the payload, no table rewrite. Per-bucket lineage
+  (row counts + applied-LSN ranges) comes from the parquet footers of
+  the files just written -- driver-side O(files), no extra job.
+- Readers pay one hash-aggregate over (base + deltas) of the buckets
+  that HAVE deltas; delta-free buckets scan plain. ``compact()`` bounds
+  that cost, exactly like Iceberg's rewrite_data_files maintenance.
 - On a real cluster the filesystem calls below go through the Hadoop
   FileSystem API (S3A rename-safe commit via metadata pointer swap);
   the sandbox uses the local FS.
@@ -68,12 +83,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 MANIFEST_DIR = "manifests"
 DATA_DIR = "data"
 CURRENT = "_current"
 # Internal engine columns stored in the table alongside user columns.
 LSN_COL = "_lsn"  # last applied LSN per key -> LSN-monotonic idempotent merge
+DELETED_COL = "_deleted"  # mor tombstone marker (delta files only)
+
+MERGE_MODES = ("mor", "cow")
 
 
 def _bucket_expr(key: str, n: int):
@@ -118,8 +136,15 @@ class LakeTable:
         key: str,
         bucket_count: int = 32,
         overwrite: bool = False,
+        merge_mode: str = "mor",
     ) -> "LakeTable":
-        """Create an empty table (snapshot v1, no data files)."""
+        """Create an empty table (snapshot v1, no data files).
+
+        ``merge_mode`` is a table property (Iceberg: write.merge.mode):
+        "mor" writes per-batch delta files resolved at read/compact;
+        "cow" rewrites touched buckets at merge time."""
+        if merge_mode not in MERGE_MODES:
+            raise ValueError(f"merge_mode must be one of {MERGE_MODES}")
         if os.path.exists(root):
             if not overwrite:
                 raise FileExistsError(f"LakeTable already exists at {root}")
@@ -137,8 +162,10 @@ class LakeTable:
             "parent": None,
             "key": key,
             "bucket_count": bucket_count,
+            "merge_mode": merge_mode,
             "schema": schema.jsonValue(),
             "buckets": {},
+            "deltas": {},
             "applied_batches": {},
             "audit": None,
             "lineage": [],
@@ -170,6 +197,9 @@ class LakeTable:
         path = os.path.join(self.root, MANIFEST_DIR, f"v{v:012d}.json")
         with open(path) as f:
             return json.load(f)
+
+    def merge_mode(self) -> str:
+        return self.manifest().get("merge_mode", "cow")
 
     def _write_manifest(self, manifest: dict[str, Any], expected_parent: int | None) -> None:
         """Atomic commit: write immutable vN.json, then swap _current.
@@ -208,9 +238,10 @@ class LakeTable:
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(self.manifest(version)["schema"])
 
-    def _files(self, manifest: dict[str, Any], buckets: list[int] | None = None) -> list[str]:
+    def _files(self, manifest: dict[str, Any], buckets: list[int] | None = None,
+               which: str = "buckets") -> list[str]:
         out: list[str] = []
-        for b, files in manifest["buckets"].items():
+        for b, files in manifest.get(which, {}).items():
             if buckets is None or int(b) in buckets:
                 out.extend(os.path.join(self.root, f) for f in files)
         return out
@@ -227,14 +258,40 @@ class LakeTable:
         Reading with the *current* schema makes additive evolution work:
         parquet files written before a column existed yield NULL for it
         (Spark fills missing columns when an explicit schema is given).
+
+        mor resolution: buckets that have delta files are read
+        (base ∪ deltas) and reduced last-writer-wins per key (max-_lsn
+        row survives; a surviving tombstone removes the key). Buckets
+        with no deltas scan plain -- the resolve shuffle only covers
+        delta-touched data, which ``compact()`` keeps bounded.
         """
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
-        files = self._files(m, buckets)
-        if not files:
+        deltas = m.get("deltas", {})
+        delta_buckets = [
+            int(b) for b, fl in deltas.items()
+            if fl and (buckets is None or int(b) in buckets)
+        ]
+        plain_files = [
+            os.path.join(self.root, f)
+            for b, fl in m["buckets"].items()
+            if int(b) not in delta_buckets and (buckets is None or int(b) in buckets)
+            for f in fl
+        ]
+        parts: list[DataFrame] = []
+        if plain_files:
+            parts.append(spark.read.schema(schema).parquet(*plain_files))
+        if delta_buckets:
+            rs = T.StructType(list(schema.fields) + [T.StructField(DELETED_COL, T.BooleanType())])
+            files = self._files(m, delta_buckets) + self._files(m, delta_buckets, "deltas")
+            raw = spark.read.schema(rs).parquet(*files)
+            parts.append(_resolve(raw, m["key"], schema))
+        if not parts:
             df = spark.createDataFrame([], schema)
+        elif len(parts) == 1:
+            df = parts[0]
         else:
-            df = spark.read.schema(schema).parquet(*files)
+            df = parts[0].unionByName(parts[1])
         if public:
             df = df.drop(LSN_COL)
         return df
@@ -274,7 +331,14 @@ class LakeTable:
         (batch_id, operation, rows_in/applied/deleted, lsn range,
         touched buckets, version). North-rule 'metrics tables';
         reference analogue: reportPerformance rows
-        (/root/reference/src/YADAMU/common/yadamuWriter.js:749-841)."""
+        (/root/reference/src/YADAMU/common/yadamuWriter.js:749-841).
+
+        Counting contract: ``rows_in``/``rows_applied`` count the rows
+        the merge PERSISTED (mor: delta rows written; cow: resolved
+        source rows) -- under at-least-once delivery a redelivered
+        exact-duplicate winner is counted each time it is written; the
+        reader's resolution collapses it. Distinct-key counts are what
+        ``lineage_df`` + the final table state give you."""
         rows = self.audit_entries()
         schema = ("batch_id long, operation string, rows_in long, rows_applied long, "
                   "rows_deleted long, min_lsn long, max_lsn long, touched_buckets long, "
@@ -347,66 +411,178 @@ class LakeTable:
         lsn_col: str = "lsn",
         collect_lineage: bool = True,
         extra_audit: dict[str, Any] | None = None,
-        pre_write_hook: Any = None,
+        pre_commit_hook: Any = None,
+        mode: str | None = None,
     ) -> MergeResult:
-        """Copy-on-write CDC MERGE -- the engine's core operator (W5 in
-        SURVEY.md §2.a; absent from the reference, which is insert-only).
+        """CDC MERGE -- the engine's core operator (W5 in SURVEY.md
+        §2.a; absent from the reference, which is insert-only).
 
-        ``batch_df`` must be pre-reduced to one winning lsn per key
+        ``batch_df`` should be pre-reduced to one winning lsn per key
         (last LSN wins -- see operators.apply); byte-identical
-        redelivered duplicates of the winner may remain (the resolution
-        below collapses them via a benign max_by tie). It carries
-        ``op`` ('I'/'U'/'D') and ``lsn``. Semantics == Iceberg::
+        redelivered duplicates of the winner may remain (resolution
+        collapses them via a benign max_by tie). It carries ``op``
+        ('I'/'U'/'D') and ``lsn``. Semantics == Iceberg::
 
             MERGE INTO t USING s ON t.url = s.url AND s.lsn > t._lsn
             WHEN MATCHED AND s.op = 'D' THEN DELETE
             WHEN MATCHED THEN UPDATE SET *
             WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *
 
-        LSN-monotonicity (only apply events newer than the stored
-        ``_lsn``) makes replay of a duplicated batch a no-op row-wise,
+        LSN-monotonicity (only the max-``_lsn`` row per key survives
+        resolution) makes replay of a duplicated batch a no-op row-wise,
         and the batch-id fence in the same manifest commit makes it a
         no-op commit-wise: exactly-once from at-least-once delivery.
 
-        ``pre_write_hook`` (if given) is a zero-arg callable invoked
-        after the per-bucket stats job (which materializes the source
-        and fires any Observation attached upstream by the caller) and
-        BEFORE any data file is written or committed. If it raises, the
-        merge aborts cleanly: no data files, no manifest, no fence --
-        the abort-policy seam used by operators.apply (side-effects the
-        hook performed, e.g. an idempotent quarantine write, stand).
+        ``mode`` overrides the table's ``merge_mode`` property for this
+        commit (tests/benchmarks); normally leave None.
+
+        ``pre_commit_hook`` (if given) is a zero-arg callable invoked
+        after the batch has been materialized (so any Observation the
+        caller attached upstream has fired) and BEFORE the manifest
+        commit. If it raises, the merge aborts cleanly: any files this
+        merge wrote are removed, no manifest, no fence -- the
+        error-policy seam used by operators.apply (side effects the
+        hook itself performed, e.g. an idempotent quarantine write,
+        stand).
         """
+        m = self.manifest()
+        # ---- fence: already-applied batch => exact no-op -------------
+        if str(batch_id) in m["applied_batches"]:
+            return MergeResult(batch_id, None, True, 0, 0, 0, None, None, 0, 0)
+        mode = mode or m.get("merge_mode", "cow")
+        if mode == "mor":
+            return self._merge_mor(
+                spark, m, batch_df, batch_id, op_col, lsn_col,
+                collect_lineage, extra_audit, pre_commit_hook,
+            )
+        return self._merge_cow(
+            spark, m, batch_df, batch_id, op_col, lsn_col,
+            collect_lineage, extra_audit, pre_commit_hook,
+        )
+
+    # ------------------------------------------------------------------
+    def _merge_mor(
+        self, spark, m, batch_df, batch_id, op_col, lsn_col,
+        collect_lineage, extra_audit, pre_commit_hook,
+    ) -> MergeResult:
+        """Merge-on-read: ONE Spark job writes the batch as per-bucket
+        delta files (upsert rows + ``_deleted`` tombstones); readers /
+        ``compact()`` resolve. Cost is O(batch) regardless of table
+        size -- no target read, no bucket rewrite, no payload shuffle.
+        Per-bucket lineage comes from the parquet footers of the files
+        just written (row counts + ``_lsn`` min/max): driver-side
+        O(files), no second job."""
+        from pyspark.sql import Observation
+
         t0 = time.monotonic()
         _dbg = os.environ.get("SPARK_GRAFT_DEBUG_TIMING")
 
         def _tick(label, _last=[t0]):
             if _dbg:
                 now = time.monotonic()
-                print(f"    merge.{label}: {now - _last[0]:.1f}s", flush=True)
+                print(f"    merge.{label}: {now - _last[0]:.2f}s", flush=True)
                 _last[0] = now
 
-        m = self.manifest()
+        table_schema = _evolved_schema(m, batch_df, op_col, lsn_col)
+        src = batch_df.withColumnRenamed(lsn_col, LSN_COL)
+        src = _align(src, table_schema, keep=[op_col])
+        delta = src.withColumn(DELETED_COL, F.col(op_col) == "D").drop(op_col)
+
+        v = m["version"] + 1
+        key, nb = m["key"], m["bucket_count"]
+        obs = Observation(f"merge_mor_{batch_id}")
+        out_dir = os.path.join(self.root, DATA_DIR, f"c{v:012d}")
+        (
+            delta.withColumn("_b", _bucket_expr(key, nb))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(DELETED_COL).cast("long")).alias("dels"),
+                F.min(LSN_COL).alias("mn"),
+                F.max(LSN_COL).alias("mx"),
+            )
+            .write.partitionBy("_b")
+            .parquet(out_dir)
+        )
+        _tick("delta_write")
+        got = obs.get
+        try:
+            if pre_commit_hook is not None:
+                pre_commit_hook()  # may raise -> clean abort below
+        except Exception:
+            shutil.rmtree(out_dir, ignore_errors=True)  # nothing referenced it yet
+            raise
+        _tick("hook")
+
+        new_files = _list_bucket_files(out_dir, os.path.join(DATA_DIR, f"c{v:012d}"))
+        lineage: list[dict[str, Any]] = []
+        if collect_lineage:
+            for b, fstats in _footer_stats(self.root, new_files).items():
+                lineage.append({"batch_id": batch_id, "bucket": int(b), **fstats})
+        _tick("footers")
+
+        deltas = {k: list(fl) for k, fl in m.get("deltas", {}).items()}
+        for b, files in new_files.items():
+            deltas[b] = deltas.get(b, []) + files
+        applied = dict(m["applied_batches"])
+        applied[str(batch_id)] = {"version": v, "op": "merge"}
+        n_in = got["n"] or 0
+        dels = got["dels"] or 0
+        audit = {
+            "batch_id": batch_id,
+            "operation": "merge",
+            "mode": "mor",
+            "rows_in": n_in,
+            "rows_applied": n_in - dels,
+            "rows_deleted": dels,
+            "min_lsn": got["mn"],
+            "max_lsn": got["mx"],
+            "touched_buckets": len(new_files),
+            "version": v,
+            **(extra_audit or {}),
+        }
+        manifest = {
+            **m,
+            "version": v,
+            "parent": m["version"],
+            "schema": table_schema.jsonValue(),
+            "deltas": deltas,
+            "applied_batches": _cap(applied),
+            "audit": audit,
+            "lineage": lineage,
+            "summary": {"operation": "merge", "mode": "mor", "rows_written": n_in},
+            "committed_at": _utc_now_iso(),
+        }
+        self._write_manifest(manifest, expected_parent=m["version"])
+        _tick("manifest")
+        dt = int((time.monotonic() - t0) * 1000)
+        return MergeResult(
+            batch_id, v, False, n_in, n_in - dels, dels,
+            got["mn"], got["mx"], len(new_files), dt,
+        )
+
+    # ------------------------------------------------------------------
+    def _merge_cow(
+        self, spark, m, batch_df, batch_id, op_col, lsn_col,
+        collect_lineage, extra_audit, pre_commit_hook,
+    ) -> MergeResult:
+        """Copy-on-write: resolve the batch against the touched buckets
+        and rewrite them. One shuffle (union + groupBy key) over ONLY
+        the touched buckets' data + the batch -- the same I/O shape as
+        Iceberg copy-on-write MERGE."""
+        t0 = time.monotonic()
         key = m["key"]
         nb = m["bucket_count"]
+        if any(m.get("deltas", {}).values()):
+            # a cow rewrite of a bucket must fold its deltas too; keep
+            # the two paths composable by compacting first
+            raise RuntimeError(
+                "cow merge on a table with outstanding mor deltas: compact() first"
+            )
 
-        # ---- fence: already-applied batch => exact no-op -------------
-        if str(batch_id) in m["applied_batches"]:
-            return MergeResult(batch_id, None, True, 0, 0, 0, None, None, 0, 0)
-
-        # ---- additive schema evolution -------------------------------
-        table_schema = T.StructType.fromJson(m["schema"])
-        payload_cols = [c for c in batch_df.columns if c not in (op_col, lsn_col)]
-        known = set(table_schema.fieldNames())
-        new_fields = [
-            T.StructField(f.name, f.dataType, True)
-            for f in batch_df.schema.fields
-            if f.name in payload_cols and f.name not in known
-        ]
-        if new_fields:
-            table_schema = T.StructType(list(table_schema.fields) + new_fields)
+        table_schema = _evolved_schema(m, batch_df, op_col, lsn_col)
         data_cols = [f.name for f in table_schema.fields if f.name != LSN_COL]
 
-        # ---- source: align to evolved schema, rename lsn -> _lsn -----
         src = batch_df.withColumnRenamed(lsn_col, LSN_COL)
         src = _align(src, table_schema, keep=[op_col]).persist()
         try:
@@ -424,9 +600,8 @@ class LakeTable:
                 .collect()
             )
             touched = [r["_b"] for r in bstats]
-            _tick("bstats")
-            if pre_write_hook is not None:
-                pre_write_hook()  # may raise -> clean abort, nothing committed
+            if pre_commit_hook is not None:
+                pre_commit_hook()  # may raise -> clean abort, nothing committed
             # read target files with the EVOLVED schema so new columns
             # surface as typed NULLs on pre-evolution rows
             tgt_files = self._files(m, touched)
@@ -442,7 +617,10 @@ class LakeTable:
             # are benign; tombstone replays have no target row to tie with.
             all_cols = data_cols + [LSN_COL, op_col]
             unioned = tgt.select(*all_cols).unionByName(src.select(*all_cols))
-            winner = F.max_by(F.struct(*[c for c in all_cols if c != key]), F.col(LSN_COL))
+            winner = F.max_by(
+                F.struct(*[c for c in all_cols if c != key]),
+                F.coalesce(F.col(LSN_COL), F.lit(-1)),
+            )
             resolved = (
                 unioned.groupBy(key)
                 .agg(winner.alias("_w"))
@@ -470,18 +648,14 @@ class LakeTable:
             # ---- write touched buckets (the only job over the
             # resolution; no persist needed). The writer splits each
             # task's rows into per-bucket files via partitionBy, so no
-            # extra repartition-by-bucket shuffle is needed: that
-            # second wide shuffle of the full payload bought nothing
-            # but one-file-per-bucket cosmetics. Files per commit are
-            # bounded by (AQE-coalesced resolve partitions x touched
-            # buckets), and each commit REPLACES the touched buckets'
-            # file lists in the manifest, so counts never accumulate;
-            # compact() exists for pathological cases. ----------------
+            # extra repartition-by-bucket shuffle is needed. Each commit
+            # REPLACES the touched buckets' file lists in the manifest,
+            # so counts never accumulate; compact() exists for
+            # pathological cases. ----------------
             v = m["version"] + 1
             new_files, n_out = self._write_bucketed(
                 spark, result, {**m, "schema": table_schema.jsonValue()}, v
             )
-            _tick("write_bucketed")
         finally:
             src.unpersist()
 
@@ -501,6 +675,7 @@ class LakeTable:
         audit = {
             "batch_id": batch_id,
             "operation": "merge",
+            "mode": "cow",
             "rows_in": agg["rows_in"],
             "rows_applied": agg["rows_in"] - agg["dels"],
             "rows_deleted": agg["dels"],
@@ -520,7 +695,7 @@ class LakeTable:
             "applied_batches": _cap(applied),
             "audit": audit,
             "lineage": lineage,
-            "summary": {"operation": "merge", "rows_written": n_out},
+            "summary": {"operation": "merge", "mode": "cow", "rows_written": n_out},
             "committed_at": _utc_now_iso(),
         }
         self._write_manifest(manifest, expected_parent=m["version"])
@@ -530,28 +705,78 @@ class LakeTable:
             agg["dels"], agg["min_lsn"], agg["max_lsn"], len(touched), dt,
         )
 
-    def compact(self, spark: SparkSession, max_files_per_bucket: int = 4) -> int | None:
-        """Rewrite buckets holding too many small files (Iceberg:
-        rewrite_data_files; reference analogue: Vertica mergeout every N
-        inserts, /root/reference/src/YADAMU/vertica/node/verticaWriter.js
-        :467-484)."""
+    def record_skip(
+        self, batch_id: int, extra_audit: dict[str, Any] | None = None
+    ) -> int | None:
+        """Fence a batch WITHOUT applying it (ON_ERROR=SKIP policy,
+        reference: /root/reference/src/YADAMU/common/yadamuWriter.js
+        :678-708 'skip remaining rows'). The skip is its own audited
+        snapshot commit, so a replay of the poisoned batch fences as a
+        no-op exactly like an applied batch."""
         m = self.manifest()
-        fat = [int(b) for b, fl in m["buckets"].items() if len(fl) > max_files_per_bucket]
+        if str(batch_id) in m["applied_batches"]:
+            return None
+        v = m["version"] + 1
+        applied = dict(m["applied_batches"])
+        applied[str(batch_id)] = {"version": v, "op": "skip"}
+        manifest = {
+            **m,
+            "version": v,
+            "parent": m["version"],
+            "applied_batches": _cap(applied),
+            "audit": {
+                "batch_id": batch_id,
+                "operation": "skip",
+                "rows_in": 0,
+                "rows_applied": 0,
+                "rows_deleted": 0,
+                "version": v,
+                **(extra_audit or {}),
+            },
+            "lineage": [],
+            "summary": {"operation": "skip"},
+            "committed_at": _utc_now_iso(),
+        }
+        self._write_manifest(manifest, expected_parent=m["version"])
+        return v
+
+    def compact(self, spark: SparkSession, max_files_per_bucket: int = 4) -> int | None:
+        """Fold delta files into the base and rewrite buckets holding
+        too many files (Iceberg: rewrite_data_files; reference analogue:
+        Vertica mergeout every N inserts,
+        /root/reference/src/YADAMU/vertica/node/verticaWriter.js:467-484).
+
+        A bucket is rewritten when base+delta file count exceeds
+        ``max_files_per_bucket`` OR it has any deltas older than this
+        compaction can leave (deltas are always folded when a bucket is
+        selected). Compaction materializes the resolved state, so
+        winning tombstones physically disappear."""
+        m = self.manifest()
+        deltas = m.get("deltas", {})
+        all_buckets = set(m["buckets"]) | {b for b, fl in deltas.items() if fl}
+        fat = [
+            int(b) for b in all_buckets
+            if len(m["buckets"].get(b, [])) + len(deltas.get(b, [])) > max_files_per_bucket
+        ]
         if not fat:
             return None
+        # read() resolves deltas for the selected buckets already
         df = self.read(spark, buckets=fat).repartition(
             len(fat), _bucket_expr(m["key"], m["bucket_count"])
         )
         v = m["version"] + 1
         new_files, _ = self._write_bucketed(spark, df, m, v)
         buckets = dict(m["buckets"])
+        new_deltas = {k: list(fl) for k, fl in deltas.items()}
         for b in fat:
             buckets[str(b)] = new_files.get(str(b), [])
+            new_deltas[str(b)] = []
         manifest = {
             **m,
             "version": v,
             "parent": m["version"],
             "buckets": buckets,
+            "deltas": new_deltas,
             "audit": None,
             "lineage": [],
             "summary": {"operation": "compact", "buckets_rewritten": len(fat)},
@@ -580,20 +805,86 @@ class LakeTable:
         )
         n_rows = obs.get["rows"]
         rel = os.path.join(DATA_DIR, f"c{version:012d}")
-        files: dict[str, list[str]] = {}
-        if os.path.exists(out_dir):
-            for d in os.listdir(out_dir):
-                if d.startswith("_b="):
-                    b = d.split("=", 1)[1]
-                    files[b] = [
-                        os.path.join(rel, d, f)
-                        for f in os.listdir(os.path.join(out_dir, d))
-                        if f.endswith(".parquet")
-                    ]
-        return files, n_rows
+        return _list_bucket_files(out_dir, rel), n_rows
 
 
 # ----------------------------------------------------------------------
+def _resolve(df: DataFrame, key: str, schema: T.StructType) -> DataFrame:
+    """Last-writer-wins resolution over (base ∪ delta) rows: keep the
+    max-``_lsn`` row per key (seed rows with NULL ``_lsn`` rank lowest),
+    drop keys whose winner is a tombstone. One hash-aggregate shuffle on
+    the key -- max_by has a partial aggregate, so hot keys map-side
+    combine (the skew defense for this reduction)."""
+    payload = [c for c in df.columns if c != key]
+    winner = F.max_by(F.struct(*payload), F.coalesce(F.col(LSN_COL), F.lit(-1)))
+    out = df.groupBy(key).agg(winner.alias("_w")).select(key, "_w.*")
+    return out.filter(
+        ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+    ).select(*[f.name for f in schema.fields])
+
+
+def _evolved_schema(m: dict[str, Any], batch_df: DataFrame, op_col: str,
+                    lsn_col: str) -> T.StructType:
+    """Additive schema evolution: new payload columns in the batch are
+    appended (nullable) to the table schema (Iceberg: UpdateSchema)."""
+    table_schema = T.StructType.fromJson(m["schema"])
+    payload_cols = [c for c in batch_df.columns if c not in (op_col, lsn_col)]
+    known = set(table_schema.fieldNames())
+    new_fields = [
+        T.StructField(f.name, f.dataType, True)
+        for f in batch_df.schema.fields
+        if f.name in payload_cols and f.name not in known
+    ]
+    if new_fields:
+        table_schema = T.StructType(list(table_schema.fields) + new_fields)
+    return table_schema
+
+
+def _list_bucket_files(out_dir: str, rel: str) -> dict[str, list[str]]:
+    files: dict[str, list[str]] = {}
+    if os.path.exists(out_dir):
+        for d in os.listdir(out_dir):
+            if d.startswith("_b="):
+                b = d.split("=", 1)[1]
+                files[b] = [
+                    os.path.join(rel, d, f)
+                    for f in os.listdir(os.path.join(out_dir, d))
+                    if f.endswith(".parquet")
+                ]
+    return files
+
+
+def _footer_stats(root: str, new_files: dict[str, list[str]]) -> dict[str, dict[str, Any]]:
+    """Per-bucket (row_count, min_lsn, max_lsn) from parquet footers of
+    just-written files -- the lineage stats WITHOUT a Spark job. Footers
+    carry per-row-group column statistics for the flat ``_lsn`` column;
+    driver-side cost is O(files), and the files are page-cache hot."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, Any]] = {}
+    for b, files in new_files.items():
+        n = 0
+        mn: int | None = None
+        mx: int | None = None
+        for rel in files:
+            md = pq.ParquetFile(os.path.join(root, rel)).metadata
+            n += md.num_rows
+            idx = None
+            for i in range(md.num_columns):
+                if md.schema.column(i).name == LSN_COL:
+                    idx = i
+                    break
+            if idx is None:
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+        out[b] = {"row_count": n, "min_lsn": mn, "max_lsn": mx}
+    return out
+
+
 def _align(df: DataFrame, schema: T.StructType, keep: list[str] | None = None) -> DataFrame:
     """Project df onto schema column order, adding missing columns as
     typed NULLs and casting to the table types (the engine's analogue of

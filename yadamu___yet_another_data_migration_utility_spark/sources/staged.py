@@ -55,27 +55,46 @@ def _csv_encode(df: DataFrame) -> tuple[DataFrame, list[str]]:
     return df, bin_cols
 
 
-def unload(tables: dict[str, DataFrame], root: str, fmt: str = "parquet") -> dict:
+def unload(
+    tables: dict[str, DataFrame],
+    root: str,
+    fmt: str = "parquet",
+    compression: str | None = None,
+    mappings: dict | None = None,
+) -> dict:
     """Write a staged data set: data files per table + control file.
 
-    ``fmt`` in {parquet, csv, json}. Returns the control dict."""
+    ``fmt`` in {parquet, csv, json}. ``compression`` is passed straight
+    to the Spark writer (csv/json: gzip|bzip2|deflate|...; parquet:
+    zstd|snappy|gzip) -- the reference's gzip pipeline stage
+    (/root/reference/src/YADAMU/file/node/fileDBI.js:344-372) is one
+    writer option here, applied per data file so reads stay parallel.
+    ``mappings`` renames tables/columns on the way out
+    (operators.mapping; reference yadamuDBI.js:497-653); the control
+    file records the *mapped* identifiers plus the mapping itself so a
+    round-trip can invert it. Returns the control dict."""
+    from ..operators.mapping import map_columns, map_table_name
+
     if fmt not in ("parquet", "csv", "json"):
         raise ValueError(f"unsupported staged format: {fmt}")
     os.makedirs(root, exist_ok=True)
     control: dict = {
         "format_version": 1,
         "data_format": fmt,
+        "compression": compression,
+        "identifier_mappings": mappings or {},
         "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "tables": {},
     }
-    for name, df in tables.items():
+    for src_name, df in tables.items():
+        name = map_table_name(mappings, src_name)
+        df = map_columns(df, mappings, src_name)
         path = os.path.join(root, "data", name)
         schema = df.schema
         bin_cols: list[str] = []
-        writer = None
         if fmt == "csv":
             df, bin_cols = _csv_encode(df)
-            writer = (
+            w = (
                 df.write.mode("overwrite")
                 .option("header", "true")
                 .option("nullValue", NULL_TOKEN)
@@ -83,11 +102,19 @@ def unload(tables: dict[str, DataFrame], root: str, fmt: str = "parquet") -> dic
                 # encoding the reader can distinguish from NULL
                 .option("timestampFormat", TS_FMT)
             )
-            writer.csv(path)
+            if compression:
+                w = w.option("compression", compression)
+            w.csv(path)
         elif fmt == "json":
-            df.write.mode("overwrite").option("timestampFormat", TS_FMT).json(path)
+            w = df.write.mode("overwrite").option("timestampFormat", TS_FMT)
+            if compression:
+                w = w.option("compression", compression)
+            w.json(path)
         else:
-            df.write.mode("overwrite").parquet(path)
+            w = df.write.mode("overwrite")
+            if compression:
+                w = w.option("compression", compression)
+            w.parquet(path)
         control["tables"][name] = {
             "path": os.path.join("data", name),
             "schema": schema.jsonValue(),
@@ -101,9 +128,15 @@ def unload(tables: dict[str, DataFrame], root: str, fmt: str = "parquet") -> dic
     return control
 
 
-def load_staged(spark: SparkSession, root: str) -> dict[str, DataFrame]:
+def load_staged(
+    spark: SparkSession, root: str, mappings: dict | None = None
+) -> dict[str, DataFrame]:
     """Read a staged data set back with full type fidelity (schema from
-    the control file -- no inference)."""
+    the control file -- no inference). ``mappings`` renames
+    tables/columns on the way in (pass ``operators.mapping.invert`` of
+    the unload mapping to round-trip to the original identifiers)."""
+    from ..operators.mapping import map_columns, map_table_name
+
     with open(os.path.join(root, CONTROL_FILE)) as f:
         control = json.load(f)
     fmt = control["data_format"]
@@ -138,5 +171,5 @@ def load_staged(spark: SparkSession, root: str) -> dict[str, DataFrame]:
             df = spark.read.schema(schema).option("timestampFormat", TS_FMT).json(path)
         else:
             df = spark.read.schema(schema).parquet(path)
-        out[name] = df
+        out[map_table_name(mappings, name)] = map_columns(df, mappings, name)
     return out

@@ -64,6 +64,8 @@ def start_replay(
     on_metrics: Callable[[BatchMetrics], None] | None = None,
     compact_every: int | None = None,
     compact_max_files: int = 8,
+    max_errors: int | None = None,
+    on_error: str = "abort",
 ) -> StreamingQuery:
     """Start (not await) the replay query. Returns the StreamingQuery so
     callers can stop it mid-replay (restart/kill tests).
@@ -84,7 +86,8 @@ def start_replay(
     )
 
     def _sink(batch_df, batch_id: int) -> None:
-        m = apply_batch(table, batch_df, batch_id, salt_buckets=salt_buckets)
+        m = apply_batch(table, batch_df, batch_id, salt_buckets=salt_buckets,
+                        max_errors=max_errors, on_error=on_error)
         if compact_every and not m.fenced and (batch_id + 1) % compact_every == 0:
             table.compact(batch_df.sparkSession, max_files_per_bucket=compact_max_files)
         if on_metrics is not None:
