@@ -97,6 +97,9 @@ def build_spark(cpus: int):
     # heap under 32 concurrent tasks stalls the whole JVM for tens of
     # seconds (one 30M-row hash pass: 83s during growth, 1.3s after).
     # -Xms=-Xmx + AlwaysPreTouch moves that cost to (untimed) startup.
+    # ParallelGCThreads defaults from the 32 HOST cpus; under taskset
+    # pinning that is 4-16x oversubscription of the real budget, so size
+    # it to the pinned core count explicitly.
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"bench-{cpus}")
@@ -105,7 +108,12 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", mem)
         .config("spark.driver.extraJavaOptions",
-                f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC")
+                f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC "
+                f"-XX:ParallelGCThreads={max(2, cpus)}")
+        # ~32 MB input splits: finer tasks keep all pinned cores busy at
+        # the tail of a stage (a 2M-row batch packs into too few 128 MB
+        # splits otherwise -- measured straggler waves at local[8])
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -169,14 +177,29 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def run_replay(n_events: int, cpus: int, n_batches: int = 5) -> dict:
+def run_replay(n_events: int, cpus: int, n_batches: int = 5,
+               log_path: str | None = None, dedup: str = "none") -> dict:
     """Flagship CDC replay throughput: synthetic changelog -> full
-    apply_batch pipeline (quarantine, pandas-UDF extract, salted dedup,
-    fenced copy-on-write MERGE) over ``n_batches`` micro-batches.
+    apply_batch pipeline (quarantine, broadcast-winner dedup, pandas-UDF
+    extract on winners, fenced merge-on-read MERGE) over ``n_batches``
+    micro-batches.
 
     The changelog is generated and materialized to parquet FIRST (not
     timed) so the measured window is purely the engine's apply path --
     the 'change-events/sec applied' metric from BASELINE.json.
+    ``log_path``: reuse a pre-generated changelog (written by
+    ``--gen-log``) -- the scaling protocol generates ONCE, unpinned,
+    and feeds the bit-identical files to every pinned run.
+
+    ``dedup`` (default "none"): the synthetic web-crawl changelog is
+    key-cardinality-heavy (~10 events per url across the WHOLE log, so
+    a micro-batch is mostly distinct urls). Pre-write reduction would
+    pay a driver-side broadcast build that grows with batch keys --
+    serial cost, the scaling killer -- to drop only the intra-batch
+    duplicate tail; merge-on-read resolution applies max-LSN-per-url
+    exactly either way (verified: final_rows identical across
+    strategies). "broadcast" remains the right default for update-heavy
+    streams and is measured in BASELINE.md for comparison.
     """
     from pyspark.sql import functions as F
 
@@ -198,21 +221,10 @@ def run_replay(n_events: int, cpus: int, n_batches: int = 5) -> dict:
     work = tempfile.mkdtemp(prefix=f"bench_replay_{cpus}_", dir=_scratch_dir())
     try:
         # --- untimed setup: materialize the changelog as parquet -------
-        chg = changelog_df(
-            spark, n_events=n_events, n_urls=max(1000, n_events // 10),
-            hot_fraction=0.2, n_hot=5,
-        )
-        log_path = os.path.join(work, "changelog")
-        # range-partition + sort by lsn: a WAL is contiguous segments,
-        # and parquet row-group stats then let each batch's lsn-range
-        # filter prune everything outside its slice. Written round-robin
-        # instead, EVERY batch decodes the whole changelog's html (no
-        # row group is prunable) -- a bench artifact, not engine work.
-        # Partition count is FIXED (16 files per micro-batch) so the 2-
-        # and 8-core scaling runs read the IDENTICAL file layout.
-        chg.repartitionByRange(n_batches * 16, "lsn").sortWithinPartitions(
-            "lsn"
-        ).write.parquet(log_path)
+        if log_path is None:
+            log_path = os.path.join(work, "changelog")
+        if not os.path.exists(os.path.join(log_path, "_SUCCESS")):
+            _gen_log(spark, n_events, n_batches, log_path)
         # bucket_count FIXED so both scaling runs merge the identical table
         bucket_count = int(os.environ.get("SPARK_GRAFT_BUCKETS", "32"))
         table = LakeTable.create(
@@ -223,16 +235,25 @@ def run_replay(n_events: int, cpus: int, n_batches: int = 5) -> dict:
         total_in = events.count()
         per = (n_events + n_batches - 1) // n_batches
 
-        # --- untimed JIT/codegen warmup: run the full pipeline once on a
-        # throwaway table so the timed window measures steady state (the
-        # first pipeline execution pays ~40s of C2/codegen compilation
-        # that is identical at every parallelism level)
+        # --- untimed JIT/codegen warmup: run the full pipeline TWICE on
+        # a throwaway table so the timed window measures steady state.
+        # Measured on this sandbox: a fresh JVM's first 2 full-pipeline
+        # passes run 3-4x slower than steady state (C2/codegen
+        # compilation competes with the workload for the pinned cores);
+        # one tiny pass does not finish the compile queue, so warm with
+        # two medium ones. Identical at every parallelism level.
         warm_tbl = LakeTable.create(
             os.path.join(work, "warmup"), _page_schema(), key="url",
             bucket_count=bucket_count, overwrite=True,
         )
-        warm = events.filter(F.col("lsn") <= max(1, n_events // 50))
-        apply_batch(warm_tbl, warm, batch_id=0)
+        warm_n = max(1, n_events // 20)
+        apply_batch(warm_tbl, events.filter(F.col("lsn") <= warm_n), batch_id=0,
+                    dedup=dedup)
+        apply_batch(
+            warm_tbl,
+            events.filter((F.col("lsn") > warm_n) & (F.col("lsn") <= 2 * warm_n)),
+            batch_id=1, dedup=dedup,
+        )
 
         # --- timed window: the apply path ------------------------------
         t0 = time.monotonic()
@@ -243,7 +264,7 @@ def run_replay(n_events: int, cpus: int, n_batches: int = 5) -> dict:
             lo, hi = b * per, (b + 1) * per
             tb = time.monotonic()
             batch = events.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
-            m = apply_batch(table, batch, batch_id=b)
+            m = apply_batch(table, batch, batch_id=b, dedup=dedup)
             applied += m.rows_in
             batch_secs.append(time.monotonic() - tb)
             batch_rows.append(m.rows_in)
@@ -276,6 +297,29 @@ def run_replay(n_events: int, cpus: int, n_batches: int = 5) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _gen_log(spark, n_events: int, n_batches: int, log_path: str) -> None:
+    """Materialize the synthetic changelog (untimed setup).
+
+    Range-partition + sort by lsn: a WAL is contiguous segments, and
+    parquet row-group stats then let each batch's lsn-range filter prune
+    everything outside its slice. Written round-robin instead, EVERY
+    batch decodes the whole changelog's html (no row group is prunable)
+    -- a bench artifact, not engine work. Partition count is FIXED (16
+    files per micro-batch) so every parallelism level reads the
+    IDENTICAL file layout."""
+    from yadamu___yet_another_data_migration_utility_spark.fixtures.changelog import (
+        changelog_df,
+    )
+
+    chg = changelog_df(
+        spark, n_events=n_events, n_urls=max(1000, n_events // 10),
+        hot_fraction=0.2, n_hot=5,
+    )
+    chg.repartitionByRange(n_batches * 16, "lsn").sortWithinPartitions(
+        "lsn"
+    ).write.mode("overwrite").parquet(log_path)
+
+
 def _page_schema():
     from pyspark.sql import types as T
 
@@ -305,6 +349,17 @@ def run_scaling(n_events: int, n_batches: int = 5,
     reported in BASELINE.md."""
     lo, hi = cpu_pair
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    # Generate the changelog ONCE, unpinned (untimed setup): every
+    # pinned run then replays the bit-identical parquet files -- the
+    # "same job, same input" requirement, without each subprocess
+    # paying minutes of (untimed but wall-clock) generation.
+    log_dir = tempfile.mkdtemp(prefix="bench_scaling_log_", dir=_scratch_dir())
+    log_path = os.path.join(log_dir, "changelog")
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--gen-log", str(n_events),
+         "--batches", str(n_batches), "--log-path", log_path],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    )
     # Pin each run to a real N-CPU budget (taskset). Without pinning,
     # "local[2]" still has all 32 host CPUs available to JVM GC/JIT/
     # shuffle-IO threads and Python UDF workers, which inflates the
@@ -320,7 +375,8 @@ def run_scaling(n_events: int, n_batches: int = 5,
         for cpus in (lo, hi):
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--replay", str(n_events), "--cpus", str(cpus),
-                   "--batches", str(n_batches)]
+                   "--batches", str(n_batches), "--log-path", log_path,
+                   "--dedup", os.environ.get("SPARK_GRAFT_DEDUP", "none")]
             if pin:
                 cmd = [pin, "-c", f"0-{cpus - 1}"] + cmd
             out = subprocess.run(
@@ -341,6 +397,7 @@ def run_scaling(n_events: int, n_batches: int = 5,
             # same estimator is applied at both parallelism levels.
             if s["best"] is None or r["peak_batch_events_per_sec"] > s["best"]["peak_batch_events_per_sec"]:
                 s["best"] = r
+    shutil.rmtree(log_dir, ignore_errors=True)
     results = {}
     for cpus in (lo, hi):
         best = state[cpus]["best"]
@@ -382,12 +439,28 @@ def main() -> None:
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR))
+    ap.add_argument("--log-path", default=None,
+                    help="reuse/write the changelog at this path (scaling protocol)")
+    ap.add_argument("--gen-log", type=int, default=None, metavar="N_EVENTS",
+                    help="only generate the changelog to --log-path, then exit")
+    ap.add_argument("--dedup", default="none",
+                    choices=["none", "broadcast", "salted"],
+                    help="pre-write dedup strategy for --replay/--scaling "
+                         "(see run_replay docstring)")
     args = ap.parse_args()
 
-    if args.scaling is not None:
+    if args.gen_log is not None:
+        spark = build_spark(args.cpus)
+        try:
+            _gen_log(spark, args.gen_log, args.batches, args.log_path)
+        finally:
+            spark.stop()
+        out = {"metric": "gen-log", "events": args.gen_log, "path": args.log_path}
+    elif args.scaling is not None:
         out = run_scaling(args.scaling, args.batches)
     elif args.replay is not None:
-        out = run_replay(args.replay, args.cpus, args.batches)
+        out = run_replay(args.replay, args.cpus, args.batches,
+                         log_path=args.log_path, dedup=args.dedup)
     else:
         out = run_queries(args.sf_dir, args.cpus)
     print(json.dumps(out))

@@ -78,18 +78,23 @@ def test_quarantine_split_reasons(spark):
     assert reasons == {1: "null_key", 2: "bad_op", 3: "null_html"}
 
 
-@pytest.mark.parametrize("mode", ["mor", "cow"])
-def test_apply_replay_matches_oracle(spark, tmp_table_root, mode):
+@pytest.mark.parametrize("mode,dedup", [
+    ("mor", "broadcast"), ("cow", "broadcast"),
+    ("mor", "none"), ("mor", "salted"),
+])
+def test_apply_replay_matches_oracle(spark, tmp_table_root, mode, dedup):
     """Replay a 5k-event changelog in 5 batches; final state must equal
     the whole-log batch oracle (YADAMU acceptance operator) -- in both
-    merge modes."""
+    merge modes and across every dedup strategy (under mor, pre-write
+    reduction is an optimization; resolution must give the identical
+    final state with it, without it, and with salting)."""
     t = mk_table(tmp_table_root, merge_mode=mode)
     log = changelog_df(spark, 5000, 300, dup_mod=25)
     n_batches = 5
     per = 5000 // n_batches
     for b in range(n_batches):
         batch = log.filter((F.col("lsn") > b * per) & (F.col("lsn") <= (b + 1) * per))
-        m = apply_batch(t, batch, batch_id=b)
+        m = apply_batch(t, batch, batch_id=b, dedup=dedup)
         m.check_invariant()
     oracle = changelog_oracle(log.drop("warc_ts"))
     oracle = oracle.withColumn("text", F.lit(None).cast("string"))  # filled below

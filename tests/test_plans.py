@@ -76,12 +76,13 @@ def test_no_cartesian_products_in_catalog(spark):
         assert not bad, f"{name} plans a cartesian: {bad}"
 
 
-def test_mor_apply_plan_is_single_stage_no_payload_shuffle(spark):
+def test_mor_apply_plan_is_single_stage_no_payload_shuffle(spark, tmp_path):
     """The merge-on-read apply pipeline (what LakeTable.merge writes)
-    must contain exactly ONE Exchange -- the narrow winner aggregation
-    inside the broadcast build -- and join winners via BroadcastHashJoin
-    LeftSemi. The wide html payload is never shuffled; the delta write
-    adds no repartition (partitionBy splits per task)."""
+    must contain exactly ONE Exchange -- the NARROW winner aggregation
+    inside the broadcast build (its parquet scan must prune the html
+    payload) -- and join winners via BroadcastHashJoin LeftSemi. The
+    wide payload is never shuffled; the delta write adds no repartition
+    (partitionBy splits per task)."""
     from yadamu___yet_another_data_migration_utility_spark.fixtures.changelog import (
         changelog_df,
     )
@@ -94,15 +95,17 @@ def test_mor_apply_plan_is_single_stage_no_payload_shuffle(spark):
 
     import re
 
-    # dup_mod=0: the raw generator's redelivery union would make
-    # Catalyst clone the pipeline per branch; a real micro-batch comes
-    # from one parquet scan
-    log = changelog_df(spark, 3000, 300, dup_mod=0)
+    log_path = str(tmp_path / "log")
+    changelog_df(spark, 3000, 300, dup_mod=0).write.parquet(log_path)
+    log = spark.read.parquet(log_path)
     tagged = _tag_quarantine(log)
     valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
+    structurally_valid = (
+        F.col("url").isNotNull() & F.col("lsn").isNotNull()
+        & F.col("op").isin("I", "U", "D")
+    )
     winners = (
-        _tag_quarantine(log).filter(F.col("_reason").isNull())
-        .groupBy("url").agg(F.max("lsn").alias("lsn"))
+        log.filter(structurally_valid).groupBy("url").agg(F.max("lsn").alias("lsn"))
     )
     reduced = valid.join(F.broadcast(winners), on=["url", "lsn"], how="leftsemi")
     reduced = reduced.withColumn(
@@ -115,6 +118,11 @@ def test_mor_apply_plan_is_single_stage_no_payload_shuffle(spark):
     # the BroadcastExchange); none over the wide payload
     shuffles = re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan)
     assert len(shuffles) == 1, f"expected 1 narrow exchange, saw {shuffles}:\n{plan}"
+    # the winner subtree's parquet scan reads ONLY (url, lsn, op) --
+    # html must be pruned (it cost a second full html decode per batch)
+    reads = re.findall(r"ReadSchema: (\S+)", plan)
+    assert len(reads) == 2, plan
+    assert any("html" not in r for r in reads), f"winner scan did not prune html: {reads}"
 
 
 def test_mor_merge_manifest_lineage(spark, tmp_table_root):

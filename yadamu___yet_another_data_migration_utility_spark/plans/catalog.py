@@ -467,7 +467,13 @@ def cdc_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("event_type", T.StringType()),
         ]
     )
+    import atexit
+    import shutil
+
     root = tempfile.mkdtemp(prefix="cdc_replay_", dir=scratch_dir())
+    # the returned DataFrame reads these files lazily, so cleanup must
+    # wait for process exit (tmpfs is RAM -- never leave orphans)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     table = LakeTable.create(root, schema, key="url", bucket_count=16, overwrite=True)
     bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
     lo, hi = bounds[0], bounds[1]

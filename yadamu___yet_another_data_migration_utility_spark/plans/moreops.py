@@ -413,10 +413,14 @@ def staged_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ORIGINAL parquet -- matching proves the CSV encode/decode is
     lossless for timestamps, decimals and strings (YADAMU's round-trip
     acceptance applied to the file sink, SURVEY.md §2.a W6/S5)."""
+    import atexit
+    import shutil
+
     from ..sources.staged import load_staged, unload
 
     o = load(spark, sf_dir, "orders")
     root = tempfile.mkdtemp(prefix="staged_rt_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     unload({"orders": o}, os.path.join(root, "ds"), fmt="csv")
     back = load_staged(spark, os.path.join(root, "ds"))["orders"]
     return back.groupBy("o_orderpriority").agg(
@@ -450,10 +454,14 @@ def export_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact doubles) is lossless. Scale honesty: the single-file format
     is a compatibility artifact written by one stream (the reference
     does the same); the distributed path is staged_roundtrip_csv."""
+    import atexit
+    import shutil
+
     from ..sources.exportfile import export_json, import_json
 
     o = load(spark, sf_dir, "orders")
     root = tempfile.mkdtemp(prefix="export_rt_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     path = os.path.join(root, "export.json.gz")
     export_json({"orders": o}, path, compression="gzip")
     back = import_json(spark, path)["orders"]
