@@ -472,3 +472,47 @@ def export_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("max_date"),
         F.countDistinct("o_custkey").alias("n_cust"),
     )
+
+
+@_register(
+    "document_roundtrip",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(ts) AS min_ts,
+           MAX(ts) AS max_ts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def document_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY_TO_DOCUMENT -> JSON-lines collection -> DOCUMENT_TO_ARRAY
+    (sources/document.py; ref mongoParser.js:56 / statementGenerator.js
+    :78-98): write events as one document per row keyed by event_id,
+    read back through the stored row schema, aggregate. The oracle
+    aggregates the ORIGINAL parquet, so a match proves the document
+    encode/decode is lossless for us-timestamps, doubles, and the
+    embedded JSON props payload. Scale: both directions are narrow
+    codegen'd projections over splittable text."""
+    import atexit
+    import shutil
+
+    from ..sources.document import read_collection, write_collection
+
+    e = load(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="doc_rt_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    coll = os.path.join(root, "events_coll")
+    write_collection(e, coll, id_col="event_id")
+    back = read_collection(spark, coll, mode="rows")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        _sum_dbl(F.col("value").cast("decimal(18,3)")).alias("sum_value"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )

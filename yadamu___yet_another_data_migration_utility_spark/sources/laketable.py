@@ -231,6 +231,17 @@ class LakeTable:
             f.flush()
             os.fsync(f.fileno())
         os.rename(ctmp, cur)  # POSIX-atomic pointer swap == the commit
+        # deferred import: operators/__init__ imports apply which imports
+        # this module (cycle at module-load time only)
+        from ..operators import trace
+
+        if trace.enabled():  # operational log (ref sqlTrace, yadamuDBI.js:243)
+            a = manifest.get("audit") or {}
+            trace.trace_event(
+                a.get("operation", "create"), table=self.root,
+                rows=a.get("rows_applied"), batch_id=a.get("batch_id"),
+                version=v,
+            )
 
     # ------------------------------------------------------------------
     # read path

@@ -101,12 +101,15 @@ def unload(
                 # default emptyValue writes '' as a QUOTED "" -- the only
                 # encoding the reader can distinguish from NULL
                 .option("timestampFormat", TS_FMT)
+                .option("timestampNTZFormat", TS_FMT)
             )
             if compression:
                 w = w.option("compression", compression)
             w.csv(path)
         elif fmt == "json":
-            w = df.write.mode("overwrite").option("timestampFormat", TS_FMT)
+            w = (df.write.mode("overwrite")
+                 .option("timestampFormat", TS_FMT)
+                 .option("timestampNTZFormat", TS_FMT))
             if compression:
                 w = w.option("compression", compression)
             w.json(path)
@@ -163,12 +166,15 @@ def load_staged(
                 .option("multiLine", "true")
                 .option("nullValue", NULL_TOKEN)
                 .option("timestampFormat", TS_FMT)
+                .option("timestampNTZFormat", TS_FMT)
                 .csv(path)
             )
             for c in meta["hex_encoded_columns"]:
                 df = df.withColumn(c, F.unhex(F.upper(F.col(c))))
         elif fmt == "json":
-            df = spark.read.schema(schema).option("timestampFormat", TS_FMT).json(path)
+            df = (spark.read.schema(schema)
+                  .option("timestampFormat", TS_FMT)
+                  .option("timestampNTZFormat", TS_FMT).json(path))
         else:
             df = spark.read.schema(schema).parquet(path)
         out[map_table_name(mappings, name)] = map_columns(df, mappings, name)
