@@ -83,6 +83,7 @@ HEADLINE_ORDER = [
     "token_count_bpe",
     "staged_roundtrip_csv",
     "export_roundtrip_json",
+    "document_roundtrip",
 ]
 
 

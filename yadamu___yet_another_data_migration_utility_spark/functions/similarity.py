@@ -27,19 +27,28 @@ def _norm(a: F.Column) -> F.Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 
+def plane_values(p: int, dim: int) -> list[float]:
+    """Hyperplane #p's components as Python floats: component i =
+    int(md5('hp{p}:{i}')[:4 hex], 16) / 65536.0 - 0.5 -- BIT-IDENTICAL
+    to the DuckDB-oracle spelling (plans/moreops.py) because a 16-bit
+    integer divided by the power-of-two 65536.0 is exact in IEEE
+    double on every engine."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"hp{p}:{i}".encode()).hexdigest()[:4], 16) / 65536.0 - 0.5
+        for i in range(dim)
+    ]
+
+
 def hyperplane(p: int, dim: int) -> F.Column:
-    """Deterministic pseudo-random hyperplane #p as an array<double>:
-    component i = md5-derived uniform in [-0.5, 0.5). Identical formula
-    is spelled in the DuckDB oracles (plans/moreops.py), so both
-    engines bucket identically -- cheap, no RNG state, Catalyst
-    builtins only."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: (
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"hp{p}:"), i.cast("string"))), 1, 4), 16, 10)
-            .cast("double") / F.lit(65536.0) - F.lit(0.5)
-        ),
-    )
+    """Deterministic pseudo-random hyperplane #p as an array<double>
+    LITERAL. The md5 derivation runs ONCE in Python (plane_values);
+    embedding the folded constants spares every row the 64 md5+conv
+    calls per plane that Catalyst cannot fold out of a higher-order
+    ``transform`` lambda (measured: the expression form dominated the
+    LSH queries' runtime)."""
+    return F.array(*[F.lit(v) for v in plane_values(p, dim)])
 
 
 def bucket_of(emb: F.Column, table_id: int, n_bits: int, dim: int = 64) -> F.Column:
@@ -79,9 +88,21 @@ def lsh_table_buckets(df: DataFrame, id_col: str = "vec_id",
     table; n_tables unioned tables drive recall toward 1 for genuinely
     close pairs). Scale: one scan + one explode per vector; bucket keys
     are md5-uniform, so the downstream self-join has no skew."""
-    emb = _to_double(vec_col)
-    buckets = F.array(*[bucket_of(emb, t, n_bits, dim) for t in range(n_tables)])
-    return df.select(F.col(id_col), F.posexplode(buckets).alias("tbl", "bk"))
+    # repartition by id BEFORE the bucket computation: a small embedding
+    # table often arrives as one parquet split, which would pin the
+    # n_tables*n_bits dot products to a single task; the shuffle moves
+    # only (id, vector) and buys full-cluster parallelism for the
+    # compute-bound part. The double-cast is projected ONCE here --
+    # CollapseProject keeps the non-cheap transform() out of the 64
+    # per-plane dot lambdas.
+    # explicit partition count: AQE would coalesce a size-based shuffle
+    # of ~MBs back to one partition, re-serializing the compute
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col), _to_double(vec_col).alias("_ed")).repartition(
+        n_parts, F.col(id_col)
+    )
+    buckets = F.array(*[bucket_of(F.col("_ed"), t, n_bits, dim) for t in range(n_tables)])
+    return base.select(F.col(id_col), F.posexplode(buckets).alias("tbl", "bk"))
 
 
 def ann_lsh_topk(df: DataFrame, query_ids: list[int], k: int = 5,
@@ -100,7 +121,10 @@ def ann_lsh_topk(df: DataFrame, query_ids: list[int], k: int = 5,
     recall here, and every join stays a hash equi-join on (tbl, bk)."""
     from pyspark.sql import Window as W
 
-    sig = lsh_table_buckets(df, id_col, vec_col, n_tables, n_bits)
+    # persist: both sides of the candidate self-join read the signature
+    # set -- without this the 64-dot bucket computation runs twice
+    # (Spark has no cross-branch common-subtree elimination)
+    sig = lsh_table_buckets(df, id_col, vec_col, n_tables, n_bits).persist()
     q = sig.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), "tbl", "bk"
     )

@@ -127,7 +127,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape. Scale: customer is the small side -> broadcast
     both joins' build sides where they fit; deterministic top-10 via
-    ROW_NUMBER (never bare LIMIT over a nondeterministic order)."""
+    orderBy on a TOTAL order (revenue desc, then unique o_orderkey) +
+    limit -- Spark plans TakeOrderedAndProject, a per-partition partial
+    top-k merged on the driver, instead of an unpartitioned ROW_NUMBER
+    window that funnels every group row into one task."""
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
@@ -139,10 +142,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_sum_dbl(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 7, 4))).alias("revenue"))
         .withColumnRenamed("l_orderkey", "o_orderkey")
     )
-    w = W.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
     return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
 

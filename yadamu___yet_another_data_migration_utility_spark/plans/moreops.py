@@ -219,7 +219,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     to_d = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
-    sig = lsh_table_buckets(e, "vec_id", "embedding", _EMB_TABLES, _EMB_BITS)
+    # persist: probe and candidate branches both read the signatures
+    sig = lsh_table_buckets(e, "vec_id", "embedding", _EMB_TABLES, _EMB_BITS).persist()
     probes = sig.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("probe_id"), "tbl", "bk"
     )

@@ -5,16 +5,22 @@ per-table row arrays (reference: fileDBI writer pipeline
 /root/reference/src/YADAMU/file/node/fileDBI.js:404-418; document shape
 and value encodings /root/reference/src/YADAMU/file/node/jsonWriter.js
 :63-85 -- binary as hex text :22-26, timestamps as ISO-8601,
-non-finite doubles as "NaN"/"Infinity"/"-Infinity" sentinels).
+non-finite doubles as "NaN"/"Infinity"/"-Infinity" sentinels,
+decimals as exact strings).
 
 Scale honesty: a single JSON document is a COMPATIBILITY/interchange
-format -- it is written by one stream no matter the engine (the
-reference does exactly this). The distributed path for big data is the
-staged data set (sources/staged.py: control file + parallel per-table
-files). Export here streams ``toLocalIterator`` so the driver holds one
-Arrow batch at a time, never the table; import materializes through
-``spark.createDataFrame`` per table. Use it for schema interchange and
-modest tables, not for 100 TB.
+format -- the final file is written by one stream no matter the engine
+(the reference does exactly this). Everything EXCEPT that last
+concatenation is distributed: per-row JSON text is rendered by
+executors (typed columns pre-encoded as Spark expressions, one
+``to_json`` fragment per column, all whole-stage codegen), folded to
+one string per Arrow batch with ``mapInPandas``, and the driver just
+streams those ~10k-row chunks to the file -- it never holds the table,
+and never touches a value in Python. Import is symmetric: the driver
+re-dumps each row array as one JSON-lines object (C-speed ``json``),
+and ``spark.read.json`` parses the lines back to typed rows
+distributed (quoted NaN/Infinity sentinels and string decimals are
+parsed natively by Spark's JSON reader; hex binary via ``unhex``).
 
 Optional ``compression="gzip"`` wraps the document in gzip (reference:
 the createGzip stage, fileDBI.js:344-372).
@@ -22,80 +28,77 @@ the createGzip stage, fileDBI.js:344-372).
 
 from __future__ import annotations
 
-import datetime as _dt
+import atexit
 import gzip
 import io
 import json
-import math
 import os
+import shutil
+import tempfile
 import uuid
-from decimal import Decimal
-from typing import Any
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 FORMAT_VENDOR = "yadamu_spark_cdc"
-TS_FMT = "%Y-%m-%dT%H:%M:%S.%f"
+#: Spark pattern for the export's microsecond ISO-8601 timestamps
+#: (text-identical to the old strftime("%Y-%m-%dT%H:%M:%S.%f") output).
+TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 
-def _encode_value(v: Any, dt: T.DataType) -> Any:
-    if v is None:
-        return None
+def _encode_col(f: T.StructField) -> F.Column:
+    """Pre-encode one column to its export text convention (executor-
+    side; the JSON quoting itself happens in ``to_json`` after)."""
+    c, dt = F.col(f.name), f.dataType
     if isinstance(dt, T.BinaryType):
-        return bytes(v).hex()  # reference convention: hex text
+        return F.lower(F.hex(c))  # reference convention: hex text
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-        return v.strftime(TS_FMT)
+        return F.date_format(c, TS_FMT)
     if isinstance(dt, T.DateType):
-        return v.isoformat()
-    if isinstance(dt, (T.DoubleType, T.FloatType)):
-        f = float(v)
-        if math.isnan(f):
-            return "NaN"
-        if math.isinf(f):
-            return "Infinity" if f > 0 else "-Infinity"
-        return f
+        return F.date_format(c, "yyyy-MM-dd")
     if isinstance(dt, T.DecimalType):
-        return str(v)  # exact, scale-preserving
-    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
-        # nested payloads ride as JSON-native structures
-        return v
-    return v
+        return c.cast("string")  # exact, scale-preserving
+    # doubles/floats stay typed: to_json renders finite values as JSON
+    # numbers and non-finite as the quoted "NaN"/"Infinity" sentinels
+    return c
 
 
-def _decode_value(v: Any, dt: T.DataType) -> Any:
-    if v is None:
-        return None
-    if isinstance(dt, T.BinaryType):
-        return bytes.fromhex(v)
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-        return _dt.datetime.strptime(v, TS_FMT)
-    if isinstance(dt, T.DateType):
-        return _dt.date.fromisoformat(v)
-    if isinstance(dt, (T.DoubleType, T.FloatType)):
-        if v == "NaN":
-            return float("nan")
-        if v == "Infinity":
-            return float("inf")
-        if v == "-Infinity":
-            return float("-inf")
-        return float(v)
-    if isinstance(dt, T.DecimalType):
-        return Decimal(v)
-    return v
+def _row_json(df: DataFrame) -> DataFrame:
+    """One column ``j``: the row as a JSON array fragment, rendered
+    entirely in whole-stage codegen. Each value rides through
+    ``to_json(struct(v AS x))`` for correct quoting/escaping, then the
+    constant 5-char ``{"x":`` prefix and ``}`` suffix are stripped."""
+    opts = {"ignoreNullFields": "false", "timestampFormat": TS_FMT,
+            "timestampNTZFormat": TS_FMT}
+    frags = []
+    for f in df.schema.fields:
+        j = F.to_json(F.struct(_encode_col(f).alias("x")), opts)
+        frags.append(j.substr(F.lit(6), F.length(j) - F.lit(6)))
+    return df.select(
+        F.concat(F.lit("["), F.concat_ws(", ", *frags), F.lit("]")).alias("j")
+    )
+
+
+def _fold_chunks(batches: Iterator) -> Iterator:
+    import pandas as pd
+
+    for pdf in batches:
+        if len(pdf):
+            yield pd.DataFrame({"t": [", ".join(pdf["j"])]})
 
 
 def export_json(
     tables: dict[str, DataFrame],
     path: str,
     compression: str | None = None,
-    batch_rows: int = 10_000,
 ) -> dict:
     """Write ONE JSON export document for ``tables``. Returns the
     metadata section. Atomic: written to a temp name, renamed last."""
     if compression not in (None, "gzip"):
         raise ValueError("compression must be None or 'gzip'")
-    metadata: dict[str, Any] = {}
+    metadata: dict = {}
     for name, df in tables.items():
         metadata[name] = {
             "tableName": name,
@@ -123,18 +126,18 @@ def export_json(
         out.write(head)
         out.write(', "data": {')
         for ti, (name, df) in enumerate(tables.items()):
-            dts = [f.dataType for f in df.schema.fields]
             if ti:
                 out.write(", ")
             out.write(json.dumps(name))
             out.write(": [")
+            # executors render ~10k rows to one text chunk each; the
+            # driver streams chunks in partition order, never the table
+            chunks = _row_json(df).mapInPandas(_fold_chunks, "t string")
             first = True
-            # toLocalIterator: one partition in driver memory at a time
-            for row in df.toLocalIterator():
-                rec = [_encode_value(row[i], dts[i]) for i in range(len(dts))]
+            for chunk in chunks.toLocalIterator():
                 if not first:
                     out.write(", ")
-                out.write(json.dumps(rec))
+                out.write(chunk.t)
                 first = False
             out.write("]")
         out.write("}}")
@@ -145,9 +148,21 @@ def export_json(
     return metadata
 
 
+def _read_schema(schema: T.StructType) -> T.StructType:
+    """The wire schema ``spark.read.json`` parses against: binary rides
+    as hex text (decoded after); everything else parses natively."""
+    fields = []
+    for f in schema.fields:
+        dt = T.StringType() if isinstance(f.dataType, T.BinaryType) else f.dataType
+        fields.append(T.StructField(f.name, dt, True))
+    return T.StructType(fields)
+
+
 def import_json(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """Read a monolithic export document back into DataFrames with the
-    exact exported schemas (no inference)."""
+    exact exported schemas (no inference). The document itself is
+    parsed once on the driver (single file -- inherently one stream);
+    value decoding happens distributed via ``spark.read.json``."""
     if path.endswith(".gz") or _is_gzip(path):
         with gzip.open(path, "rt", encoding="utf-8") as f:
             doc = json.load(f)
@@ -155,14 +170,26 @@ def import_json(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         with open(path, encoding="utf-8") as f:
             doc = json.load(f)
     out: dict[str, DataFrame] = {}
+    scratch = tempfile.mkdtemp(prefix="export_import_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     for name, meta in doc["metadata"].items():
         schema = T.StructType.fromJson(meta["schema"])
-        dts = [f.dataType for f in schema.fields]
-        rows = [
-            tuple(_decode_value(v, dt) for v, dt in zip(rec, dts))
-            for rec in doc["data"].get(name, [])
-        ]
-        out[name] = spark.createDataFrame(rows, schema)
+        cols = meta["columnNames"]
+        lines_path = os.path.join(scratch, f"{name}.jsonl")
+        with open(lines_path, "w", encoding="utf-8") as lf:
+            for rec in doc["data"].get(name, []):
+                lf.write(json.dumps(dict(zip(cols, rec))))
+                lf.write("\n")
+        df = (
+            spark.read.schema(_read_schema(schema))
+            .option("timestampFormat", TS_FMT)
+            .option("timestampNTZFormat", TS_FMT)
+            .json(lines_path)
+        )
+        for f in schema.fields:
+            if isinstance(f.dataType, T.BinaryType):
+                df = df.withColumn(f.name, F.unhex(F.upper(F.col(f.name))))
+        out[name] = df.to(schema)  # exact exported schema, still lazy
     return out
 
 
