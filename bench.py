@@ -145,10 +145,12 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         ]
         # untimed JIT/codegen warmup at the smallest SF: without it the
         # first timed query absorbs ~20s of compiler work that belongs
-        # to the JVM, not the plan
+        # to the JVM, not the plan. media_decode_meta additionally
+        # spawns the Python worker pool (mapInPandas) so no timed query
+        # pays the per-worker interpreter + pandas-import cost.
         warm_dir = "/root/testdata/sf0.001"
         if os.path.isdir(warm_dir):
-            for wq in ("q1_pricing_summary", "cdc_last_state"):
+            for wq in ("q1_pricing_summary", "cdc_last_state", "media_decode_meta"):
                 if wq in QUERIES:
                     force(QUERIES[wq](spark, warm_dir))
         for name in names:

@@ -135,15 +135,19 @@ def ann_lsh_topk(df: DataFrame, query_ids: list[int], k: int = 5,
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qe = df.select(F.col(id_col).alias("query_id"), _to_double(vec_col).alias("qe"))
-    te = df.select(F.col(id_col).alias("neighbor_id"), _to_double(vec_col).alias("te"))
+    # norms in the per-vector projections: computed once per vector at
+    # broadcast-build time, not once per candidate pair
+    qe = df.select(F.col(id_col).alias("query_id"), _to_double(vec_col).alias("qe"),
+                   _norm(_to_double(vec_col)).alias("qn"))
+    te = df.select(F.col(id_col).alias("neighbor_id"), _to_double(vec_col).alias("te"),
+                   _norm(_to_double(vec_col)).alias("tn"))
     sims = (
         cand.join(qe, "query_id")
         .join(te, "neighbor_id")
         .select(
             "query_id", "neighbor_id",
             (_dot(F.col("qe"), F.col("te"))
-             / (_norm(F.col("qe")) * _norm(F.col("te")))).alias("sim"),
+             / (F.col("qn") * F.col("tn"))).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))

@@ -238,9 +238,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     def norm(x):
         return F.sqrt(F.aggregate(F.transform(x, lambda a: a * a), F.lit(0.0), lambda s, v: s + v))
 
-    pe = e.select(F.col("vec_id").alias("probe_id"), to_d("embedding").alias("pe"))
-    te = e.select(F.col("vec_id").alias("cand_id"), to_d("embedding").alias("te"))
-    sim = dot(F.col("pe"), F.col("te")) / (norm(F.col("pe")) * norm(F.col("te")))
+    # norms ride in the per-vector projections, so the broadcast build
+    # computes each ONCE; the per-pair verify is just the dot product
+    # (same float expression dot/(pn*tn) as the oracle -- only WHERE
+    # the norm is evaluated moves)
+    pe = e.select(F.col("vec_id").alias("probe_id"), to_d("embedding").alias("pe"),
+                  norm(to_d("embedding")).alias("pn"))
+    te = e.select(F.col("vec_id").alias("cand_id"), to_d("embedding").alias("te"),
+                  norm(to_d("embedding")).alias("tn"))
+    sim = dot(F.col("pe"), F.col("te")) / (F.col("pn") * F.col("tn"))
     return (
         cand.join(pe, "probe_id")
         .join(te, "cand_id")
