@@ -67,6 +67,7 @@ HEADLINE_ORDER = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "minhash_lsh_dedup",
+    "dedup_clusters",
     "text_lang_id",
     "text_quality_stats",
     "doc_fingerprint",

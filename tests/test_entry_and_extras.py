@@ -111,3 +111,31 @@ def test_frame_sample_plumbing(spark):
     fs = frame_sample(d, every_n=2)
     rows = fs.groupBy("media_id").count().collect()
     assert all(1 <= r["count"] <= 2 for r in rows)  # n_frames in 1..4, every 2nd
+
+def test_dedup_clusters_transitive_keeplist(spark):
+    """dedup_clusters must assign one label per connected component of
+    the MinHash pair graph (A~B~C collapses to ONE cluster even when
+    the A~C pair was never emitted), label it with the component's
+    minimum doc_id, and mark exactly that doc as keep."""
+    qs = entrymod.queries()
+    pairs = [
+        (r["doc1"], r["doc2"])
+        for r in qs["minhash_lsh_dedup"](spark, SF).collect()
+    ]
+    labels = {
+        r["doc_id"]: (r["cluster"], r["keep"])
+        for r in qs["dedup_clusters"](spark, SF).collect()
+    }
+    assert pairs, "test setup: no near-dup pairs at this SF"
+    # domain = exactly the docs appearing in any pair
+    assert set(labels) == {d for p in pairs for d in p}
+    # transitivity: both endpoints of every pair share a cluster
+    for a, b in pairs:
+        assert labels[a][0] == labels[b][0], (a, b)
+    # cluster id is the component minimum; keep <=> doc IS that minimum
+    by_cluster: dict[int, list[int]] = {}
+    for doc, (cl, _) in labels.items():
+        by_cluster.setdefault(cl, []).append(doc)
+    for cl, members in by_cluster.items():
+        assert cl == min(members)
+        assert [d for d in members if labels[d][1]] == [cl]
