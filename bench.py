@@ -68,6 +68,8 @@ HEADLINE_ORDER = [
     "dedup_ngram_jaccard",
     "minhash_lsh_dedup",
     "dedup_clusters",
+    "url_canonical_dedup",
+    "boilerplate_score",
     "text_lang_id",
     "text_quality_stats",
     "doc_fingerprint",

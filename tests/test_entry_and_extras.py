@@ -139,3 +139,47 @@ def test_dedup_clusters_transitive_keeplist(spark):
     for cl, members in by_cluster.items():
         assert cl == min(members)
         assert [d for d in members if labels[d][1]] == [cl]
+
+
+def test_url_canonicalization_semantics(spark):
+    """Tracking params must vanish (variant collapses into the bare
+    URL) while REAL params survive, order-normalized -- conflating the
+    two would merge genuinely different pages."""
+    qs = entrymod.queries()
+    rows = {r["canonical_url"]: r for r in qs["url_canonical_dedup"](spark, SF).collect()}
+    bare = [u for u in rows if "?" not in u]
+    parammed = [u for u in rows if "?" in u]
+    assert bare and parammed
+    # every parammed canonical keeps exactly the sorted real params
+    assert all(u.endswith("?a=1&b=2") for u in parammed)
+    # no tracking params, ports, fragments, or uppercase hosts survive
+    for u in rows:
+        assert "utm_" not in u and ":443" not in u and "#" not in u
+        assert u.split("?")[0] == u.split("?")[0].lower()
+    # bare canonicals fold multiple raw spellings together
+    assert any(rows[u]["n_variants"] > 1 for u in bare)
+
+
+def test_boilerplate_score_bounds(spark):
+    qs = entrymod.queries()
+    rows = qs["boilerplate_score"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_boiler"] <= r["n_shingles"]
+        assert abs(r["boiler_ratio"] - r["n_boiler"] / r["n_shingles"]) < 1e-12
+        assert r["keep"] == (r["boiler_ratio"] < 0.5)
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical_url must be a projection onto its own image:
+    canon(canon(u)) == canon(u) for every crawler spelling."""
+    from yadamu___yet_another_data_migration_utility_spark.functions.urltools import (
+        canonical_url,
+    )
+
+    qs = entrymod.queries()
+    c1 = qs["url_canonical_dedup"](spark, SF).select(
+        F.col("canonical_url").alias("u")
+    )
+    twice = c1.select("u", canonical_url(F.col("u")).alias("u2"))
+    assert twice.filter(F.col("u") != F.col("u2")).count() == 0

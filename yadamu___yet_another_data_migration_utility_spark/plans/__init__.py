@@ -4,3 +4,4 @@ oracle SQL. __spark_entry__ and bench.py import from here."""
 from .catalog import ORACLES, QUERIES  # noqa: F401
 from . import textops  # noqa: F401  (registers its queries into the dicts)
 from . import moreops  # noqa: F401  (simhash, cosine dedup, rolling hash, staged round-trip)
+from . import webtext  # noqa: F401  (url canonicalization, boilerplate scoring)

@@ -1,0 +1,206 @@
+"""Webtext-pipeline operators: URL canonicalization + boilerplate scoring.
+
+Two steps every Common-Crawl-scale training-data pipeline runs BEFORE
+content dedup, completing the dedup family (exact -> minhash/simhash ->
+clusters) with the *upstream* normalizations that make it effective:
+
+- ``url_canonical_dedup``: the same page is crawled under many URL
+  spellings (host-case, default port, tracking params, fragments,
+  param order). Canonicalize -> group. Reference analogue: the
+  identifier-normalization layer of the migration engine
+  (/root/reference/src/YADAMU/common/yadamuDBI.js:497-653 normalizes
+  identifiers before matching tables across vendors); here the
+  identifier is the page URL.
+- ``boilerplate_score``: CCNet-style repeated-segment detection --
+  a shingle occurring in >= BOILER_DF distinct documents is navigation/
+  footer boilerplate, not content; per-doc boilerplate ratio drives a
+  keep/drop decision.
+
+Both are pure JVM-side column algebra + one or two hash shuffles -- no
+Python in the hot path, no collect, skew-free keys. Oracles replicate
+the exact same string/count algebra in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.urltools import canonical_url
+from .catalog import _register, load
+from .textops import _DOCS_AUG_SQL, _SHINGLES_SQL, docs_aug, shingles
+
+# ======================================================================
+# URL canonicalization
+# ======================================================================
+
+#: deterministic messy-URL fixture: five spellings of each page URL the
+#: way crawlers actually see them (seeded by event_id, no external data)
+_MESSY_URLS_SQL = f"""
+      SELECT event_id,
+             CASE CAST(event_id % 5 AS INTEGER)
+               WHEN 0 THEN base
+               WHEN 1 THEN concat(upper(regexp_extract(base, '^[a-z]+://[^/]*')),
+                                  substr(base, length(regexp_extract(base, '^[a-z]+://[^/]*')) + 1))
+               WHEN 2 THEN concat(base, '?utm_source=feed&utm_campaign=w',
+                                  CAST(event_id % 3 AS VARCHAR))
+               WHEN 3 THEN concat(base, '?b=2&a=1&utm_medium=rss')
+               ELSE replace(base, '.example.com/', '.example.com:443/') || '#frag'
+             END AS raw_url
+      FROM (SELECT event_id,
+                   concat('https://site', CAST(user_id % 10 AS VARCHAR),
+                          '.example.com/u/', CAST(user_id AS VARCHAR)) AS base
+            FROM events)
+"""
+
+_CANON_SQL = f"""
+    WITH messy AS ({_MESSY_URLS_SQL}),
+    defrag AS (
+      SELECT raw_url, regexp_replace(raw_url, '#.*$', '') AS u1 FROM messy
+    ),
+    lowhost AS (
+      SELECT raw_url,
+             regexp_replace(
+               concat(lower(regexp_extract(u1, '^[A-Za-z]+://[^/]*')),
+                      substr(u1, length(regexp_extract(u1, '^[A-Za-z]+://[^/]*')) + 1)),
+               ':443/', '/') AS u2
+      FROM defrag
+    ),
+    parts AS (
+      SELECT raw_url,
+             string_split(u2, '?')[1] AS path,
+             CASE WHEN len(string_split(u2, '?')) > 1
+                  THEN string_split(u2, '?')[2] ELSE '' END AS q
+      FROM lowhost
+    ),
+    cleaned AS (
+      SELECT raw_url, path,
+             regexp_replace(
+               regexp_replace(q, '(^|&)(utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+               '^&+', '') AS q2
+      FROM parts
+    ),
+    canon AS (
+      SELECT raw_url,
+             CASE WHEN q2 = '' THEN path
+                  ELSE concat(path, '?',
+                              array_to_string(list_sort(string_split(q2, '&')), '&'))
+             END AS canonical_url
+      FROM cleaned
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_variants,
+           MIN(raw_url) AS sample_raw
+    FROM canon
+    GROUP BY canonical_url
+"""
+
+
+@_register("url_canonical_dedup", _CANON_SQL)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup over the deterministic messy-URL
+    fixture (5 crawler spellings per page URL, seeded by event_id).
+
+    Semantics check built into the fixture: tracking params vanish
+    (variant 2 collapses into the bare URL) while REAL params survive
+    but are order-normalized (variant 3 stays a distinct canonical URL
+    with ``?a=1&b=2``) -- canonicalization must not conflate the two.
+
+    Scale: the whole canonicalizer is one narrow projection of string
+    builtins (regexp_replace/lower/split/array_sort -- all codegen'd
+    JVM-side, zero Python), then ONE hash shuffle on canonical_url with
+    map-side partial aggregation. Canonical URLs are near-unique ->
+    uniform keys, no skew; at 100 TB this is a scan-shaped job."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    base = F.concat(
+        F.lit("https://site"),
+        (F.col("user_id") % 10).cast("string"),
+        F.lit(".example.com/u/"),
+        F.col("user_id").cast("string"),
+    )
+    m = (F.col("event_id") % 5).cast("int")
+    upper_pre = F.regexp_extract(base, "^[a-z]+://[^/]*", 0)
+    raw = (
+        F.when(m == 0, base)
+        .when(m == 1, F.concat(F.upper(upper_pre), F.expr("substr(base, length(pre0) + 1)")))
+        .when(m == 2, F.concat(base, F.lit("?utm_source=feed&utm_campaign=w"),
+                               (F.col("event_id") % 3).cast("string")))
+        .when(m == 3, F.concat(base, F.lit("?b=2&a=1&utm_medium=rss")))
+        .otherwise(F.concat(F.regexp_replace(base, "\\.example\\.com/", ".example.com:443/"),
+                            F.lit("#frag")))
+    )
+    messy = ev.withColumn("base", base).withColumn("pre0", upper_pre).select(
+        raw.alias("raw_url")
+    )
+    return (
+        messy.select("raw_url", canonical_url(F.col("raw_url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.countDistinct("raw_url").alias("n_variants"),
+            F.min("raw_url").alias("sample_raw"),
+        )
+    )
+
+
+# ======================================================================
+# Boilerplate scoring (CCNet-style repeated-segment detection)
+# ======================================================================
+
+#: a shingle present in >= this many distinct docs is boilerplate
+BOILER_DF = 10
+
+_BOILER_SQL = f"""
+    WITH docs_aug AS ({_DOCS_AUG_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    marked AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY shingle) AS df_cnt FROM sh
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df_cnt >= {BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           CAST(SUM(CASE WHEN df_cnt >= {BOILER_DF} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS boiler_ratio,
+           CAST(SUM(CASE WHEN df_cnt >= {BOILER_DF} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) < 0.5 AS keep
+    FROM marked
+    GROUP BY doc_id
+"""
+
+
+@_register("boilerplate_score", _BOILER_SQL)
+def boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate ratio: the fraction of a doc's distinct
+    3-word shingles that occur in >= BOILER_DF distinct documents
+    (CCNet's repeated-paragraph heuristic, shingle-granular because the
+    synthetic corpus has no line structure). ``keep`` drops docs that
+    are mostly boilerplate.
+
+    Scale: shingle document-frequency via a COUNT window partitioned by
+    shingle -- ONE hash shuffle on the shingle key (uniform: md5-like
+    text), no self-join, no second scan of the corpus; then a groupBy
+    doc_id (second shuffle, uniform). Both aggregations are algebraic
+    (map-side partial). The df-count table is never materialized
+    driver-side. At 100 TB you'd pre-aggregate df counts once per
+    corpus snapshot and broadcast-join the tiny >=DF tail instead."""
+    sh = shingles(docs_aug(spark, sf_dir))
+    marked = sh.select(
+        "doc_id", F.count(F.lit(1)).over(W.partitionBy("shingle")).alias("df_cnt")
+    )
+    boiler = F.sum((F.col("df_cnt") >= BOILER_DF).cast("long"))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            boiler.alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            (F.col("n_boiler").cast("double") / F.col("n_shingles")).alias("boiler_ratio"),
+            ((F.col("n_boiler").cast("double") / F.col("n_shingles")) < 0.5).alias("keep"),
+        )
+    )
