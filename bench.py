@@ -353,14 +353,24 @@ def run_scaling(n_events: int, n_batches: int = 5,
     N=2 -> 4N=8 sits inside the linear region and therefore measures
     the ENGINE's scaling, not the VM's SMT ceiling. Both numbers are
     reported in BASELINE.md."""
-    lo, hi = cpu_pair
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
     # Generate the changelog ONCE, unpinned (untimed setup): every
     # pinned run then replays the bit-identical parquet files -- the
     # "same job, same input" requirement, without each subprocess
     # paying minutes of (untimed but wall-clock) generation.
     log_dir = tempfile.mkdtemp(prefix="bench_scaling_log_", dir=_scratch_dir())
     log_path = os.path.join(log_dir, "changelog")
+    try:
+        return _run_scaling_inner(n_events, n_batches, cpu_pair, log_path)
+    finally:
+        # scratch is tmpfs (RAM): a failed subprocess must not orphan an
+        # n_events-scale parquet changelog there
+        shutil.rmtree(log_dir, ignore_errors=True)
+
+
+def _run_scaling_inner(n_events: int, n_batches: int, cpu_pair: tuple[int, int],
+                       log_path: str) -> dict:
+    lo, hi = cpu_pair
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
     subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--gen-log", str(n_events),
          "--batches", str(n_batches), "--log-path", log_path],
@@ -403,7 +413,6 @@ def run_scaling(n_events: int, n_batches: int = 5,
             # same estimator is applied at both parallelism levels.
             if s["best"] is None or r["peak_batch_events_per_sec"] > s["best"]["peak_batch_events_per_sec"]:
                 s["best"] = r
-    shutil.rmtree(log_dir, ignore_errors=True)
     results = {}
     for cpus in (lo, hi):
         best = state[cpus]["best"]
@@ -454,6 +463,9 @@ def main() -> None:
                     help="pre-write dedup strategy for --replay/--scaling "
                          "(see run_replay docstring)")
     args = ap.parse_args()
+
+    if args.gen_log is not None and args.log_path is None:
+        ap.error("--gen-log requires --log-path (where to write the changelog)")
 
     if args.gen_log is not None:
         spark = build_spark(args.cpus)

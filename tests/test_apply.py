@@ -191,3 +191,36 @@ def test_schema_evolution_mid_stream(spark, tmp_table_root):
     got = t.read(spark).drop("warc_ts")
     res = compare(oracle, got, columns=["url", "lang", "text", "content_type", "_lsn"])
     assert res.ok, res
+
+
+def test_apply_precheck_rejects_before_writing(spark, tmp_table_root):
+    """precheck_errors=True: a poisoned batch beyond max_errors is
+    skipped/aborted on a cheap narrow count BEFORE the extract + delta
+    write -- no delta files for the batch ever land on disk -- while
+    quarantine rows still persist for diagnosis."""
+    import os
+
+    t = mk_table(tmp_table_root)
+    log = changelog_df(spark, 1000, 100, poison_mod=20, dup_mod=0)
+    bad = log.filter(F.col("lsn") <= 500)
+    m0 = apply_batch(t, bad, batch_id=0, max_errors=1, on_error="skip",
+                     precheck_errors=True)
+    assert m0.rows_skipped > 0 and m0.rows_merged_in == 0
+    assert t.is_applied(0)
+    assert t.audit_entries()[-1]["operation"] == "skip"
+    assert quarantine_df(spark, t).count() == m0.rows_quarantined
+    # the reject happened before any delta write: no data files at all
+    m = t.manifest()
+    assert all(not fl for fl in m["buckets"].values())
+    assert all(not fl for fl in m.get("deltas", {}).values())
+    # abort policy under precheck raises (fresh table), quarantine kept
+    t2 = mk_table(tmp_table_root + "_pre_abort")
+    with pytest.raises(BatchAborted, match="precheck"):
+        apply_batch(t2, bad, batch_id=0, max_errors=1, on_error="abort",
+                    precheck_errors=True)
+    assert quarantine_df(spark, t2).count() > 0
+    # clean batch with precheck on: applies normally (single merge path)
+    good = log.filter((F.col("lsn") > 500) & (F.col("lsn") <= 1000))
+    m1 = apply_batch(t, good, batch_id=1, max_errors=1000, on_error="skip",
+                     precheck_errors=True)
+    assert m1.rows_merged_in > 0

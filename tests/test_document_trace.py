@@ -124,3 +124,31 @@ def test_laketable_commits_traced(spark, tmp_path):
         assert any(r["op"] == "append" and r["rows"] == 10 for r in recs)
     finally:
         trace.disable()
+
+
+def test_compact_commit_traced_as_compact(spark, tmp_path):
+    """Audit-less commits (compact) must be labeled by their summary
+    operation in the trace, not fall back to 'create'."""
+    from yadamu___yet_another_data_migration_utility_spark.sources.laketable import LakeTable
+
+    path = str(tmp_path / "trace_compact.jsonl")
+    root = str(tmp_path / "lt_compact")
+    schema = "url string, val string"
+    import pyspark.sql.types as T
+
+    t = LakeTable.create(
+        root, T._parse_datatype_string(schema), key="url", bucket_count=2,
+        merge_mode="mor",
+    )
+    b = spark.createDataFrame(
+        [("a", "v1", "I", 1)], "url string, val string, op string, lsn long"
+    )
+    t.merge(spark, b, batch_id=0)
+    trace.enable(path)
+    try:
+        assert t.compact(spark, all_deltas=True) is not None
+        recs = [json.loads(l) for l in open(path)]
+        assert any(r["op"] == "compact" for r in recs)
+        assert not any(r["op"] == "create" for r in recs)
+    finally:
+        trace.disable()

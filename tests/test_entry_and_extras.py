@@ -183,3 +183,32 @@ def test_canonical_url_idempotent(spark):
     )
     twice = c1.select("u", canonical_url(F.col("u")).alias("u2"))
     assert twice.filter(F.col("u") != F.col("u2")).count() == 0
+
+
+def test_canonical_url_library_edge_cases(spark):
+    """The library surface must only strip the default port at the
+    https authority -- ':443' in paths/query values and on http (where
+    443 is NOT the default) is meaningful and must survive."""
+    from yadamu___yet_another_data_migration_utility_spark.functions.urltools import (
+        canonical_url,
+    )
+
+    cases = [
+        # (raw, expected canonical)
+        ("https://a.com/docs/rfc:443/intro", "https://a.com/docs/rfc:443/intro"),
+        ("https://a.com/r?to=https://b.com:443/p", "https://a.com/r?to=https://b.com:443/p"),
+        ("http://h:443/x", "http://h:443/x"),
+        ("https://h:443", "https://h"),
+        ("https://h:443/x", "https://h/x"),
+        ("https://h:443?a=1", "https://h?a=1"),
+        ("HTTPS://H.COM/Path#f", "https://h.com/Path"),
+        ("https://h/p?utm_source=x", "https://h/p"),
+        ("https://h/p?z=1&a=2", "https://h/p?a=2&z=1"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "raw string")
+    got = {
+        r["raw"]: r["canon"]
+        for r in df.select("raw", canonical_url(F.col("raw")).alias("canon")).collect()
+    }
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)

@@ -173,3 +173,30 @@ def test_jdbc_interface_options():
     # unpartitioned single-cursor read is still expressible
     single = JdbcSnapshotConfig(url="x", table="t").reader_options()
     assert "partitionColumn" not in single
+
+def test_compare_normalization_timestamp_ntz(spark, tmp_path):
+    """timestamp_precision must also truncate TIMESTAMP_NTZ -- what
+    Spark 4 actually reads back from parquet -- not only TIMESTAMP.
+    A µs->ms-lossy round-trip through parquet passes only with the
+    rule applied."""
+    src_p = str(tmp_path / "ntz_src")
+    tgt_p = str(tmp_path / "ntz_tgt")
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00.123456"), (2, "2024-03-01 10:00:00.999999")],
+        "id int, ts string",
+    ).select("id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    df.write.parquet(src_p)
+    df.select(
+        "id",
+        (F.col("ts").cast("timestamp")).alias("t0"),
+    ).select(
+        "id",
+        F.timestamp_millis(F.unix_millis("t0")).cast("timestamp_ntz").alias("ts"),
+    ).write.parquet(tgt_p)
+    src = spark.read.parquet(src_p)
+    tgt = spark.read.parquet(tgt_p)
+    import pyspark.sql.types as T
+
+    assert isinstance(src.schema["ts"].dataType, T.TimestampNTZType)
+    assert not compare(src, tgt).ok
+    assert compare(src, tgt, timestamp_precision=3).ok

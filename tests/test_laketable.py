@@ -180,9 +180,22 @@ def test_cow_merge_refuses_outstanding_deltas(spark, tmp_table_root):
     t.merge(spark, batch(spark, [("a", "v1", "I", 1)]), batch_id=0)
     with pytest.raises(RuntimeError, match="compact"):
         t.merge(spark, batch(spark, [("a", "v2", "U", 2)]), batch_id=1, mode="cow")
-    t.compact(spark, max_files_per_bucket=0)
+    # the remedy named in the error must actually unstick the table even
+    # when no bucket is over the default file-count threshold
+    assert t.compact(spark, all_deltas=True) is not None
+    assert all(not fl for fl in t.manifest()["deltas"].values())
     t.merge(spark, batch(spark, [("a", "v2", "U", 2)]), batch_id=1, mode="cow")
     assert state(spark, t) == {("a", "v2", 2)}
+
+
+def test_compact_default_leaves_thin_buckets_alone(spark, tmp_table_root):
+    """Default (auto-compaction cadence) must NOT rewrite buckets under
+    the file-count threshold even when they hold deltas -- that would
+    turn every streaming batch into a full rewrite (cow again)."""
+    t = mk(spark, tmp_table_root, merge_mode="mor")
+    t.merge(spark, batch(spark, [("a", "v1", "I", 1)]), batch_id=0)
+    assert t.compact(spark) is None
+    assert any(fl for fl in t.manifest()["deltas"].values())
 
 
 def test_record_skip_fences(spark, tmp_table_root):

@@ -15,6 +15,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: previous invocation's cached signature set per operator -- replaced
+#: (and unpersisted) on the next call, so repeated catalog invocations
+#: in one long-lived session hold at most ONE cached copy per op
+#: instead of piling blocks into executor storage until LRU thrash
+_live_caches: dict[str, DataFrame] = {}
+
+
+def persist_scoped(key: str, df: DataFrame) -> DataFrame:
+    prev = _live_caches.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session of the previous call may already be stopped
+    out = df.persist()
+    _live_caches[key] = out
+    return out
+
+
 def _to_double(col: str) -> F.Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
@@ -123,8 +142,11 @@ def ann_lsh_topk(df: DataFrame, query_ids: list[int], k: int = 5,
 
     # persist: both sides of the candidate self-join read the signature
     # set -- without this the 64-dot bucket computation runs twice
-    # (Spark has no cross-branch common-subtree elimination)
-    sig = lsh_table_buckets(df, id_col, vec_col, n_tables, n_bits).persist()
+    # (Spark has no cross-branch common-subtree elimination); scoped so
+    # re-invocation replaces (not leaks) the cache
+    sig = persist_scoped(
+        "ann_lsh_topk", lsh_table_buckets(df, id_col, vec_col, n_tables, n_bits)
+    )
     q = sig.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), "tbl", "bk"
     )

@@ -27,7 +27,9 @@ def canonical_url(u: Column) -> Column:
     1. strip the fragment (``#...`` never reaches the server),
     2. lowercase ``scheme://host`` (case-insensitive per RFC 3986;
        the path stays case-sensitive and is left alone),
-    3. drop the default ``:443`` port,
+    3. drop the default ``:443`` port -- anchored to the authority and
+       https-only, so ``:443`` inside a path or query value, or on an
+       ``http://`` URL (where 443 is NOT the default), is untouched,
     4. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``),
     5. sort the surviving query params (order never changes the page).
 
@@ -37,7 +39,9 @@ def canonical_url(u: Column) -> Column:
     u1 = F.regexp_replace(u, "#.*$", "")
     pre = F.regexp_extract(u1, "^[A-Za-z]+://[^/]*", 0)
     tail = u1.substr(F.length(pre) + F.lit(1), F.length(u1))
-    u2 = F.regexp_replace(F.concat(F.lower(pre), tail), ":443/", "/")
+    u2 = F.regexp_replace(
+        F.concat(F.lower(pre), tail), "^(https://[^/:?#]*):443([/?]|$)", "$1$2"
+    )
     parts = F.split(u2, "\\?", 2)
     path = F.element_at(parts, 1)
     q = F.when(F.size(parts) > 1, F.element_at(parts, 2)).otherwise(F.lit(""))

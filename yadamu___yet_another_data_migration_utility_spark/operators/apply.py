@@ -173,6 +173,7 @@ def apply_batch(
     on_error: str = "abort",
     run_extract: bool = True,
     dedup: str = "broadcast",
+    precheck_errors: bool = False,
 ) -> BatchMetrics:
     """Apply one micro-batch of change events to ``table``. Pure:
     (table, df, batch_id) -> metrics; safe to replay.
@@ -216,6 +217,51 @@ def apply_batch(
     # fence first: a replayed batch must not even re-count
     if table.is_applied(batch_id):
         return BatchMetrics(batch_id, 0, 0, 0, 0, 0, True, None, 0)
+
+    if precheck_errors and max_errors is not None and on_error in ("abort", "skip"):
+        # Opt-in extra pass for pipelines EXPECTING poison: evaluate the
+        # max_errors policy on a cheap narrow count BEFORE the extract +
+        # delta write, so a mostly-bad batch is rejected without paying
+        # full-batch compute that the single-job fast path would only
+        # write and then discard. Clean pipelines keep the default
+        # (False): one job per batch, policy checked in the pre-commit
+        # hook off the same Observation.
+        tagged0 = _tag_quarantine(batch_df, op_col, key, lsn_col)
+        pre = tagged0.agg(
+            F.count(F.lit(1)).alias("n_in"), F.count("_reason").alias("n_bad")
+        ).collect()[0]
+        if pre["n_bad"] > max_errors:
+            counts0 = {"rows_batch_in": pre["n_in"], "rows_quarantined": pre["n_bad"]}
+            # quarantine rows persist BEFORE the policy decision lands,
+            # same ordering contract as the in-merge hook
+            qdir = os.path.join(table.root, QUARANTINE_DIR, f"batch_id={batch_id}")
+            (
+                tagged0.filter(F.col("_reason").isNotNull())
+                .withColumn("_batch_id", F.lit(batch_id))
+                .withColumnRenamed("_reason", "reason")
+                .write.mode("overwrite")
+                .parquet(qdir)
+            )
+            if on_error == "skip":
+                v = table.record_skip(batch_id, extra_audit=counts0)
+                metrics = BatchMetrics(
+                    batch_id=batch_id,
+                    rows_in=pre["n_in"],
+                    rows_quarantined=pre["n_bad"],
+                    rows_deduped=0,
+                    rows_merged_in=0,
+                    rows_deleted=0,
+                    fenced=False,
+                    version=v,
+                    duration_ms=0,
+                    rows_skipped=pre["n_in"] - pre["n_bad"],
+                )
+                metrics.check_invariant()
+                return metrics
+            raise BatchAborted(
+                f"batch {batch_id}: {pre['n_bad']} quarantined > "
+                f"max_errors={max_errors} (precheck)"
+            )
 
     # Input/quarantine counts ride on an Observation attached above the
     # validity filter ON THE PROBE SIDE ONLY (the winner subtree is a

@@ -71,13 +71,21 @@ def _normalize(
     for name in columns:
         c = F.col(name)
         dt = by_name[name]
-        if timestamp_precision is not None and isinstance(dt, T.TimestampType):
+        if timestamp_precision is not None and isinstance(
+            dt, (T.TimestampType, T.TimestampNTZType)
+        ):
             # truncate (not round) to p fractional digits -- matches the
-            # reference's "compare at the coarser precision" semantics
+            # reference's "compare at the coarser precision" semantics.
+            # TIMESTAMP_NTZ (what Spark 4 reads back from parquet -- see
+            # sources/staged.py) round-trips through TIMESTAMP for the
+            # epoch arithmetic; tz offsets are whole minutes, so sub-
+            # second truncation is unaffected by the session zone.
             step = 10 ** (6 - timestamp_precision)
-            c = F.timestamp_micros(
-                (F.floor(F.unix_micros(c) / step) * step).cast("long")
+            ts = c.cast("timestamp") if isinstance(dt, T.TimestampNTZType) else c
+            trunc = F.timestamp_micros(
+                (F.floor(F.unix_micros(ts) / step) * step).cast("long")
             )
+            c = trunc.cast("timestamp_ntz") if isinstance(dt, T.TimestampNTZType) else trunc
         if double_precision is not None and isinstance(dt, (T.DoubleType, T.FloatType)):
             c = F.round(c.cast("double"), double_precision)
         if infinity_is_null and isinstance(dt, (T.DoubleType, T.FloatType)):

@@ -67,6 +67,9 @@ def trace_event(op: str, table: str | None = None, rows: int | None = None,
         return
     global _seq
     with _lock:
+        path = _path  # re-read under the lock: a concurrent disable()
+        if path is None:  # between the fast check and here must not
+            return  # turn into open(None)
         _seq += 1
         rec = {
             "seq": _seq,
@@ -79,7 +82,7 @@ def trace_event(op: str, table: str | None = None, rows: int | None = None,
             "batch_id": batch_id,
             "detail": detail or None,
         }
-        with open(_path, "a") as f:
+        with open(path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
 

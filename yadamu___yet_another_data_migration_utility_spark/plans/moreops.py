@@ -223,12 +223,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured (and asserted >= 0.6) in tests. The oracle replicates the
     identical bucketing, so correctness is exact for the candidate
     semantics."""
-    from ..functions.similarity import lsh_table_buckets
+    from ..functions.similarity import lsh_table_buckets, persist_scoped
 
     e = load(spark, sf_dir, "embeddings")
     to_d = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
-    # persist: probe and candidate branches both read the signatures
-    sig = lsh_table_buckets(e, "vec_id", "embedding", _EMB_TABLES, _EMB_BITS).persist()
+    # persist: probe and candidate branches both read the signatures;
+    # scoped so re-invocation replaces (not leaks) the cache
+    sig = persist_scoped(
+        "dedup_embedding_cosine",
+        lsh_table_buckets(e, "vec_id", "embedding", _EMB_TABLES, _EMB_BITS),
+    )
     probes = sig.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("probe_id"), "tbl", "bk"
     )

@@ -63,7 +63,7 @@ _CANON_SQL = f"""
              regexp_replace(
                concat(lower(regexp_extract(u1, '^[A-Za-z]+://[^/]*')),
                       substr(u1, length(regexp_extract(u1, '^[A-Za-z]+://[^/]*')) + 1)),
-               ':443/', '/') AS u2
+               '^(https://[^/:?#]*):443([/?]|$)', '\\1\\2') AS u2
       FROM defrag
     ),
     parts AS (

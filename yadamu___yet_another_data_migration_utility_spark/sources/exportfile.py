@@ -42,10 +42,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .staged import TS_FMT  # ONE microsecond-ISO pattern across sources/
+
 FORMAT_VENDOR = "yadamu_spark_cdc"
-#: Spark pattern for the export's microsecond ISO-8601 timestamps
-#: (text-identical to the old strftime("%Y-%m-%dT%H:%M:%S.%f") output).
-TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 
 def _encode_col(f: T.StructField) -> F.Column:

@@ -237,8 +237,11 @@ class LakeTable:
 
         if trace.enabled():  # operational log (ref sqlTrace, yadamuDBI.js:243)
             a = manifest.get("audit") or {}
+            op = a.get("operation") or (manifest.get("summary") or {}).get(
+                "operation", "create"
+            )  # audit-less commits (compact) carry their op in summary
             trace.trace_event(
-                a.get("operation", "create"), table=self.root,
+                op, table=self.root,
                 rows=a.get("rows_applied"), batch_id=a.get("batch_id"),
                 version=v,
             )
@@ -588,7 +591,8 @@ class LakeTable:
             # a cow rewrite of a bucket must fold its deltas too; keep
             # the two paths composable by compacting first
             raise RuntimeError(
-                "cow merge on a table with outstanding mor deltas: compact() first"
+                "cow merge on a table with outstanding mor deltas: "
+                "compact(spark, all_deltas=True) first"
             )
 
         table_schema = _evolved_schema(m, batch_df, op_col, lsn_col)
@@ -751,23 +755,30 @@ class LakeTable:
         self._write_manifest(manifest, expected_parent=m["version"])
         return v
 
-    def compact(self, spark: SparkSession, max_files_per_bucket: int = 4) -> int | None:
+    def compact(
+        self,
+        spark: SparkSession,
+        max_files_per_bucket: int = 4,
+        all_deltas: bool = False,
+    ) -> int | None:
         """Fold delta files into the base and rewrite buckets holding
         too many files (Iceberg: rewrite_data_files; reference analogue:
         Vertica mergeout every N inserts,
         /root/reference/src/YADAMU/vertica/node/verticaWriter.js:467-484).
 
         A bucket is rewritten when base+delta file count exceeds
-        ``max_files_per_bucket`` OR it has any deltas older than this
-        compaction can leave (deltas are always folded when a bucket is
-        selected). Compaction materializes the resolved state, so
-        winning tombstones physically disappear."""
+        ``max_files_per_bucket`` -- the streaming auto-compaction
+        cadence -- or, with ``all_deltas=True``, when it has ANY delta:
+        the full fold a cow merge on a mor table requires. Deltas are
+        always folded when a bucket is selected. Compaction materializes
+        the resolved state, so winning tombstones physically disappear."""
         m = self.manifest()
         deltas = m.get("deltas", {})
         all_buckets = set(m["buckets"]) | {b for b, fl in deltas.items() if fl}
         fat = [
             int(b) for b in all_buckets
             if len(m["buckets"].get(b, [])) + len(deltas.get(b, [])) > max_files_per_bucket
+            or (all_deltas and deltas.get(b))
         ]
         if not fat:
             return None
