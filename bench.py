@@ -70,6 +70,7 @@ HEADLINE_ORDER = [
     "dedup_clusters",
     "url_canonical_dedup",
     "boilerplate_score",
+    "pipeline_keep_list",
     "text_lang_id",
     "text_quality_stats",
     "doc_fingerprint",

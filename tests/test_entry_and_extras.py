@@ -212,3 +212,51 @@ def test_canonical_url_library_edge_cases(spark):
     }
     for raw, want in cases:
         assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_pipeline_keep_list_consistent_with_components(spark):
+    """The composed keep-list must agree with its component operators
+    under the documented precedence (exact_dup > near_dup > boilerplate
+    > too_short), recomputed independently here in plain Python."""
+    import hashlib
+
+    from yadamu___yet_another_data_migration_utility_spark.plans.webtext import (
+        BOILER_DROP_RATIO,
+        MIN_WORDS,
+    )
+    from yadamu___yet_another_data_migration_utility_spark.plans.textops import docs_aug
+
+    qs = entrymod.queries()
+    docs = {r["doc_id"]: r["text"] for r in docs_aug(spark, SF).collect()}
+    clusters = {
+        r["doc_id"]: r["cluster"] for r in qs["dedup_clusters"](spark, SF).collect()
+    }
+    ratios = {
+        r["doc_id"]: r["boiler_ratio"]
+        for r in qs["boilerplate_score"](spark, SF).collect()
+    }
+    min_by_md5: dict[str, int] = {}
+    for d, t in docs.items():
+        fp = hashlib.md5(t.encode()).hexdigest()
+        min_by_md5[fp] = min(min_by_md5.get(fp, d), d)
+
+    def expected(d: int) -> str | None:
+        if d != min_by_md5[hashlib.md5(docs[d].encode()).hexdigest()]:
+            return "exact_dup"
+        if d in clusters and clusters[d] != d:
+            return "near_dup"
+        if ratios.get(d) is not None and ratios[d] >= BOILER_DROP_RATIO:
+            return "boilerplate"
+        if len(docs[d].split(" ")) < MIN_WORDS:
+            return "too_short"
+        return None
+
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in qs["pipeline_keep_list"](spark, SF).collect()}
+    assert set(got) == set(docs)
+    for d in docs:
+        want = expected(d)
+        assert got[d] == (want is None, want), (d, got[d], want)
+    # the corpus actually exercises the dedup legs at this SF
+    assert any(r == "exact_dup" for _, r in got.values())
+    assert any(r == "near_dup" for _, r in got.values())

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.urltools import canonical_url
 from .catalog import _register, load
-from .textops import _DOCS_AUG_SQL, _SHINGLES_SQL, docs_aug, shingles
+from .textops import _DOCS_AUG_SQL, _MINHASH_SQL, _SHINGLES_SQL, docs_aug, shingles
 
 # ======================================================================
 # URL canonicalization
@@ -168,6 +168,107 @@ _BOILER_SQL = f"""
     FROM marked
     GROUP BY doc_id
 """
+
+
+#: rule thresholds for the composed keep-list
+MIN_WORDS = 5
+BOILER_DROP_RATIO = 0.5
+
+_KEEP_LIST_SQL = f"""
+    WITH RECURSIVE
+    docs_aug AS ({_DOCS_AUG_SQL}),
+    pairs AS ({{minhash}}),
+    edges AS (
+      SELECT doc1 AS a, doc2 AS b FROM pairs
+      UNION ALL
+      SELECT doc2, doc1 FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+    ),
+    sh AS ({_SHINGLES_SQL}),
+    marked AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY shingle) AS df_cnt FROM sh
+    ),
+    boiler AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN df_cnt >= {{boiler_df}} THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS boiler_ratio
+      FROM marked GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+             len(string_split(text, ' ')) AS n_words
+      FROM docs_aug
+    ),
+    scored AS (
+      SELECT e.doc_id,
+             CASE WHEN e.doc_id != e.keep_id THEN 'exact_dup'
+                  WHEN c.cluster IS NOT NULL AND c.cluster != e.doc_id THEN 'near_dup'
+                  WHEN b.boiler_ratio >= {BOILER_DROP_RATIO} THEN 'boilerplate'
+                  WHEN e.n_words < {MIN_WORDS} THEN 'too_short'
+             END AS reason
+      FROM base e
+      LEFT JOIN clusters c ON c.doc_id = e.doc_id
+      LEFT JOIN boiler b ON b.doc_id = e.doc_id
+    )
+    SELECT doc_id, reason IS NULL AS keep, reason FROM scored
+"""
+
+
+@_register(
+    "pipeline_keep_list",
+    _KEEP_LIST_SQL.format(minhash=_MINHASH_SQL, boiler_df=BOILER_DF),
+)
+def pipeline_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-artifact of the training-data pipeline: ONE row per doc
+    with a keep/drop decision and the winning drop reason, composing
+    the dedup + quality family in fixed precedence:
+
+      exact_dup (not the min-id copy of byte-identical text)
+      > near_dup (MinHash cluster member, not the cluster canonical)
+      > boilerplate (BOILER_DROP_RATIO+ of shingles corpus-repeated)
+      > too_short (under MIN_WORDS words)
+
+    This is the query a 100 TB pipeline materializes and then
+    anti-joins the corpus against; pairs/clusters/scores alone are
+    intermediates. Scale: reuses the component operators' shapes
+    (hash shuffles + one iterative label propagation), then three
+    LEFT equi-joins on doc_id -- uniform keys, broadcastable tails.
+    Oracle: the same composition as one recursive-CTE SQL document."""
+    from .moreops import dedup_clusters
+
+    d = docs_aug(spark, sf_dir)
+    w = W.partitionBy(F.md5("text"))
+    base = d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("keep_id"),
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+    )
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster")
+    boiler = boilerplate_score(spark, sf_dir).select("doc_id", "boiler_ratio")
+    scored = (
+        base.join(clusters, "doc_id", "left")
+        .join(boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("keep_id"), "exact_dup")
+            .when(
+                F.col("cluster").isNotNull() & (F.col("cluster") != F.col("doc_id")),
+                "near_dup",
+            )
+            .when(F.col("boiler_ratio") >= BOILER_DROP_RATIO, "boilerplate")
+            .when(F.col("n_words") < MIN_WORDS, "too_short")
+            .alias("reason"),
+        )
+    )
+    return scored.select("doc_id", F.col("reason").isNull().alias("keep"), "reason")
 
 
 @_register("boilerplate_score", _BOILER_SQL)
