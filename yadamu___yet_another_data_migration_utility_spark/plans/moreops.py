@@ -569,13 +569,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     list alone cannot answer "which docs do I drop" (dropping one doc
     per pair over-deletes when A~B~C).
 
-    Scale: each iteration is one equi-join + partial-min aggregation on
-    (doc_id) -- all-reduce free, skew-free (components of near-dup text
-    are tiny cliques), converging in O(component diameter) iterations
-    (measured 2-3 here); ``localCheckpoint`` truncates the growing
-    lineage each round. The label table is O(docs-in-any-pair), never
-    O(corpus). The DuckDB oracle computes the identical components via
-    a recursive transitive closure -- exact, no floats involved."""
+    Scale: each iteration is ONE Spark job -- equi-join + partial-min
+    aggregation on (doc_id), materialized by ``localCheckpoint`` (which
+    also truncates the growing lineage) -- all-reduce free, skew-free
+    (components of near-dup text are tiny cliques), converging in
+    O(component diameter) iterations (measured 2-3 here). Convergence
+    detection is FREE: labels only ever decrease under min-propagation,
+    so sum(cluster) is unchanged iff no label moved, and that sum rides
+    the checkpoint job via ``observe`` instead of costing a second
+    join+count action per round. The label table is O(docs-in-any-pair),
+    never O(corpus). The DuckDB oracle computes the identical components
+    via a recursive transitive closure -- exact, no floats involved."""
+    from pyspark.sql import Observation
+
     from .textops import minhash_lsh_dedup
 
     pairs = minhash_lsh_dedup(spark, sf_dir).select("doc1", "doc2")
@@ -588,29 +594,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("cluster"))
         .localCheckpoint()
     )
+    prev_sum = None
+    it = 0
     while True:
+        it += 1
         nbr_min = (
             edges.join(labels, edges["doc2"] == labels["doc_id"])
             .groupBy("doc1")
             .agg(F.min("cluster").alias("nbr"))
         )
+        obs = Observation(f"dedup_clusters_{it}")
         new = (
             labels.join(nbr_min, labels["doc_id"] == nbr_min["doc1"], "left")
             .select(
                 labels["doc_id"],
                 F.least(labels["cluster"], F.coalesce(F.col("nbr"), labels["cluster"])).alias("cluster"),
             )
+            .observe(obs, F.sum("cluster").alias("label_sum"))
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster") < F.col("o.cluster"))
-            .count()
-        )
+        cur_sum = obs.get["label_sum"]  # fired by the checkpoint job
         labels = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(
         "doc_id", "cluster", (F.col("doc_id") == F.col("cluster")).alias("keep")
     )
