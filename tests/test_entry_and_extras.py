@@ -167,7 +167,11 @@ def test_boilerplate_score_bounds(spark):
     for r in rows:
         assert 0 <= r["n_boiler"] <= r["n_shingles"]
         assert abs(r["boiler_ratio"] - r["n_boiler"] / r["n_shingles"]) < 1e-12
-        assert r["keep"] == (r["boiler_ratio"] < 0.5)
+        from yadamu___yet_another_data_migration_utility_spark.plans.webtext import (
+            BOILER_DROP_RATIO,
+        )
+
+        assert r["keep"] == (r["boiler_ratio"] < BOILER_DROP_RATIO)
 
 
 def test_canonical_url_idempotent(spark):
@@ -204,6 +208,10 @@ def test_canonical_url_library_edge_cases(spark):
         ("HTTPS://H.COM/Path#f", "https://h.com/Path"),
         ("https://h/p?utm_source=x", "https://h/p"),
         ("https://h/p?z=1&a=2", "https://h/p?a=2&z=1"),
+        # path-less URL: query values keep their case (authority regex
+        # must stop at '?')
+        ("https://a.com?id=AbC", "https://a.com?id=AbC"),
+        ("HTTPS://A.COM?id=AbC", "https://a.com?id=AbC"),
     ]
     df = spark.createDataFrame([(r,) for r, _ in cases], "raw string")
     got = {

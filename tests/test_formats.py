@@ -200,3 +200,29 @@ def test_compare_normalization_timestamp_ntz(spark, tmp_path):
     assert isinstance(src.schema["ts"].dataType, T.TimestampNTZType)
     assert not compare(src, tgt).ok
     assert compare(src, tgt, timestamp_precision=3).ok
+
+
+def test_compare_ntz_truncation_dst_gap_safe(spark):
+    """NTZ truncation must not round-trip whole seconds through the
+    session zone: inside a DST spring-forward gap that collapses
+    values an hour apart into one instant."""
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        src = spark.createDataFrame(
+            [(1, "2024-03-10 02:30:00.123456")], "id int, ts string"
+        ).select("id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+        tgt = spark.createDataFrame(
+            [(1, "2024-03-10 03:30:00.123456")], "id int, ts string"
+        ).select("id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+        res = compare(src, tgt, timestamp_precision=3)
+        assert not res.ok, "gap times an hour apart compared equal"
+        # and truncation itself still works on NTZ under a non-UTC zone
+        tgt2 = src.select(
+            "id",
+            F.col("ts").cast("string").substr(F.lit(1), F.lit(23)).cast("timestamp_ntz").alias("ts"),
+        )
+        assert not compare(src, tgt2).ok
+        assert compare(src, tgt2, timestamp_precision=3).ok
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -11,6 +11,8 @@ Hyperplanes are DETERMINISTIC pseudo-vectors derived from md5(bit, dim)
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -20,17 +22,19 @@ from pyspark.sql import functions as F
 #: in one long-lived session hold at most ONE cached copy per op
 #: instead of piling blocks into executor storage until LRU thrash
 _live_caches: dict[str, DataFrame] = {}
+_live_caches_lock = threading.Lock()
 
 
 def persist_scoped(key: str, df: DataFrame) -> DataFrame:
-    prev = _live_caches.pop(key, None)
-    if prev is not None:
+    out = df.persist()
+    with _live_caches_lock:  # concurrent same-key callers must not
+        prev = _live_caches.get(key)  # unpersist each other's cache or
+        _live_caches[key] = out  # strand an untracked persisted df
+    if prev is not None and prev is not out:
         try:
             prev.unpersist()
         except Exception:
             pass  # session of the previous call may already be stopped
-    out = df.persist()
-    _live_caches[key] = out
     return out
 
 

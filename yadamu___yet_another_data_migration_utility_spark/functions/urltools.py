@@ -37,7 +37,10 @@ def canonical_url(u: Column) -> Column:
     ``plans/webtext.py`` so string equality is exact.
     """
     u1 = F.regexp_replace(u, "#.*$", "")
-    pre = F.regexp_extract(u1, "^[A-Za-z]+://[^/]*", 0)
+    # authority stops at '/', '?' or '#' -- '[^/]*' alone would run into
+    # the query string on path-less URLs and lowercase case-sensitive
+    # query values
+    pre = F.regexp_extract(u1, "^[A-Za-z]+://[^/?#]*", 0)
     tail = u1.substr(F.length(pre) + F.lit(1), F.length(u1))
     u2 = F.regexp_replace(
         F.concat(F.lower(pre), tail), "^(https://[^/:?#]*):443([/?]|$)", "$1$2"

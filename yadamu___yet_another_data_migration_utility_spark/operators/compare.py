@@ -76,16 +76,21 @@ def _normalize(
         ):
             # truncate (not round) to p fractional digits -- matches the
             # reference's "compare at the coarser precision" semantics.
-            # TIMESTAMP_NTZ (what Spark 4 reads back from parquet -- see
-            # sources/staged.py) round-trips through TIMESTAMP for the
-            # epoch arithmetic; tz offsets are whole minutes, so sub-
-            # second truncation is unaffected by the session zone.
-            step = 10 ** (6 - timestamp_precision)
-            ts = c.cast("timestamp") if isinstance(dt, T.TimestampNTZType) else c
-            trunc = F.timestamp_micros(
-                (F.floor(F.unix_micros(ts) / step) * step).cast("long")
-            )
-            c = trunc.cast("timestamp_ntz") if isinstance(dt, T.TimestampNTZType) else trunc
+            if isinstance(dt, T.TimestampNTZType):
+                # TIMESTAMP_NTZ (what Spark 4 reads back from parquet --
+                # see sources/staged.py): truncate on the STRING form,
+                # which is zone-free. Anything touching the epoch (even
+                # date_trunc) coerces NTZ through the session zone and
+                # collapses values inside a DST spring-forward gap
+                # (tested: test_compare_ntz_truncation_dst_gap_safe).
+                p = min(timestamp_precision, 6)
+                ln = 19 if p <= 0 else 20 + p
+                c = c.cast("string").substr(1, ln).cast("timestamp_ntz")
+            else:
+                step = 10 ** (6 - timestamp_precision)
+                c = F.timestamp_micros(
+                    (F.floor(F.unix_micros(c) / step) * step).cast("long")
+                )
         if double_precision is not None and isinstance(dt, (T.DoubleType, T.FloatType)):
             c = F.round(c.cast("double"), double_precision)
         if infinity_is_null and isinstance(dt, (T.DoubleType, T.FloatType)):

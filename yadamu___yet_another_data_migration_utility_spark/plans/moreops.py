@@ -541,9 +541,11 @@ def document_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup clusters: pairs -> connected components -> keep-list
 # ======================================================================
 
-_CLUSTERS_SQL = f"""
-    WITH RECURSIVE pairs AS ({{minhash}}),
-    edges AS (
+#: connected components of a `pairs(doc1, doc2)` CTE via recursive
+#: transitive closure -- shared verbatim by the dedup_clusters oracle
+#: and the composed pipeline_keep_list oracle (plans/webtext.py) so
+#: there is ONE source of truth for the closure
+_CC_CTES = """edges AS (
       SELECT doc1 AS a, doc2 AS b FROM pairs
       UNION ALL
       SELECT doc2, doc1 FROM pairs
@@ -552,11 +554,15 @@ _CLUSTERS_SQL = f"""
       SELECT a, b FROM edges
       UNION
       SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    )
-    SELECT a AS doc_id,
-           LEAST(a, MIN(b)) AS cluster,
-           a = LEAST(a, MIN(b)) AS keep
-    FROM reach GROUP BY a
+    ),
+    cc AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+    )"""
+
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS ({{minhash}}),
+    {_CC_CTES}
+    SELECT doc_id, cluster, doc_id = cluster AS keep FROM cc
 """
 
 
@@ -594,6 +600,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("cluster"))
         .localCheckpoint()
     )
+    # checkpoint-block lifetime: each superseded labels checkpoint is a
+    # tiny (O(docs-in-pairs) x 2-long-columns) block set; the py4j proxy
+    # drops on reassignment below, so ContextCleaner frees it -- no
+    # unbounded accumulation across iterations or invocations
     prev_sum = None
     it = 0
     while True:

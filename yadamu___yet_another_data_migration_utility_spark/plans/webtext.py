@@ -28,7 +28,32 @@ from pyspark.sql import functions as F
 
 from ..functions.urltools import canonical_url
 from .catalog import _register, load
+from .moreops import _CC_CTES, dedup_clusters
 from .textops import _DOCS_AUG_SQL, _MINHASH_SQL, _SHINGLES_SQL, docs_aug, shingles
+
+#: a shingle present in >= this many distinct docs is boilerplate
+BOILER_DF = 10
+#: a doc whose boilerplate ratio reaches this is dropped
+BOILER_DROP_RATIO = 0.5
+#: docs under this many words are dropped by the composed keep-list
+MIN_WORDS = 5
+
+#: shingle-document-frequency scoring over a `docs_aug` CTE -- shared
+#: verbatim by the boilerplate_score oracle and the composed
+#: pipeline_keep_list oracle (one source of truth)
+_BOILER_CTES = f"""sh AS ({_SHINGLES_SQL}),
+    marked AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY shingle) AS df_cnt FROM sh
+    ),
+    boiler AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN df_cnt >= {BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler,
+             CAST(SUM(CASE WHEN df_cnt >= {BOILER_DF} THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS boiler_ratio
+      FROM marked GROUP BY doc_id
+    )"""
 
 # ======================================================================
 # URL canonicalization
@@ -61,8 +86,8 @@ _CANON_SQL = f"""
     lowhost AS (
       SELECT raw_url,
              regexp_replace(
-               concat(lower(regexp_extract(u1, '^[A-Za-z]+://[^/]*')),
-                      substr(u1, length(regexp_extract(u1, '^[A-Za-z]+://[^/]*')) + 1)),
+               concat(lower(regexp_extract(u1, '^[A-Za-z]+://[^/?#]*')),
+                      substr(u1, length(regexp_extract(u1, '^[A-Za-z]+://[^/?#]*')) + 1)),
                '^(https://[^/:?#]*):443([/?]|$)', '\\1\\2') AS u2
       FROM defrag
     ),
@@ -148,59 +173,21 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Boilerplate scoring (CCNet-style repeated-segment detection)
 # ======================================================================
 
-#: a shingle present in >= this many distinct docs is boilerplate
-BOILER_DF = 10
-
 _BOILER_SQL = f"""
     WITH docs_aug AS ({_DOCS_AUG_SQL}),
-    sh AS ({_SHINGLES_SQL}),
-    marked AS (
-      SELECT doc_id, COUNT(*) OVER (PARTITION BY shingle) AS df_cnt FROM sh
-    )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_shingles,
-           CAST(SUM(CASE WHEN df_cnt >= {BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_boiler,
-           CAST(SUM(CASE WHEN df_cnt >= {BOILER_DF} THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*) AS boiler_ratio,
-           CAST(SUM(CASE WHEN df_cnt >= {BOILER_DF} THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*) < 0.5 AS keep
-    FROM marked
-    GROUP BY doc_id
+    {_BOILER_CTES}
+    SELECT doc_id, n_shingles, n_boiler, boiler_ratio,
+           boiler_ratio < {BOILER_DROP_RATIO} AS keep
+    FROM boiler
 """
 
-
-#: rule thresholds for the composed keep-list
-MIN_WORDS = 5
-BOILER_DROP_RATIO = 0.5
 
 _KEEP_LIST_SQL = f"""
     WITH RECURSIVE
     docs_aug AS ({_DOCS_AUG_SQL}),
     pairs AS ({{minhash}}),
-    edges AS (
-      SELECT doc1 AS a, doc2 AS b FROM pairs
-      UNION ALL
-      SELECT doc2, doc1 FROM pairs
-    ),
-    reach(a, b) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    ),
-    clusters AS (
-      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
-    ),
-    sh AS ({_SHINGLES_SQL}),
-    marked AS (
-      SELECT doc_id, COUNT(*) OVER (PARTITION BY shingle) AS df_cnt FROM sh
-    ),
-    boiler AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN df_cnt >= {{boiler_df}} THEN 1 ELSE 0 END) AS DOUBLE)
-               / COUNT(*) AS boiler_ratio
-      FROM marked GROUP BY doc_id
-    ),
+    {_CC_CTES},
+    {_BOILER_CTES},
     base AS (
       SELECT doc_id,
              MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
@@ -215,7 +202,7 @@ _KEEP_LIST_SQL = f"""
                   WHEN e.n_words < {MIN_WORDS} THEN 'too_short'
              END AS reason
       FROM base e
-      LEFT JOIN clusters c ON c.doc_id = e.doc_id
+      LEFT JOIN cc c ON c.doc_id = e.doc_id
       LEFT JOIN boiler b ON b.doc_id = e.doc_id
     )
     SELECT doc_id, reason IS NULL AS keep, reason FROM scored
@@ -224,7 +211,7 @@ _KEEP_LIST_SQL = f"""
 
 @_register(
     "pipeline_keep_list",
-    _KEEP_LIST_SQL.format(minhash=_MINHASH_SQL, boiler_df=BOILER_DF),
+    _KEEP_LIST_SQL.format(minhash=_MINHASH_SQL),
 )
 def pipeline_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-artifact of the training-data pipeline: ONE row per doc
@@ -241,9 +228,9 @@ def pipeline_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediates. Scale: reuses the component operators' shapes
     (hash shuffles + one iterative label propagation), then three
     LEFT equi-joins on doc_id -- uniform keys, broadcastable tails.
-    Oracle: the same composition as one recursive-CTE SQL document."""
-    from .moreops import dedup_clusters
-
+    Oracle: the same composition as one recursive-CTE SQL document,
+    assembled from the SAME shared fragments (_CC_CTES, _BOILER_CTES)
+    the component oracles use."""
     d = docs_aug(spark, sf_dir)
     w = W.partitionBy(F.md5("text"))
     base = d.select(
@@ -291,6 +278,7 @@ def boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.count(F.lit(1)).over(W.partitionBy("shingle")).alias("df_cnt")
     )
     boiler = F.sum((F.col("df_cnt") >= BOILER_DF).cast("long"))
+    ratio = F.col("n_boiler").cast("double") / F.col("n_shingles")
     return (
         marked.groupBy("doc_id")
         .agg(
@@ -301,7 +289,7 @@ def boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_shingles",
             "n_boiler",
-            (F.col("n_boiler").cast("double") / F.col("n_shingles")).alias("boiler_ratio"),
-            ((F.col("n_boiler").cast("double") / F.col("n_shingles")) < 0.5).alias("keep"),
+            ratio.alias("boiler_ratio"),
+            (ratio < BOILER_DROP_RATIO).alias("keep"),
         )
     )
