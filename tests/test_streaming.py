@@ -112,3 +112,65 @@ def test_replay_compaction_and_metrics_tables(spark, tmp_path):
     sums = ldf.groupBy("batch_id").agg(F.sum("row_count").alias("n"))
     bad = sums.join(merges, "batch_id").filter(F.col("n") != F.col("rows_in"))
     assert bad.count() == 0
+
+
+def test_streaming_hourly_rollup_watermark_semantics(spark, tmp_path):
+    """Stateful windowed rollup with late data: an event arriving late
+    but inside the watermark is folded into its (still-open) window; an
+    event older than the watermark whose window was already finalized
+    is dropped; finalized windows match the batch aggregation exactly."""
+    import time as _time
+
+    from pyspark.sql import Row
+    from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
+        start_hourly_rollup,
+    )
+
+    wal = str(tmp_path / "wal_roll")
+
+    def seg(rows):
+        from datetime import datetime
+
+        df = spark.createDataFrame(
+            [Row(lsn=l, op=o, url=u,
+                 warc_ts=datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"),
+                 html=None, lang="en")
+             for (l, o, u, ts) in rows],
+            "lsn long, op string, url string, warc_ts timestamp, "
+            "html binary, lang string",
+        )
+        df.coalesce(1).write.mode("append").parquet(wal)
+        _time.sleep(0.1)  # distinct mtimes -> deterministic file order
+
+    T0 = "2024-01-01 "
+    # segment 1: window [10:00,11:00) opens
+    seg([(1, "I", "u1", T0 + "10:10:00"),
+         (2, "U", "u2", T0 + "10:40:00")])
+    # segment 2: 10:20 arrives LATE (event time < max seen) but its
+    # window is still open -> must be folded in
+    seg([(3, "I", "u3", T0 + "10:20:00")])
+    # segments 3+4: advance event time; the watermark lags one batch,
+    # so segment 4's batch runs with wm = 13:30-1h = 12:30 and evicts +
+    # emits the finalized [10:00,11:00) windows exactly once
+    seg([(5, "I", "u9", T0 + "13:30:00")])
+    seg([(6, "I", "u8", T0 + "14:00:00")])
+    # segment 5: lsn=4 is TOO late -- its window was already finalized
+    # and emitted -> must be dropped (no duplicate window row, no
+    # count change)
+    seg([(4, "I", "u0", T0 + "10:30:00")])
+
+    q = start_hourly_rollup(
+        spark, wal, str(tmp_path / "roll_out"), str(tmp_path / "roll_ckpt")
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["window_start"]), r["op"]): (r["n_events"], r["min_lsn"], r["max_lsn"])
+        for r in spark.read.parquet(str(tmp_path / "roll_out")).collect()
+    }
+    # finalized 10:00 windows: the two on-time events plus the
+    # late-but-open lsn=3; the post-finalization lsn=4 left no trace;
+    # the still-open 13:00/14:00 windows are not emitted yet
+    assert got == {
+        ("2024-01-01 10:00:00", "I"): (2, 1, 3),
+        ("2024-01-01 10:00:00", "U"): (1, 2, 2),
+    }, got

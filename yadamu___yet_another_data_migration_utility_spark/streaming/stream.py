@@ -31,6 +31,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
@@ -101,6 +102,67 @@ def start_replay(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_hourly_rollup(
+    spark: SparkSession,
+    changelog_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+    schema: T.StructType = CHANGELOG_SCHEMA,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Stateful streaming twin of the batch ``events_hourly_rollup``:
+    tumbling event-time windows over the changelog with WATERMARKED
+    late-data semantics (the construct the replay sink itself does not
+    need -- its LSN-monotonic merge is order-insensitive -- but every
+    monitoring/derived-stream consumer does).
+
+    Append output mode: a window row is written exactly once, when the
+    watermark (max event time seen minus ``watermark``) passes the
+    window end and the state is evicted. A late event arriving while
+    its window is still in state is folded in; one arriving AFTER its
+    window was finalized is dropped -- no duplicate window rows, ever
+    (pinned by tests/test_streaming.py watermark-semantics test) --
+    bounded state, the only stance that survives an unbounded
+    10^10-event stream. State is O(open windows x ops), not O(corpus).
+
+    Scale: groupBy(window, op) with algebraic aggs -- map-side partial
+    combine, one shuffle per micro-batch keyed by (window, op); the
+    parquet sink appends one finalized-window file set per batch."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(changelog_path)
+        .withWatermark("warc_ts", watermark)
+    )
+    agg = (
+        stream.groupBy(F.window("warc_ts", window).alias("w"), "op")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "op",
+            "n_events",
+            "min_lsn",
+            "max_lsn",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("cdc_hourly_rollup")
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def replay_available(
