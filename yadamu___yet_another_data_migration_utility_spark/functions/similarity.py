@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import threading
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -102,6 +104,39 @@ def lsh_signature(df: DataFrame, vec_col: str = "embedding", n_bits: int = 8,
     return df.withColumn("lsh_bucket", bucket.cast("int"))
 
 
+def _bucket_batch_udf(n_tables: int, n_bits: int, dim: int):
+    """Arrow-batched pandas UDF computing ALL ``n_tables`` bucket ids of
+    one vector in a single numpy pass: ``array<int>`` indexed by table.
+
+    Replaces the Catalyst higher-order-function spelling (``bucket_of``)
+    on the hot path: 64 planes x 64 dims of interpreted ``aggregate``/
+    ``zip_with`` lambdas cost ~5x the whole query (and the 4096-literal
+    expression tree alone takes seconds to analyze). The numpy loop
+    accumulates ``acc = acc + x_i * w_i`` in dimension order -- the
+    EXACT IEEE-double operation sequence of the left-fold in both the
+    Catalyst spelling and the DuckDB-oracle ``list_sum`` spelling
+    (plans/moreops.py), so bucket ids (and therefore CORRECTNESS
+    hashes) are bit-identical across all three."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [plane_values(p, dim) for p in range(n_tables * n_bits)], dtype=np.float64
+    )  # (n_tables*n_bits, dim)
+    weights = np.array([1 << j for j in range(n_bits)], dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)  # float32 widening is exact
+        acc = np.zeros((m.shape[0], planes.shape[0]), dtype=np.float64)
+        for i in range(dim):  # sequential in i: matches the fold order exactly
+            acc += m[:, i : i + 1] * planes[:, i]
+        bits = (acc >= 0).reshape(m.shape[0], n_tables, n_bits)
+        bk = (bits * weights).sum(axis=2).astype(np.int32)  # (n, n_tables)
+        return pd.Series(list(bk))
+
+    return buckets
+
+
 def lsh_table_buckets(df: DataFrame, id_col: str = "vec_id",
                       vec_col: str = "embedding", n_tables: int = 16,
                       n_bits: int = 4, dim: int = 64) -> DataFrame:
@@ -109,22 +144,21 @@ def lsh_table_buckets(df: DataFrame, id_col: str = "vec_id",
     Candidate pairs are ids sharing a (tbl, bk) key in ANY table, found
     by a plain hash equi-join (per-pair hit probability p_bit^n_bits per
     table; n_tables unioned tables drive recall toward 1 for genuinely
-    close pairs). Scale: one scan + one explode per vector; bucket keys
-    are md5-uniform, so the downstream self-join has no skew."""
+    close pairs). Scale: one scan + one vectorized Arrow batch + one
+    posexplode per vector; bucket keys are md5-uniform, so the
+    downstream self-join has no skew."""
     # repartition by id BEFORE the bucket computation: a small embedding
     # table often arrives as one parquet split, which would pin the
-    # n_tables*n_bits dot products to a single task; the shuffle moves
-    # only (id, vector) and buys full-cluster parallelism for the
-    # compute-bound part. The double-cast is projected ONCE here --
-    # CollapseProject keeps the non-cheap transform() out of the 64
-    # per-plane dot lambdas.
+    # dot-product work to a single task; the shuffle moves only
+    # (id, vector) and buys full-cluster parallelism for the
+    # compute-bound part.
     # explicit partition count: AQE would coalesce a size-based shuffle
     # of ~MBs back to one partition, re-serializing the compute
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    base = df.select(F.col(id_col), _to_double(vec_col).alias("_ed")).repartition(
+    base = df.select(F.col(id_col), F.col(vec_col).alias("_e")).repartition(
         n_parts, F.col(id_col)
     )
-    buckets = F.array(*[bucket_of(F.col("_ed"), t, n_bits, dim) for t in range(n_tables)])
+    buckets = _bucket_batch_udf(n_tables, n_bits, dim)(F.col("_e"))
     return base.select(F.col(id_col), F.posexplode(buckets).alias("tbl", "bk"))
 
 
