@@ -50,6 +50,27 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.2, f"recall collapsed: {recall}"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """Measured recall@5 of the IVF (nearest-cell, NPROBE=2) ANN against
+    the brute-force baseline over the same 8 queries. Label-derived
+    cells on synthetic near-orthogonal vectors are a weak quantizer, so
+    the floor is modest; the pipeline (assign -> probe -> exact verify)
+    is exactly hash-checked by the DuckDB oracle regardless."""
+    qs = entrymod.queries()
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["ann_cosine_topk"](spark, SF).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["ann_ivf"](spark, SF).collect()
+    }
+    assert brute and ivf
+    recall = len(brute & ivf) / len(brute)
+    print(f"ann_ivf recall@5 vs brute force: {recall:.3f}")
+    assert recall >= 0.2, f"recall collapsed: {recall}"
+
+
 def test_embedding_dedup_candidate_recall(spark):
     """Measured recall of the 16x4 multi-table LSH candidate pairs vs
     the exact >=0.35 brute-force pair set (the r1 BNLJ implementation,

@@ -66,8 +66,11 @@ def test_no_cartesian_products_in_catalog(spark):
     - minhash_lsh_dedup: the k-replication crossJoin broadcasts a
       6-row constant range (an explode in join clothing), not a pair
       join.
+    - ann_ivf: the quantizer crossJoin broadcasts the K=10-row centroid
+      table (IVF's standard assign step -- O(K) per row, K is a
+      constant, not a data-sized side).
     """
-    allowed = {"ann_cosine_topk", "minhash_lsh_dedup"}
+    allowed = {"ann_cosine_topk", "minhash_lsh_dedup", "ann_ivf"}
     for name, fn in sorted(QUERIES.items()):
         plan = explain_str(fn(spark, SF_DIR))
         bad = [op for op in ("BroadcastNestedLoopJoin", "CartesianProduct") if op in plan]

@@ -4,4 +4,6 @@ oracle SQL. __spark_entry__ and bench.py import from here."""
 from .catalog import ORACLES, QUERIES  # noqa: F401
 from . import textops  # noqa: F401  (registers its queries into the dicts)
 from . import moreops  # noqa: F401  (simhash, cosine dedup, rolling hash, staged round-trip)
-from . import webtext  # noqa: F401  (url canonicalization, boilerplate scoring)
+from . import webtext  # noqa: F401  (url canonicalization, boilerplate scoring, pii scrub)
+from . import temporal  # noqa: F401  (as-of join, sessionization)
+from . import vectorops  # noqa: F401  (IVF ANN)

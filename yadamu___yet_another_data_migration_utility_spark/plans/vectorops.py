@@ -1,0 +1,146 @@
+"""IVF (inverted-file) approximate nearest neighbour -- the
+cell-partitioned ANN variant next to the LSH one (plans/moreops.py).
+
+IVF shape: train a tiny coarse quantizer (here: per-label centroids --
+the k-means reduce step over the corpus' own labels, K=10), assign every
+vector to its nearest cell, and answer a query by scanning only its
+``NPROBE`` nearest cells. The quantizer is O(K x dim) -- it broadcasts;
+assignment is one scan; the probe join is a hash equi-join on the cell
+id. This is the 100 TB layout FAISS/SCaNN use: the index is a
+partitioning, so queries touch (NPROBE / K) of the corpus.
+
+Determinism/oracle contract: centroid components are DECIMAL sums
+divided as double (order-independent, engine-exact -- the
+embedding_label_centroids trick applied to all 64 dims); distances and
+cosines use the same sequential-fold float spelling as every other
+vector query, so cell assignments and similarities are bit-identical in
+DuckDB and the whole IVF pipeline is hash-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .catalog import _register, load
+
+IVF_DIM = 64
+IVF_NPROBE = 2
+IVF_TOPK = 5
+
+_IVF_SQL = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    dims AS (SELECT unnest(generate_series(0, {IVF_DIM - 1})) AS i),
+    comp AS (
+      SELECT label, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+      FROM embeddings, dims
+    ),
+    cent AS (
+      SELECT label, i,
+             CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS c
+      FROM comp GROUP BY label, i
+    ),
+    centv AS (SELECT label AS cell, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+    dist AS (
+      SELECT e.vec_id, centv.cell,
+             list_sum(list_transform(list_zip(e.ve, centv.cv),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      FROM e, centv
+    ),
+    ranked AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crn
+      FROM dist
+    ),
+    assign AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE crn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cell
+      FROM ranked WHERE vec_id < 8 AND crn <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.neighbor_id
+      FROM probes p JOIN assign a
+        ON a.cell = p.cell AND a.neighbor_id <> p.query_id
+    ),
+    sims AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_sum(list_transform(list_zip(qe.ve, te.ve), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(qe.ve, x -> x * x)))
+                  * sqrt(list_sum(list_transform(te.ve, x -> x * x)))) AS sim
+      FROM cand c
+      JOIN e qe ON qe.vec_id = c.query_id
+      JOIN e te ON te.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS sim_r
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM sims)
+    WHERE rank <= {IVF_TOPK}
+"""
+
+
+def _to_d(col: str) -> F.Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _fold(arr: F.Column) -> F.Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+@_register("ann_ivf", _IVF_SQL)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: per-label centroids as the coarse quantizer, nearest-cell
+    assignment (L2, deterministic label tie-break), NPROBE=2 probed
+    cells per query, exact cosine top-5 over probed candidates only.
+    Output schema matches ann_cosine_topk; recall vs brute force is
+    asserted in tests/test_entry_and_extras.py.
+
+    Scale: the quantizer is K x dim doubles -> broadcast (the crossJoin
+    is a 10-row explode, not a pair join); assignment is one scan + a
+    per-vector window over K rows; the probe step is a hash equi-join
+    on cell. Cells are label-balanced here; a production IVF re-trains
+    centroids to balance cells -- the plan shape is identical."""
+    e = load(spark, sf_dir, "embeddings")
+    comp = e.select("label", F.posexplode(_to_d("embedding")).alias("i", "v"))
+    cent = comp.groupBy("label", "i").agg(
+        (F.sum(F.col("v").cast("decimal(18,8)")).cast("double")
+         / F.count(F.lit(1))).alias("c")
+    )
+    centv = cent.groupBy(F.col("label").alias("cell")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    ev = e.select("vec_id", _to_d("embedding").alias("ve"))
+    d2 = _fold(F.zip_with("ve", "cv", lambda a, b: (a - b) * (a - b)))
+    dist = ev.crossJoin(F.broadcast(centv)).select("vec_id", "cell", d2.alias("d2"))
+    w = W.partitionBy("vec_id").orderBy("d2", "cell")
+    ranked = dist.withColumn("crn", F.row_number().over(w))
+    assign = ranked.filter(F.col("crn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    probes = ranked.filter((F.col("vec_id") < 8) & (F.col("crn") <= IVF_NPROBE)).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    # norms hoisted into the per-vector projections (computed once per
+    # vector, not once per candidate pair)
+    qe = e.select(F.col("vec_id").alias("query_id"), _to_d("embedding").alias("qe"),
+                  F.sqrt(_fold(F.transform(_to_d("embedding"), lambda x: x * x))).alias("qn"))
+    te = e.select(F.col("vec_id").alias("neighbor_id"), _to_d("embedding").alias("te"),
+                  F.sqrt(_fold(F.transform(_to_d("embedding"), lambda x: x * x))).alias("tn"))
+    sim = _fold(F.zip_with("qe", "te", lambda a, b: a * b)) / (F.col("qn") * F.col("tn"))
+    rw = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.join(qe, "query_id")
+        .join(te, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim_r"))
+    )

@@ -258,6 +258,107 @@ def pipeline_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", F.col("reason").isNull().alias("keep"), "reason")
 
 
+# ======================================================================
+# PII scrubbing
+# ======================================================================
+
+#: RE2-safe AND java.util.regex-safe patterns (char classes, bounded
+#: quantifiers, \b word boundaries -- no lookaround, no backrefs), so
+#: Spark and DuckDB match byte-identically
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\b555-[0-9]{4}\b"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+#: deterministic PII fixture: 3 of every 4 docs get a synthetic email /
+#: phone / IP appended (seeded by doc_id -- no external data), so the
+#: scrubber has real work at any SF and a known ground truth
+_PII_AUG_SQL = """
+      SELECT doc_id,
+             concat(text,
+               CASE CAST(doc_id % 4 AS INTEGER)
+                 WHEN 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR),
+                                    '@example.com for details')
+                 WHEN 1 THEN concat(' call 555-',
+                                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                                    ' today')
+                 WHEN 2 THEN concat(' from host 10.', CAST(doc_id % 256 AS VARCHAR),
+                                    '.0.', CAST((doc_id * 3) % 256 AS VARCHAR), ' net')
+                 ELSE ''
+               END) AS text
+      FROM documents
+"""
+
+_PII_SQL = f"""
+    WITH aug AS ({_PII_AUG_SQL}),
+    counted AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+             len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+             len(regexp_extract_all(text, '{_PII_IP}')) AS n_ips,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g') AS scrubbed
+      FROM aug
+    )
+    SELECT doc_id, n_emails, n_phones, n_ips,
+           n_emails + n_phones + n_ips AS n_redacted,
+           length(text) - length(scrubbed) AS len_delta,
+           md5(scrubbed) AS scrubbed_fp
+    FROM counted
+"""
+
+
+@_register("pii_scrub", _PII_SQL)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over web text: count + replace emails, phone
+    numbers and IPv4 addresses with typed placeholder tokens, report
+    per-doc redaction counts and the md5 of the scrubbed text (the
+    hash proves the REPLACEMENT output matches, not just the counts).
+    Input is the deterministic PII-augmented corpus (_PII_AUG_SQL).
+
+    Scale: a pure narrow projection -- regexp builtins run codegen'd
+    JVM-side on the scan, no shuffle, no Python; patterns are in the
+    RE2/Java common subset so the same bytes match on every engine."""
+    d = load(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 4).cast("int")
+    tail = (
+        F.when(m == 0, F.concat(F.lit(" contact user"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("@example.com for details")))
+        .when(m == 1, F.concat(F.lit(" call 555-"),
+                               F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                               F.lit(" today")))
+        .when(m == 2, F.concat(F.lit(" from host 10."),
+                               (F.col("doc_id") % 256).cast("string"),
+                               F.lit(".0."),
+                               ((F.col("doc_id") * 3) % 256).cast("string"),
+                               F.lit(" net")))
+        .otherwise(F.lit(""))
+    )
+    text = F.concat(F.col("text"), tail)
+
+    def n_hits(pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IP, "<IP>")
+    n_em, n_ph, n_ip = n_hits(_PII_EMAIL), n_hits(_PII_PHONE), n_hits(_PII_IP)
+    return d.select(
+        "doc_id",
+        n_em.alias("n_emails"),
+        n_ph.alias("n_phones"),
+        n_ip.alias("n_ips"),
+        (n_em + n_ph + n_ip).alias("n_redacted"),
+        (F.length(text) - F.length(scrubbed)).alias("len_delta"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    )
+
+
 @_register("boilerplate_score", _BOILER_SQL)
 def boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document boilerplate ratio: the fraction of a doc's distinct
