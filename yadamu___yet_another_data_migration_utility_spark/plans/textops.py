@@ -51,7 +51,20 @@ _SHINGLES_SQL = """
 
 
 def docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # explicit fan-out: a small-SF documents table arrives as 1-3
+    # parquet splits, which pins the compute-bound shingle+md5 pipeline
+    # downstream of every dedup/text operator to 3 of 32 cores. The
+    # shuffle moves only (doc_id, text) once; at 100 TB the scan
+    # arrives in thousands of splits and this repartition is a no-op
+    # cost-wise (uniform doc_id keys, one narrow exchange). Explicit
+    # count because AQE would coalesce a few-MB shuffle back to one
+    # partition, re-serializing the compute.
+    n_parts = spark.sparkContext.defaultParallelism
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(n_parts, "doc_id")
+    )
     near = (
         d.filter(F.col("doc_id") % 7 == 0)
         .select((F.col("doc_id") + 100000).alias("doc_id"),
