@@ -114,6 +114,62 @@ def test_replay_compaction_and_metrics_tables(spark, tmp_path):
     assert bad.count() == 0
 
 
+def test_streaming_url_sessions_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-url
+    sessions close EITHER inline (a >30-min gap inside arriving data)
+    OR by event-time timeout when the watermark passes the deadline;
+    sessions still open at end-of-stream are NOT emitted."""
+    import time as _time
+
+    from datetime import datetime
+
+    from pyspark.sql import Row
+    from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
+        start_url_sessions,
+    )
+
+    wal = str(tmp_path / "wal_sess")
+
+    def seg(rows):
+        df = spark.createDataFrame(
+            [Row(lsn=l, op="U", url=u,
+                 warc_ts=datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"),
+                 html=None, lang="en")
+             for (l, u, ts) in rows],
+            "lsn long, op string, url string, warc_ts timestamp, "
+            "html binary, lang string",
+        )
+        df.coalesce(1).write.mode("append").parquet(wal)
+        _time.sleep(0.1)  # distinct mtimes -> deterministic file order
+
+    T0 = "2024-01-01 "
+    # batch 1: u1 session A (10:00 + 10:10), then an 80-min in-batch gap
+    # -> session A closes INLINE; session B (11:30) stays open in state
+    seg([(1, "u1", T0 + "10:00:00"),
+         (2, "u1", T0 + "10:10:00"),
+         (3, "u1", T0 + "11:30:00")])
+    # batch 2: advance event time (wm after this batch: 14:00-1h=13:00)
+    seg([(4, "u9", T0 + "14:00:00")])
+    # batch 3: wm=13:00 > session B deadline 12:00 -> B emits by TIMEOUT
+    seg([(5, "u8", T0 + "14:30:00")])
+
+    q = start_url_sessions(
+        spark, wal, str(tmp_path / "sess_out"), str(tmp_path / "sess_ckpt")
+    )
+    q.awaitTermination()
+    got = {
+        (r["url"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"], r["min_lsn"], r["max_lsn"]
+        )
+        for r in spark.read.parquet(str(tmp_path / "sess_out")).collect()
+    }
+    # u9/u8 sessions are still open (no gap, no watermark past deadline)
+    assert got == {
+        ("u1", "2024-01-01 10:00:00"): ("2024-01-01 10:10:00", 2, 1, 2),
+        ("u1", "2024-01-01 11:30:00"): ("2024-01-01 11:30:00", 1, 3, 3),
+    }, got
+
+
 def test_streaming_hourly_rollup_watermark_semantics(spark, tmp_path):
     """Stateful windowed rollup with late data: an event arriving late
     but inside the watermark is folded into its (still-open) window; an

@@ -165,6 +165,146 @@ def start_hourly_rollup(
     )
 
 
+#: output row of one finalized url session
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("min_lsn", T.LongType()),
+        T.StructField("max_lsn", T.LongType()),
+    ]
+)
+
+#: per-url crawl-session state: (start_us, last_us, n, min_lsn, max_lsn)
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("min_lsn", T.LongType()),
+        T.StructField("max_lsn", T.LongType()),
+    ]
+)
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def start_url_sessions(
+    spark: SparkSession,
+    changelog_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    watermark: str = "1 hour",
+    gap_us: int = SESSION_GAP_US,
+    schema: T.StructType = CHANGELOG_SCHEMA,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``
+    (the construct for per-key logic that windowed aggs can't express):
+    per-url crawl sessions closed by a 30-min event-time inactivity gap.
+
+    Semantics (the streaming twin of the batch ``events_sessionization``
+    gaps-and-islands): events for a url folding into an open session
+    extend it; a gap > ``gap_us`` INSIDE arriving data closes the older
+    session immediately; an open session with no further arrivals
+    closes when the WATERMARK passes its deadline (event-time timeout),
+    so every finalized session is emitted exactly once and sessions
+    still open at end-of-stream stay in state (bounded by open keys).
+
+    Scale: state is one 5-long tuple per OPEN url session -- O(active
+    keys), evicted by timeout, never O(corpus); each micro-batch
+    shuffles only that batch's events by url. Arrow-batched pandas on
+    both edges; no per-row Python dispatch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_us // 1000
+
+    def fn(key, pdfs, state: GroupState):
+        url = key[0]
+
+        def finalize(cur) -> dict:
+            return {
+                "url": url,
+                "session_start": pd.to_datetime(cur[0], unit="us"),
+                "session_end": pd.to_datetime(cur[1], unit="us"),
+                "n_events": cur[2],
+                "min_lsn": cur[3],
+                "max_lsn": cur[4],
+            }
+
+        if state.hasTimedOut:
+            out = [finalize(state.get)]
+            state.remove()
+            yield pd.DataFrame(out)
+            return
+
+        events: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            if len(pdf):
+                us = pdf["warc_ts"].astype("int64") // 1000  # ns -> us
+                events.extend(zip(us.tolist(), pdf["lsn"].tolist()))
+        events.sort()
+        cur = list(state.get) if state.exists else None
+        if not events and cur is None:  # defensive: nothing to do
+            yield pd.DataFrame(
+                [], columns=["url", "session_start", "session_end",
+                             "n_events", "min_lsn", "max_lsn"],
+            )
+            return
+        out = []
+        for ts_us, lsn in events:
+            if cur is None:
+                cur = [ts_us, ts_us, 1, lsn, lsn]
+            elif ts_us - cur[1] > gap_us:
+                out.append(finalize(cur))
+                cur = [ts_us, ts_us, 1, lsn, lsn]
+            else:
+                cur[1] = max(cur[1], ts_us)
+                cur[2] += 1
+                cur[3] = min(cur[3], lsn)
+                cur[4] = max(cur[4], lsn)
+        wm_ms = state.getCurrentWatermarkMs()
+        deadline_ms = cur[1] // 1000 + gap_ms
+        if deadline_ms <= wm_ms:
+            # the watermark already passed the gap: close inline (an
+            # event-time timeout may not be set in the past)
+            out.append(finalize(cur))
+            if state.exists:
+                state.remove()
+        else:
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp(deadline_ms)
+        yield pd.DataFrame(
+            out,
+            columns=["url", "session_start", "session_end",
+                     "n_events", "min_lsn", "max_lsn"],
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(changelog_path)
+        .withWatermark("warc_ts", watermark)
+    )
+    sessions = stream.groupBy("url").applyInPandasWithState(
+        fn, SESSION_SCHEMA, _SESSION_STATE_SCHEMA,
+        "append", GroupStateTimeout.EventTimeTimeout,
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("cdc_url_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def replay_available(
     spark: SparkSession,
     table: LakeTable,
