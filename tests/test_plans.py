@@ -69,8 +69,10 @@ def test_no_cartesian_products_in_catalog(spark):
     - ann_ivf: the quantizer crossJoin broadcasts the K=10-row centroid
       table (IVF's standard assign step -- O(K) per row, K is a
       constant, not a data-sized side).
+    - hot_domains: the share denominator crossJoin broadcasts a 1-row
+      grand-total aggregate.
     """
-    allowed = {"ann_cosine_topk", "minhash_lsh_dedup", "ann_ivf"}
+    allowed = {"ann_cosine_topk", "minhash_lsh_dedup", "ann_ivf", "hot_domains"}
     for name, fn in sorted(QUERIES.items()):
         plan = explain_str(fn(spark, SF_DIR))
         bad = [op for op in ("BroadcastNestedLoopJoin", "CartesianProduct") if op in plan]

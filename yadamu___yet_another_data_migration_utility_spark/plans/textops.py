@@ -547,6 +547,37 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "media_frame_sample",
+    """
+    WITH meta AS (
+      SELECT doc_id AS media_id,
+             CAST(1 + CAST(concat('0x', substr(sha256(text), 5, 2)) AS INT) % 4 AS INT)
+               AS n_frames
+      FROM documents
+    )
+    SELECT media_id, CAST(unnest(generate_series(0, n_frames - 1, 2)) AS INT) AS frame_no
+    FROM meta
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: every 2nd frame of each (fake-)decoded
+    media payload as (media_id, frame_no) rows -- the expansion a video
+    pipeline feeds to per-frame feature extraction. The decode runs in
+    the Arrow-batched mapInPandas codec stub; the explode happens
+    JVM-side from the decoded frame count, so the Python boundary
+    carries one row per MEDIA, not per frame."""
+    from ..functions.multimodal import frame_sample
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return frame_sample(d, every_n=2).select(
+        "media_id", F.col("frame_no").cast("int").alias("frame_no")
+    )
+
+
+@_register(
     "media_decode_meta",
     """
     SELECT doc_id AS media_id,

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.urltools import canonical_url
-from .catalog import _register, load
+from .catalog import _CDC_SQL_SRC, _register, cdc_changelog, load
 from .moreops import _CC_CTES, dedup_clusters
 from .textops import _DOCS_AUG_SQL, _MINHASH_SQL, _SHINGLES_SQL, docs_aug, shingles
 
@@ -256,6 +256,61 @@ def pipeline_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.select("doc_id", F.col("reason").isNull().alias("keep"), "reason")
+
+
+# ======================================================================
+# Hot-domain detection (skew diagnosis)
+# ======================================================================
+
+
+@_register(
+    "hot_domains",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    per_host AS (
+      SELECT regexp_extract(url, '^[a-z]+://([^/:?#]*)', 1) AS host,
+             COUNT(*) AS n_events,
+             COUNT(DISTINCT url) AS n_pages,
+             MAX(lsn) AS last_lsn
+      FROM chg
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_events) AS total FROM per_host)
+    SELECT host, n_events, n_pages, last_lsn,
+           ROUND(CAST(n_events AS DOUBLE) / total, 6) AS share,
+           CAST(n_events AS DOUBLE) / total > 0.05 AS is_hot
+    FROM per_host, tot
+    ORDER BY n_events DESC, host
+    """,
+)
+def hot_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain event skew report over the changelog: events, distinct
+    pages, traffic share, and an ``is_hot`` flag at the 5% share the
+    engine's salting docs use. This is the DIAGNOSIS query feeding
+    ``apply_batch(salt_buckets=)`` -- at web scale a handful of domains
+    dominate the crawl, and this tells the operator which keys need the
+    two-phase salted reduction. Scale: one hash shuffle on host (the
+    skewed key itself, but the aggregate is algebraic so map-side
+    combine flattens it), plus a broadcast of the 1-row total."""
+    chg = cdc_changelog(spark, sf_dir)
+    per_host = chg.groupBy(
+        F.regexp_extract(F.col("url"), "^[a-z]+://([^/:?#]*)", 1).alias("host")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("url").alias("n_pages"),
+        F.max("lsn").alias("last_lsn"),
+    )
+    tot = per_host.agg(F.sum("n_events").alias("total"))
+    share = F.col("n_events").cast("double") / F.col("total")
+    return (
+        per_host.crossJoin(F.broadcast(tot))
+        .select(
+            "host", "n_events", "n_pages", "last_lsn",
+            F.round(share, 6).alias("share"),
+            (share > 0.05).alias("is_hot"),
+        )
+        .orderBy(F.col("n_events").desc(), "host")
+    )
 
 
 # ======================================================================
