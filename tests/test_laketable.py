@@ -270,3 +270,73 @@ def test_commit_conflict_detected(spark, tmp_table_root):
     stale = {**m1, "version": m1["version"] + 1, "parent": m1["version"]}
     with pytest.raises(RuntimeError, match="commit conflict"):
         t2._write_manifest(stale, expected_parent=m1["version"])
+
+
+# ----------------------------------------------------------------------
+# Incremental CDC-out read (read_changes)
+# ----------------------------------------------------------------------
+
+
+def _changes(spark, t, since, until=None):
+    return {
+        (r["url"], r["val"], r["_lsn"], r["_change_type"])
+        for r in t.read_changes(spark, since, until).collect()
+    }
+
+
+def test_read_changes_fast_path_roundtrip(spark, tmp_table_root, tmp_path):
+    """Window of pure mor merges -> O(changes) delta-file read; feeding
+    the changes into a copy of the since-snapshot through the REAL merge
+    reproduces the until-snapshot exactly."""
+    t = mk(spark, tmp_table_root, merge_mode="mor")
+    t.merge(spark, batch(spark, [("a", "v1", "I", 1), ("b", "v1", "I", 2),
+                                 ("d", "v1", "I", 3)]), batch_id=0)
+    v_since = t.current_version()
+    t.merge(spark, batch(spark, [("a", "v2", "U", 4), ("b", None, "D", 5)]), batch_id=1)
+    t.merge(spark, batch(spark, [("c", "v1", "I", 6), ("a", "v3", "U", 7)]), batch_id=2)
+
+    ch = _changes(spark, t, v_since)
+    # NET per-key winners of the window only; d is untouched -> absent
+    assert ch == {("a", "v3", 7, "upsert"), ("b", None, 5, "delete"),
+                  ("c", "v1", 6, "upsert")}, ch
+
+    # round-trip: copy-at-since + changes == until
+    t2 = mk(spark, str(tmp_path / "copy"), merge_mode="mor")
+    t2.merge(spark, batch(spark, [("a", "v1", "I", 1), ("b", "v1", "I", 2),
+                                  ("d", "v1", "I", 3)]), batch_id=0)
+    ch_df = t.read_changes(spark, v_since).select(
+        "url", "val",
+        F.when(F.col("_change_type") == "delete", "D").otherwise("U").alias("op"),
+        F.col("_lsn").alias("lsn"),
+    )
+    t2.merge(spark, ch_df, batch_id=1)
+    assert state(spark, t2) == state(spark, t)
+
+
+def test_read_changes_empty_window_and_bad_args(spark, tmp_table_root):
+    t = mk(spark, tmp_table_root, merge_mode="mor")
+    t.merge(spark, batch(spark, [("a", "v1", "I", 1)]), batch_id=0)
+    v = t.current_version()
+    assert t.read_changes(spark, v).count() == 0
+    assert "_lsn" not in t.read_changes(spark, v, public=True).columns
+    with pytest.raises(ValueError):
+        t.read_changes(spark, v + 5, v)
+
+
+def test_read_changes_snapshot_diff_after_compact(spark, tmp_table_root):
+    """A compact inside the window forces the snapshot-diff path; net
+    upserts/deletes must still be exact (deletes carry NULL lsn -- the
+    tombstone was physically folded away)."""
+    t = mk(spark, tmp_table_root, merge_mode="mor")
+    t.merge(spark, batch(spark, [("a", "v1", "I", 1), ("b", "v1", "I", 2),
+                                 ("d", "v1", "I", 3)]), batch_id=0)
+    v_since = t.current_version()
+    t.merge(spark, batch(spark, [("a", "v2", "U", 4), ("b", None, "D", 5)]), batch_id=1)
+    assert t.compact(spark, all_deltas=True) is not None  # rewrites files
+    t.merge(spark, batch(spark, [("c", "v1", "I", 6)]), batch_id=2)
+
+    ch = _changes(spark, t, v_since)
+    assert ch == {("a", "v2", 4, "upsert"), ("b", None, None, "delete"),
+                  ("c", "v1", 6, "upsert")}, ch
+    # unchanged key d is NOT re-emitted by the diff
+    assert all(u != "d" for (u, *_rest) in ch)

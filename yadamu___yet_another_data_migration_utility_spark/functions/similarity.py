@@ -66,49 +66,11 @@ def plane_values(p: int, dim: int) -> list[float]:
     ]
 
 
-def hyperplane(p: int, dim: int) -> F.Column:
-    """Deterministic pseudo-random hyperplane #p as an array<double>
-    LITERAL. The md5 derivation runs ONCE in Python (plane_values);
-    embedding the folded constants spares every row the 64 md5+conv
-    calls per plane that Catalyst cannot fold out of a higher-order
-    ``transform`` lambda (measured: the expression form dominated the
-    LSH queries' runtime)."""
-    return F.array(*[F.lit(v) for v in plane_values(p, dim)])
-
-
-def bucket_of(emb: F.Column, table_id: int, n_bits: int, dim: int = 64) -> F.Column:
-    """The ``n_bits``-bit bucket of one LSH table: bit j = sign of the
-    dot product with hyperplane ``table_id*n_bits + j``. Plane arrays
-    are literal-only expressions, so Catalyst constant-folds them --
-    per row only the dot products run."""
-    bucket = F.lit(0)
-    for j in range(n_bits):
-        plane = hyperplane(table_id * n_bits + j, dim)
-        bucket = bucket + F.when(_dot(emb, plane) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket.cast("int")
-
-
-def lsh_signature(df: DataFrame, vec_col: str = "embedding", n_bits: int = 8,
-                  dim: int = 64) -> DataFrame:
-    """Append an ``lsh_bucket`` int column: sign-of-dot-product with
-    n_bits deterministic hyperplanes. Scale: one scan, no shuffle; the
-    bucket becomes the partition key for bucket-local search."""
-    emb = _to_double(vec_col)
-    bits = []
-    for b in range(n_bits):
-        plane = hyperplane(b, dim)
-        bits.append(F.when(_dot(emb, plane) >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for x in bits[1:]:
-        bucket = bucket + x
-    return df.withColumn("lsh_bucket", bucket.cast("int"))
-
-
 def _bucket_batch_udf(n_tables: int, n_bits: int, dim: int):
     """Arrow-batched pandas UDF computing ALL ``n_tables`` bucket ids of
     one vector in a single numpy pass: ``array<int>`` indexed by table.
 
-    Replaces the Catalyst higher-order-function spelling (``bucket_of``)
+    Replaces the r1 Catalyst higher-order-function spelling
     on the hot path: 64 planes x 64 dims of interpreted ``aggregate``/
     ``zip_with`` lambdas cost ~5x the whole query (and the 4096-literal
     expression tree alone takes seconds to analyze). The numpy loop

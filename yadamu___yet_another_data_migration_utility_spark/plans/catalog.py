@@ -491,3 +491,67 @@ def cdc_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("_lsn", "last_lsn")
         .select("url", "last_lsn", "event_type", "value", "ts")
     )
+
+
+@_register(
+    "cdc_incremental_read",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    bounds AS (SELECT MIN(lsn) AS lo, MAX(lsn) AS hi FROM chg),
+    win AS (
+      SELECT c.* FROM chg c, bounds b
+      WHERE c.lsn >= b.lo + 3 * ((b.hi - b.lo + 1 + 4) // 5)
+    ),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn FROM win
+    )
+    SELECT url, ts, value, event_type, lsn AS "_lsn",
+           CASE WHEN op = 'D' THEN 'delete' ELSE 'upsert' END AS "_change_type"
+    FROM last WHERE rn = 1
+    """,
+)
+def cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC-OUT: replay the changelog in 5 fenced mor batches,
+    snapshot the version after batch 3, then ``LakeTable.read_changes``
+    emits the NET per-key changes of batches 4-5 -- scanning ONLY the
+    delta files those two commits added (O(changes), no table scan; the
+    fast path a downstream consumer tails). The oracle computes the same
+    window-net winners declaratively: max-lsn row per url over the
+    window's events, op='D' mapping to a delete change."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_incr_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(root, schema, key="url", bucket_count=16, overwrite=True)
+    bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    n_batches = 5
+    per = max(1, (hi - lo + 1 + n_batches - 1) // n_batches)
+    v_since = None
+    for b in range(n_batches):
+        batch = chg.filter(
+            (F.col("lsn") >= lo + b * per) & (F.col("lsn") < lo + (b + 1) * per)
+        )
+        apply_batch(table, batch, batch_id=b, run_extract=False)
+        if b == 2:
+            v_since = table.current_version()
+    return table.read_changes(spark, v_since).select(
+        "url", "ts", "value", "event_type", "_lsn", "_change_type"
+    )

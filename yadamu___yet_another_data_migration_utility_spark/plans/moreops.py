@@ -152,7 +152,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (table, bucket) key in ANY of the 16 tables of 4 bits, then EXACT
 # cosine verify at the 0.35 threshold on candidates only. The oracle
 # spells the IDENTICAL md5-derived hyperplanes (functions/similarity.
-# hyperplane) so both engines generate the same candidate set -- the
+# plane_values) so both engines generate the same candidate set -- the
 # correctness contract is "bucketed near-dup", with recall vs the
 # brute-force pair set measured in tests/test_entry_and_extras.py.
 _EMB_TABLES = 16
