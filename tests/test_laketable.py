@@ -340,3 +340,15 @@ def test_read_changes_snapshot_diff_after_compact(spark, tmp_table_root):
                   ("c", "v1", 6, "upsert")}, ch
     # unchanged key d is NOT re-emitted by the diff
     assert all(u != "d" for (u, *_rest) in ch)
+
+
+def test_read_changes_cow_override_forces_diff(spark, tmp_table_root):
+    """A per-merge mode='cow' override writes NO delta files; the fast
+    path must detect it from the commit's audited mode (not the table
+    property) and fall back to the snapshot diff."""
+    t = mk(spark, tmp_table_root, merge_mode="mor")
+    t.merge(spark, batch(spark, [("a", "v1", "I", 1)]), batch_id=0)
+    t.compact(spark, all_deltas=True)  # cow requires no outstanding deltas
+    v = t.current_version()
+    t.merge(spark, batch(spark, [("a", "v2", "U", 2)]), batch_id=1, mode="cow")
+    assert _changes(spark, t, v) == {("a", "v2", 2, "upsert")}

@@ -505,7 +505,11 @@ def cdc_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     last AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn FROM win
     )
-    SELECT url, ts, value, event_type, lsn AS "_lsn",
+    SELECT url,
+           CASE WHEN op = 'D' THEN NULL ELSE ts END AS ts,
+           CASE WHEN op = 'D' THEN NULL ELSE value END AS value,
+           CASE WHEN op = 'D' THEN NULL ELSE event_type END AS event_type,
+           lsn AS "_lsn",
            CASE WHEN op = 'D' THEN 'delete' ELSE 'upsert' END AS "_change_type"
     FROM last WHERE rn = 1
     """,

@@ -29,12 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..streaming.stream import SESSION_GAP_US
 from .catalog import _CDC_SQL_SRC, _register, _sum_dbl, cdc_changelog, load
 
-#: microseconds of inactivity that closes a session (30 min); compared
-#: in integer microseconds (unix_micros / epoch_us) so both engines see
-#: the exact same integers -- no sub-second truncation ambiguity
-SESSION_GAP_US = 1_800_000_000
+#: SESSION_GAP_US is shared with the streaming twin (streaming/stream.py
+#: start_url_sessions) -- ONE source of truth for the 30-min gap; both
+#: engines compare integer microseconds, no sub-second truncation
+#: ambiguity
 
 
 @_register(

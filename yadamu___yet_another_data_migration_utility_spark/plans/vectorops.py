@@ -79,8 +79,9 @@ _IVF_SQL = f"""
 """
 
 
-def _to_d(col: str) -> F.Column:
-    return F.transform(F.col(col), lambda x: x.cast("double"))
+# the bit-identity-critical fold spellings live in ONE place
+# (functions/similarity.py) and are shared by every vector query
+from ..functions.similarity import _dot, _norm, _to_double as _to_d
 
 
 def _fold(arr: F.Column) -> F.Column:
@@ -131,10 +132,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms hoisted into the per-vector projections (computed once per
     # vector, not once per candidate pair)
     qe = e.select(F.col("vec_id").alias("query_id"), _to_d("embedding").alias("qe"),
-                  F.sqrt(_fold(F.transform(_to_d("embedding"), lambda x: x * x))).alias("qn"))
+                  _norm(_to_d("embedding")).alias("qn"))
     te = e.select(F.col("vec_id").alias("neighbor_id"), _to_d("embedding").alias("te"),
-                  F.sqrt(_fold(F.transform(_to_d("embedding"), lambda x: x * x))).alias("tn"))
-    sim = _fold(F.zip_with("qe", "te", lambda a, b: a * b)) / (F.col("qn") * F.col("tn"))
+                  _norm(_to_d("embedding")).alias("tn"))
+    sim = _dot(F.col("qe"), F.col("te")) / (F.col("qn") * F.col("tn"))
     rw = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         cand.join(qe, "query_id")

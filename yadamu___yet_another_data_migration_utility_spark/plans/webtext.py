@@ -347,21 +347,25 @@ _PII_SQL = f"""
     WITH aug AS ({_PII_AUG_SQL}),
     counted AS (
       SELECT doc_id, text,
-             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
-             len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
-             len(regexp_extract_all(text, '{_PII_IP}')) AS n_ips,
              regexp_replace(
                regexp_replace(
                  regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
                  '{_PII_PHONE}', '<PHONE>', 'g'),
                '{_PII_IP}', '<IP>', 'g') AS scrubbed
       FROM aug
+    ),
+    tallied AS (
+      SELECT doc_id, text, scrubbed,
+             len(regexp_extract_all(scrubbed, '<EMAIL>')) AS n_emails,
+             len(regexp_extract_all(scrubbed, '<PHONE>')) AS n_phones,
+             len(regexp_extract_all(scrubbed, '<IP>')) AS n_ips
+      FROM counted
     )
     SELECT doc_id, n_emails, n_phones, n_ips,
            n_emails + n_phones + n_ips AS n_redacted,
            length(text) - length(scrubbed) AS len_delta,
            md5(scrubbed) AS scrubbed_fp
-    FROM counted
+    FROM tallied
 """
 
 
@@ -394,23 +398,28 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     text = F.concat(F.col("text"), tail)
 
-    def n_hits(pat: str) -> F.Column:
-        return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
-
     scrubbed = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(text, _PII_EMAIL, "<EMAIL>"),
             _PII_PHONE, "<PHONE>"),
         _PII_IP, "<IP>")
-    n_em, n_ph, n_ip = n_hits(_PII_EMAIL), n_hits(_PII_PHONE), n_hits(_PII_IP)
-    return d.select(
+
+    # counts tally the placeholder tokens in the SCRUBBED text, so they
+    # equal the replacements actually performed even when patterns
+    # overlap on the raw text (an email wrapping an IP-looking host is
+    # consumed by the email pass and counted once, as an email)
+    def n_tokens(tok: str) -> F.Column:
+        return F.size(F.regexp_extract_all(F.col("_scrubbed"), F.lit(tok), F.lit(0)))
+
+    n_em, n_ph, n_ip = n_tokens("<EMAIL>"), n_tokens("<PHONE>"), n_tokens("<IP>")
+    return d.withColumn("_scrubbed", scrubbed).select(
         "doc_id",
         n_em.alias("n_emails"),
         n_ph.alias("n_phones"),
         n_ip.alias("n_ips"),
         (n_em + n_ph + n_ip).alias("n_redacted"),
-        (F.length(text) - F.length(scrubbed)).alias("len_delta"),
-        F.md5(scrubbed).alias("scrubbed_fp"),
+        (F.length(text) - F.length(F.col("_scrubbed"))).alias("len_delta"),
+        F.md5(F.col("_scrubbed")).alias("scrubbed_fp"),
     )
 
 

@@ -328,18 +328,25 @@ class LakeTable:
         changelog and emits one.
 
         Exactness contract (tested): merging the returned changes into a
-        copy of snapshot ``since_version`` reproduces snapshot
-        ``until_version``.
+        copy of snapshot ``since_version`` through the engine's
+        LSN-monotonic merge reproduces snapshot ``until_version``.
+        Consumers MUST apply LSN-monotonically: the delta fast path
+        reports the window's per-key winner even when a higher-LSN
+        pre-window row still wins at read time (a stale late event),
+        exactly like Iceberg's changelog scan -- the monotonic apply
+        makes such rows no-ops. Delete rows carry the key, the
+        tombstone ``_lsn`` (NULL on the diff path -- the tombstone was
+        already compacted away) and NULL payload.
 
-        Scale: when every commit in the window is a mor merge (the
+        Scale: when every commit in the window is a MOR merge (the
         steady state), the read touches ONLY the delta files those
         commits added -- O(changes), no table scan -- resolved
         last-writer-wins per key with tombstones kept. Any other commit
-        in the window (compact rewrites files; cow resolves eagerly;
-        append adds base files) falls back to a snapshot DIFF: two
-        time-travel reads full-outer-joined on the key -- O(table), but
-        always correct, and the per-key ``_lsn`` makes the diff a
-        column compare, not a payload hash."""
+        in the window (compact rewrites files; a cow or mode-override
+        merge resolves eagerly; append adds base files) falls back to a
+        snapshot DIFF: two time-travel reads full-outer-joined on the
+        key -- O(table), but always correct, and the per-key ``_lsn``
+        makes the diff a column compare, not a payload hash."""
         until = self.current_version() if until_version is None else until_version
         if since_version > until:
             raise ValueError(f"since_version {since_version} > until_version {until}")
@@ -353,18 +360,21 @@ class LakeTable:
             )
             return df.drop(LSN_COL) if public else df
 
-        # window ops: merge/skip keep the fast path; anything else diffs
-        ops: set[str] = set()
+        # window ops: mor merges / skips keep the fast path; anything
+        # else (compact, append, cow or mode-override merge) diffs.
+        # Each commit's ACTUAL mode is checked from its audit row -- the
+        # table-level merge_mode property can be overridden per merge.
+        fast_ok = True
         v: int | None = until
         while v is not None and v > since_version:
             m = self.manifest(v)
-            op = (m.get("audit") or {}).get("operation") or m.get(
-                "summary", {}
-            ).get("operation")
-            ops.add(op or "unknown")
+            audit = m.get("audit") or {}
+            op = audit.get("operation") or m.get("summary", {}).get("operation")
+            if not (op == "skip" or (op == "merge" and audit.get("mode") == "mor")):
+                fast_ok = False
             v = m["parent"]
 
-        if ops <= {"merge", "skip"} and self.merge_mode() == "mor":
+        if fast_ok:
             m_since = self.manifest(since_version)
             old = {f for fl in m_since.get("deltas", {}).values() for f in fl}
             new_files = [
@@ -383,12 +393,26 @@ class LakeTable:
             )
             raw = spark.read.schema(rs).parquet(*new_files)
             payload = [c for c in raw.columns if c != key]
-            winner = F.max_by(F.struct(*payload), F.col(LSN_COL))
+            # same NULL-_lsn ranking as _resolve (seed-style rows rank -1)
+            winner = F.max_by(
+                F.struct(*payload), F.coalesce(F.col(LSN_COL), F.lit(-1))
+            )
             net = raw.groupBy(key).agg(winner.alias("_w")).select(key, "_w.*")
+            is_del = F.coalesce(F.col(DELETED_COL), F.lit(False))
+            net = net.select(
+                key,
+                *[
+                    F.when(is_del & F.lit(c != LSN_COL), F.lit(None)).otherwise(
+                        F.col(c)
+                    ).alias(c)
+                    for c in payload
+                    if c != DELETED_COL
+                ],
+                is_del.alias("_is_del"),
+            )
             df = net.withColumn(
                 self.CHANGE_COL,
-                F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), "delete")
-                .otherwise("upsert"),
+                F.when(F.col("_is_del"), "delete").otherwise("upsert"),
             ).select(*out_cols)
         else:
             cur = self.read(spark, version=until)

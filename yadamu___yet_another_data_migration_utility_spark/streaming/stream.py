@@ -177,6 +177,21 @@ SESSION_SCHEMA = T.StructType(
     ]
 )
 
+#: UDF-internal row: epoch-microsecond bounds (converted to timestamps
+#: JVM-side -- Arrow round-trips naive datetimes through the SESSION
+#: timezone, which would shear against the epoch-based watermark under
+#: any non-UTC session)
+_SESSION_US_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("min_lsn", T.LongType()),
+        T.StructField("max_lsn", T.LongType()),
+    ]
+)
+
 #: per-url crawl-session state: (start_us, last_us, n, min_lsn, max_lsn)
 _SESSION_STATE_SCHEMA = T.StructType(
     [
@@ -222,6 +237,7 @@ def start_url_sessions(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_ms = gap_us // 1000
+    _cols = ["url", "start_us", "end_us", "n_events", "min_lsn", "max_lsn"]
 
     def fn(key, pdfs, state: GroupState):
         url = key[0]
@@ -229,8 +245,8 @@ def start_url_sessions(
         def finalize(cur) -> dict:
             return {
                 "url": url,
-                "session_start": pd.to_datetime(cur[0], unit="us"),
-                "session_end": pd.to_datetime(cur[1], unit="us"),
+                "start_us": cur[0],
+                "end_us": cur[1],
                 "n_events": cur[2],
                 "min_lsn": cur[3],
                 "max_lsn": cur[4],
@@ -245,15 +261,14 @@ def start_url_sessions(
         events: list[tuple[int, int]] = []
         for pdf in pdfs:
             if len(pdf):
-                us = pdf["warc_ts"].astype("int64") // 1000  # ns -> us
-                events.extend(zip(us.tolist(), pdf["lsn"].tolist()))
+                # _ts_us is TRUE epoch microseconds, computed JVM-side
+                # (unix_micros) -- immune to the session-timezone shear
+                # of Arrow's naive-datetime round-trip
+                events.extend(zip(pdf["_ts_us"].tolist(), pdf["lsn"].tolist()))
         events.sort()
         cur = list(state.get) if state.exists else None
         if not events and cur is None:  # defensive: nothing to do
-            yield pd.DataFrame(
-                [], columns=["url", "session_start", "session_end",
-                             "n_events", "min_lsn", "max_lsn"],
-            )
+            yield pd.DataFrame([], columns=_cols)
             return
         out = []
         for ts_us, lsn in events:
@@ -278,21 +293,23 @@ def start_url_sessions(
         else:
             state.update(tuple(cur))
             state.setTimeoutTimestamp(deadline_ms)
-        yield pd.DataFrame(
-            out,
-            columns=["url", "session_start", "session_end",
-                     "n_events", "min_lsn", "max_lsn"],
-        )
+        yield pd.DataFrame(out, columns=_cols)
 
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(changelog_path)
         .withWatermark("warc_ts", watermark)
+        .withColumn("_ts_us", F.unix_micros(F.col("warc_ts")))
     )
     sessions = stream.groupBy("url").applyInPandasWithState(
-        fn, SESSION_SCHEMA, _SESSION_STATE_SCHEMA,
+        fn, _SESSION_US_SCHEMA, _SESSION_STATE_SCHEMA,
         "append", GroupStateTimeout.EventTimeTimeout,
+    ).select(
+        "url",
+        F.timestamp_micros(F.col("start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("end_us")).alias("session_end"),
+        "n_events", "min_lsn", "max_lsn",
     )
     return (
         sessions.writeStream.outputMode("append")
