@@ -396,6 +396,90 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             len(words) - 2 AS total_shingles,
+             len(list_distinct([array_to_string(words[i:i+2], ' ')
+                                for i in generate_series(1, len(words) - 2)]))
+               AS distinct_shingles
+      FROM w WHERE len(words) >= 3
+    ),
+    tok AS (
+      SELECT doc_id, unnest(words) AS token, len(words) AS n_words FROM w
+    ),
+    topf AS (
+      SELECT doc_id, MAX(cnt) AS top_cnt, MAX(n_words) AS n_words
+      FROM (SELECT doc_id, token, n_words, COUNT(*) AS cnt
+            FROM tok GROUP BY doc_id, token, n_words)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           s.total_shingles,
+           s.distinct_shingles,
+           ROUND(1.0 - CAST(s.distinct_shingles AS DOUBLE) / s.total_shingles, 6)
+             AS dup_shingle_ratio,
+           ROUND(CAST(t.top_cnt AS DOUBLE) / t.n_words, 6) AS top_word_ratio,
+           (1.0 - CAST(s.distinct_shingles AS DOUBLE) / s.total_shingles) < 0.3
+             AND CAST(t.top_cnt AS DOUBLE) / t.n_words < 0.2 AS keep
+    FROM sh s JOIN topf t ON t.doc_id = s.doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-rules quality
+    family): duplicate-3-gram fraction (1 - distinct/total shingles)
+    and most-common-word fraction, with the standard keep thresholds
+    (dup-shingle < 0.3 AND top-word < 0.2). Machine-generated /
+    template spam scores high on both; the composed quality filters
+    upstream of dedup use exactly these features.
+
+    Scale: the shingle ratios are a pure scan (array algebra per row,
+    no shuffle); the top-word fraction is one explode + two partial-agg
+    groupBys keyed by doc_id -- uniform keys, map-side combine. Same
+    small-SF fan-out note as docs_aug: the explicit repartition only
+    matters when the scan has fewer splits than cores."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    words = F.split(F.lower(F.col("text")), " ")
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.array_join(F.slice(words, i, 3), " "),
+    )
+    sh = (
+        d.withColumn("_w", words)
+        .filter(F.size("_w") >= 3)
+        .select(
+            "doc_id",
+            (F.size("_w") - 2).alias("total_shingles"),
+            F.size(F.array_distinct(sh_arr)).alias("distinct_shingles"),
+        )
+    )
+    tok = d.select("doc_id", F.size(words).alias("n_words"),
+                   F.explode(words).alias("token"))
+    topf = (
+        tok.groupBy("doc_id", "token", "n_words")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"), F.max("n_words").alias("n_words"))
+    )
+    dup_ratio = F.lit(1.0) - F.col("distinct_shingles").cast("double") / F.col("total_shingles")
+    top_ratio = F.col("top_cnt").cast("double") / F.col("n_words")
+    return sh.join(topf, "doc_id").select(
+        "doc_id",
+        "total_shingles",
+        "distinct_shingles",
+        F.round(dup_ratio, 6).alias("dup_shingle_ratio"),
+        F.round(top_ratio, 6).alias("top_word_ratio"),
+        ((dup_ratio < 0.3) & (top_ratio < 0.2)).alias("keep"),
+    )
+
+
+@_register(
     "token_stats_by_source",
     """
     SELECT source, lang,
