@@ -352,3 +352,32 @@ def test_read_changes_cow_override_forces_diff(spark, tmp_table_root):
     v = t.current_version()
     t.merge(spark, batch(spark, [("a", "v2", "U", 2)]), batch_id=1, mode="cow")
     assert _changes(spark, t, v) == {("a", "v2", 2, "upsert")}
+
+
+def test_expire_snapshots_retention(spark, tmp_table_root):
+    """expire_snapshots drops expired manifests + unreferenced data
+    files, preserves current state, the fence ledger, and time travel
+    within the retention window; re-running is a no-op."""
+    t = mk(spark, tmp_table_root, merge_mode="mor")
+    for b in range(8):
+        t.merge(spark, batch(spark, [(f"k{b % 3}", f"v{b}", "U", b + 1)]), batch_id=b)
+    t.compact(spark, all_deltas=True)  # folds deltas -> old files unreferenced
+    state_before = state(spark, t)
+    cur = t.current_version()
+
+    stats = t.expire_snapshots(keep_last=2)
+    assert stats["expired_manifests"] > 0 and stats["deleted_files"] > 0
+    assert state(spark, t) == state_before  # current state intact
+    with pytest.raises(FileNotFoundError):
+        t.manifest(1)  # expired version unreadable (Iceberg contract)
+    assert t.read(spark, version=cur).count() == len(state_before)  # retained travel
+
+    # fence ledger rides the current manifest: old batch still fences
+    r = t.merge(spark, batch(spark, [("k0", "vX", "U", 99)]), batch_id=0)
+    assert r.fenced
+    # audit chain truncates gracefully instead of raising
+    assert t.audit_df(spark).count() >= 1
+
+    stats2 = t.expire_snapshots(keep_last=2)
+    assert stats2 == {"expired_manifests": 0, "deleted_files": 0,
+                      "oldest_kept_version": stats2["oldest_kept_version"]}

@@ -452,12 +452,16 @@ class LakeTable:
     # audit / lineage as DataFrames (engine metrics tables)
     # ------------------------------------------------------------------
     def audit_entries(self) -> list[dict[str, Any]]:
-        """All audit rows across the snapshot chain (newest last)."""
+        """All audit rows across the RETAINED snapshot chain (newest
+        last; truncates where expire_snapshots dropped history)."""
         out = []
         v: int | None = self.current_version()
         chain = []
         while v is not None:
-            m = self.manifest(v)
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                break  # expired history
             chain.append(m)
             v = m["parent"]
         for m in reversed(chain):
@@ -469,7 +473,10 @@ class LakeTable:
         out = []
         v: int | None = self.current_version()
         while v is not None:
-            m = self.manifest(v)
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                break  # expired history
             for row in m.get("lineage", []):
                 out.append({"version": m["version"], **row})
             v = m["parent"]
@@ -944,6 +951,73 @@ class LakeTable:
         }
         self._write_manifest(manifest, expected_parent=m["version"])
         return v
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
+        """Retention maintenance (Iceberg ``expire_snapshots``): drop
+        manifests older than the newest ``keep_last`` versions and
+        delete data files no retained version references. Without this,
+        time travel accumulates every file ever written -- at 100 TB
+        retention is not optional.
+
+        Exactly-once is unaffected: the fence ledger (applied_batches)
+        rides the CURRENT manifest, not the expired history. The audit
+        chain truncates at the oldest retained version
+        (``audit_entries`` tolerates the missing parents); reading an
+        expired version raises FileNotFoundError -- same contract as
+        Iceberg's expired-snapshot error.
+
+        Crash-safe + idempotent: data files are deleted only AFTER the
+        manifests that referenced them, and re-running simply finds
+        nothing left to remove. Driver-side O(retained files + files on
+        disk); no Spark job."""
+        retained: list[dict[str, Any]] = []
+        v: int | None = self.current_version()
+        while v is not None and len(retained) < keep_last:
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                break  # older history already expired
+            retained.append(m)
+            v = m["parent"]
+        protected: set[str] = set()
+        for m in retained:
+            for which in ("buckets", "deltas"):
+                for fl in m.get(which, {}).values():
+                    protected.update(fl)
+        oldest_kept = retained[-1]["version"]
+
+        # 1) drop expired manifests (newest-first walk already proved
+        #    the retained ones readable)
+        mdir = os.path.join(self.root, MANIFEST_DIR)
+        n_manifests = 0
+        for name in os.listdir(mdir):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                mv = int(name[1:-5])
+            except ValueError:
+                continue
+            if mv < oldest_kept:
+                os.remove(os.path.join(mdir, name))
+                n_manifests += 1
+
+        # 2) delete data files no retained manifest references
+        ddir = os.path.join(self.root, DATA_DIR)
+        n_files = 0
+        for dirpath, _dirs, files in os.walk(ddir, topdown=False):
+            for name in files:
+                p = os.path.join(dirpath, name)
+                rel = os.path.relpath(p, self.root)
+                if rel not in protected:
+                    os.remove(p)
+                    n_files += 1
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        return {
+            "expired_manifests": n_manifests,
+            "deleted_files": n_files,
+            "oldest_kept_version": oldest_kept,
+        }
 
     # ------------------------------------------------------------------
     def _write_bucketed(
