@@ -381,3 +381,24 @@ def test_expire_snapshots_retention(spark, tmp_table_root):
     stats2 = t.expire_snapshots(keep_last=2)
     assert stats2 == {"expired_manifests": 0, "deleted_files": 0,
                       "oldest_kept_version": stats2["oldest_kept_version"]}
+
+
+def test_read_changes_across_schema_evolution(spark, tmp_table_root):
+    """Additive evolution INSIDE the window: pre-evolution delta files
+    lack the new column; the fast path reads them with the until-schema
+    so the missing column surfaces as NULL, like read() does."""
+    t = mk(spark, tmp_table_root, merge_mode="mor")
+    t.merge(spark, batch(spark, [("a", "v1", "I", 1)]), batch_id=0)
+    v_since = t.current_version()
+    t.merge(spark, batch(spark, [("b", "v1", "I", 2)]), batch_id=1)
+    evolved = spark.createDataFrame(
+        [("c", "v1", "text/html", "I", 3)],
+        "url string, val string, content_type string, op string, lsn long",
+    )
+    t.merge(spark, evolved, batch_id=2)
+    got = {
+        (r["url"], r["val"], r["content_type"], r["_lsn"], r["_change_type"])
+        for r in t.read_changes(spark, v_since).collect()
+    }
+    assert got == {("b", "v1", None, 2, "upsert"),
+                   ("c", "v1", "text/html", 3, "upsert")}, got
