@@ -37,6 +37,8 @@ import sys
 import tempfile
 import time
 
+import pandas as pd
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -157,6 +159,22 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
             for wq in ("q1_pricing_summary", "cdc_last_state", "media_decode_meta"):
                 if wq in QUERIES:
                     force(QUERIES[wq](spark, warm_dir))
+        # spawn the FULL Python worker pool (one per core), not just the
+        # few workers the tiny warm-SF mapInPandas touches: the first
+        # timed query running an Arrow UDF across all partitions
+        # otherwise pays ~cpus interpreter+pandas-import spawns
+        # (measured: ann_lsh_bucketed 12.2s cold-pool vs ~5s warm)
+        from pyspark.sql.functions import pandas_udf as _pudf
+
+        @_pudf("long")
+        def _warm_udf(x: pd.Series) -> pd.Series:
+            return x
+
+        force(
+            spark.range(cpus * 1000)
+            .repartition(cpus)
+            .select(_warm_udf("id").alias("v"))
+        )
         for name in names:
             t0 = time.monotonic()
             force(QUERIES[name](spark, sf_dir))
