@@ -395,6 +395,100 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-language sampling rates out of 100 (md5-derived, deterministic):
+#: the "more English than tail languages" rebalancing every pretraining
+#: corpus applies
+_SAMPLE_RATES = {"en": 90, "de": 50, "fr": 50, "es": 50}
+_SAMPLE_DEFAULT = 25
+
+_SAMPLE_RATE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items()
+) + f" ELSE {_SAMPLE_DEFAULT} END"
+
+
+@_register(
+    "corpus_sample",
+    f"""
+    WITH tagged AS (
+      SELECT source, lang, doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(concat('0x', substr(md5(concat('sample:', CAST(doc_id AS VARCHAR))), 1, 8))
+                  AS BIGINT) % 100 AS die,
+             {_SAMPLE_RATE_SQL} AS rate
+      FROM documents
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN die < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN die < rate THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS sampled_tokens,
+           MIN(rate) AS rate_pct
+    FROM tagged
+    GROUP BY source, lang
+    """,
+)
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: each doc rolls an
+    md5-derived die and survives if it lands under its language's
+    rate -- the rebalancing step (upsample head languages, downsample
+    tail) every pretraining corpus applies. Hash-based dice make the
+    sample REPRODUCIBLE and incrementally stable: re-running over a
+    grown corpus keeps every previously-sampled doc, unlike rand().
+
+    Scale: a pure scan (hash + compare per row, no shuffle for the
+    filter itself); the per-stratum report is one algebraic groupBy."""
+    d = load(spark, sf_dir, "documents")
+    die = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    rate = F.lit(_SAMPLE_DEFAULT)
+    for k, v in reversed(_SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    keep = (die < rate).cast("long")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep).alias("n_sampled"),
+        F.sum(F.when(keep == 1, n_tokens).otherwise(0)).alias("sampled_tokens"),
+        F.min(rate).alias("rate_pct"),
+    )
+
+
+@_register(
+    "corpus_shuffle",
+    """
+    WITH ordered AS (
+      SELECT doc_id,
+             md5(concat('shuffle:', CAST(doc_id AS VARCHAR))) AS shuffle_key,
+             ROW_NUMBER() OVER (ORDER BY md5(concat('shuffle:', CAST(doc_id AS VARCHAR)))) AS position
+      FROM documents
+    )
+    SELECT position, doc_id, shuffle_key FROM ordered WHERE position <= 100
+    """,
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: order by an
+    md5-derived key and assign positions -- the 'shuffle the corpus
+    once, stream it in order' step before sharding into training
+    files. First 100 positions returned as the checkable prefix.
+
+    Scale: the prefix is fetched with orderBy+limit -- Spark plans
+    TakeOrderedAndProject, a per-partition partial top-k merged on the
+    driver, NOT an unpartitioned global window; the row_number then
+    runs over only the 100 survivors. The full-corpus variant is a
+    range-partitioned total sort with zipWithIndex-style per-partition
+    position offsets -- the top-k prefix keeps the oracle comparison
+    bounded while hash-checking the order itself."""
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    top = d.select("doc_id", key.alias("shuffle_key")).orderBy("shuffle_key").limit(100)
+    w = W.orderBy(F.col("shuffle_key"))
+    return top.withColumn("position", F.row_number().over(w)).select(
+        "position", "doc_id", "shuffle_key"
+    )
+
+
 @_register(
     "doc_repetition",
     """
