@@ -163,7 +163,7 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         # few workers the tiny warm-SF mapInPandas touches: the first
         # timed query running an Arrow UDF across all partitions
         # otherwise pays ~cpus interpreter+pandas-import spawns
-        # (measured: ann_lsh_bucketed 12.2s cold-pool vs ~5s warm)
+        # (measured: ann_lsh_bucketed 12.2s cold-pool vs ~3-5s warm)
         from pyspark.sql.functions import pandas_udf as _pudf
 
         @_pudf("long")

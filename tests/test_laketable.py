@@ -355,18 +355,35 @@ def test_read_changes_cow_override_forces_diff(spark, tmp_table_root):
 
 
 def test_expire_snapshots_retention(spark, tmp_table_root):
-    """expire_snapshots drops expired manifests + unreferenced data
-    files, preserves current state, the fence ledger, and time travel
-    within the retention window; re-running is a no-op."""
+    """expire_snapshots drops expired manifests + unreferenced PARQUET
+    data files (not just sidecars), keeps retained files' checksum
+    sidecars intact, preserves current state, the fence ledger, and
+    time travel within the retention window; re-running is a no-op."""
+    import glob
+    import os
+
     t = mk(spark, tmp_table_root, merge_mode="mor")
     for b in range(8):
         t.merge(spark, batch(spark, [(f"k{b % 3}", f"v{b}", "U", b + 1)]), batch_id=b)
-    t.compact(spark, all_deltas=True)  # folds deltas -> old files unreferenced
+    t.compact(spark, all_deltas=True)  # pre-compact files now unreferenced by HEAD
     state_before = state(spark, t)
     cur = t.current_version()
+    pq = lambda: set(glob.glob(os.path.join(tmp_table_root, "data", "**", "*.parquet"),
+                               recursive=True))  # noqa: E731
+    before = pq()
 
-    stats = t.expire_snapshots(keep_last=2)
-    assert stats["expired_manifests"] > 0 and stats["deleted_files"] > 0
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
+    stats = t.expire_snapshots(keep_last=1)  # only the compact snapshot survives
+    assert stats["expired_manifests"] > 0
+    after = pq()
+    # real parquet files expired, counted as primaries
+    assert len(before - after) > 0
+    assert stats["deleted_files"] >= len(before - after)
+    # every RETAINED parquet file keeps its checksum sidecar
+    for f in after:
+        d, n = os.path.split(f)
+        assert os.path.exists(os.path.join(d, f".{n}.crc")), f"lost crc of {f}"
     assert state(spark, t) == state_before  # current state intact
     with pytest.raises(FileNotFoundError):
         t.manifest(1)  # expired version unreadable (Iceberg contract)
@@ -375,12 +392,15 @@ def test_expire_snapshots_retention(spark, tmp_table_root):
     # fence ledger rides the current manifest: old batch still fences
     r = t.merge(spark, batch(spark, [("k0", "vX", "U", 99)]), batch_id=0)
     assert r.fenced
-    # audit chain truncates gracefully instead of raising
-    assert t.audit_df(spark).count() >= 1
+    # audit chain truncates gracefully at the expiry horizon (the only
+    # retained commit is the audit-less compact) and grows again from
+    # fresh commits
+    assert t.audit_df(spark).count() == 0
+    t.merge(spark, batch(spark, [("k9", "v9", "I", 200)]), batch_id=99)
+    assert t.audit_df(spark).count() == 1
 
     stats2 = t.expire_snapshots(keep_last=2)
-    assert stats2 == {"expired_manifests": 0, "deleted_files": 0,
-                      "oldest_kept_version": stats2["oldest_kept_version"]}
+    assert stats2["expired_manifests"] == 0 and stats2["deleted_files"] == 0
 
 
 def test_read_changes_across_schema_evolution(spark, tmp_table_root):

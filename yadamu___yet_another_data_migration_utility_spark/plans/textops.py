@@ -76,18 +76,25 @@ def docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(near).unionByName(exact)
 
 
-def shingles(df: DataFrame) -> DataFrame:
-    """Distinct 3-word shingles per doc (explode). Matches _SHINGLES_SQL
-    term-for-term: split on single space, 1-indexed slice of 3."""
-    w = F.split(F.lower(F.col("text")), " ")
-    sh = F.transform(
+def shingle_arr(w: F.Column) -> F.Column:
+    """3-word shingle array over a word array -- THE Spark spelling of
+    the cross-engine shingle contract (_SHINGLES_SQL mirrors it
+    term-for-term: 1-indexed slice of 3, single-space join). Every
+    shingle consumer (shingles explode, doc_fingerprint,
+    doc_repetition) derives from this one definition."""
+    return F.transform(
         F.sequence(F.lit(1), F.size(w) - 2),
         lambda i: F.array_join(F.slice(w, i, 3), " "),
     )
+
+
+def shingles(df: DataFrame) -> DataFrame:
+    """Distinct 3-word shingles per doc (explode)."""
+    w = F.split(F.lower(F.col("text")), " ")
     return (
         df.withColumn("_w", w)
         .filter(F.size("_w") >= 3)
-        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .select("doc_id", F.explode(F.array_distinct(shingle_arr(F.col("_w")))).alias("shingle"))
     )
 
 
@@ -379,10 +386,6 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (join-friendly), and the distinct-shingle cardinality."""
     d = docs_aug(spark, sf_dir)
     w = F.split(F.lower(F.col("text")), " ")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 2),
-        lambda i: F.array_join(F.slice(w, i, 3), " "),
-    )
     return (
         d.withColumn("_w", w)
         .filter(F.size("_w") >= 3)
@@ -390,7 +393,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.md5(F.lower(F.col("text"))).alias("fp"),
             _md5_long(F.lower(F.col("text"))).alias("fp60"),
-            F.size(F.array_distinct(sh)).alias("n_shingles"),
+            F.size(F.array_distinct(shingle_arr(F.col("_w")))).alias("n_shingles"),
         )
     )
 
@@ -412,8 +415,7 @@ _SAMPLE_RATE_SQL = "CASE lang " + " ".join(
     WITH tagged AS (
       SELECT source, lang, doc_id,
              len(string_split(text, ' ')) AS n_tokens,
-             CAST(concat('0x', substr(md5(concat('sample:', CAST(doc_id AS VARCHAR))), 1, 8))
-                  AS BIGINT) % 100 AS die,
+             CAST(concat('0x', substr(md5(concat('sample:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS die,
              {_SAMPLE_RATE_SQL} AS rate
       FROM documents
     )
@@ -438,10 +440,7 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a pure scan (hash + compare per row, no shuffle for the
     filter itself); the per-stratum report is one algebraic groupBy."""
     d = load(spark, sf_dir, "documents")
-    die = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
+    die = _md5_long(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
     rate = F.lit(_SAMPLE_DEFAULT)
     for k, v in reversed(_SAMPLE_RATES.items()):
         rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
@@ -540,17 +539,13 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     words = F.split(F.lower(F.col("text")), " ")
-    sh_arr = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 2),
-        lambda i: F.array_join(F.slice(words, i, 3), " "),
-    )
     sh = (
         d.withColumn("_w", words)
         .filter(F.size("_w") >= 3)
         .select(
             "doc_id",
             (F.size("_w") - 2).alias("total_shingles"),
-            F.size(F.array_distinct(sh_arr)).alias("distinct_shingles"),
+            F.size(F.array_distinct(shingle_arr(F.col("_w")))).alias("distinct_shingles"),
         )
     )
     tok = d.select("doc_id", F.size(words).alias("n_words"),

@@ -60,9 +60,13 @@ Scale notes (100 TB / 1000 executors)
 - Readers pay one hash-aggregate over (base + deltas) of the buckets
   that HAVE deltas; delta-free buckets scan plain. ``compact()`` bounds
   that cost, exactly like Iceberg's rewrite_data_files maintenance.
-- On a real cluster the filesystem calls below go through the Hadoop
-  FileSystem API (S3A rename-safe commit via metadata pointer swap);
-  the sandbox uses the local FS.
+- Storage honesty: manifest/data I/O below uses DIRECT filesystem
+  calls (python ``os`` + local-path Spark reads), so the table root
+  must be a POSIX path visible to the driver (local disk, NFS, or a
+  FUSE-mounted bucket). An object-store port is a contained swap of
+  these call sites for the Hadoop FileSystem API (S3A rename-safe
+  commit via the metadata pointer swap) -- future work, deliberately
+  not faked here.
 
 Single-writer assumption: one streaming query owns a table (the
 reference is likewise single-process per job). The optimistic parent
@@ -968,10 +972,18 @@ class LakeTable:
 
         Crash-safe + idempotent: data files are deleted only AFTER the
         manifests that referenced them, and re-running simply finds
-        nothing left to remove. Driver-side O(retained files + files on
-        disk); no Spark job."""
+        nothing left to remove. Safe next to an in-flight merge: only
+        commit directories at or below the CURRENT version at entry are
+        swept, and an uncommitted merge writes to ``c{current+1}`` --
+        its files (and Spark ``_temporary`` dirs) are never touched.
+        Checksum sidecars and ``_SUCCESS`` markers follow their primary
+        file's fate; ``deleted_files`` counts primaries only.
+        Driver-side O(retained files + files on disk); no Spark job."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        current = self.current_version()
         retained: list[dict[str, Any]] = []
-        v: int | None = self.current_version()
+        v: int | None = current
         while v is not None and len(retained) < keep_last:
             try:
                 m = self.manifest(v)
@@ -1001,18 +1013,42 @@ class LakeTable:
                 os.remove(os.path.join(mdir, name))
                 n_manifests += 1
 
-        # 2) delete data files no retained manifest references
+        # 2) delete data files no retained manifest references --
+        #    restricted to COMMITTED c{v} dirs (v <= current at entry)
         ddir = os.path.join(self.root, DATA_DIR)
         n_files = 0
-        for dirpath, _dirs, files in os.walk(ddir, topdown=False):
-            for name in files:
-                p = os.path.join(dirpath, name)
-                rel = os.path.relpath(p, self.root)
-                if rel not in protected:
+        commit_dirs = []
+        if os.path.isdir(ddir):
+            for name in sorted(os.listdir(ddir)):
+                if name.startswith("c"):
+                    try:
+                        dv = int(name[1:])
+                    except ValueError:
+                        continue
+                    if dv <= current:
+                        commit_dirs.append(os.path.join(ddir, name))
+        for cdir in commit_dirs:
+            for dirpath, _dirs, files in os.walk(cdir, topdown=False):
+                primaries = [
+                    n for n in files
+                    if not (n.startswith(".") and n.endswith(".crc"))
+                    and n != "_SUCCESS"
+                ]
+                for name in primaries:
+                    p = os.path.join(dirpath, name)
+                    if os.path.relpath(p, self.root) in protected:
+                        continue
                     os.remove(p)
+                    crc = os.path.join(dirpath, f".{name}.crc")
+                    if os.path.exists(crc):
+                        os.remove(crc)
                     n_files += 1
-            if not os.listdir(dirpath):
-                os.rmdir(dirpath)
+                residue = set(os.listdir(dirpath))
+                if residue and residue <= {"_SUCCESS", "._SUCCESS.crc"}:
+                    for name in residue:  # only markers left -> dir is dead
+                        os.remove(os.path.join(dirpath, name))
+                if not os.listdir(dirpath):
+                    os.rmdir(dirpath)
         return {
             "expired_manifests": n_manifests,
             "deleted_files": n_files,
