@@ -1,0 +1,93 @@
+"""Property-based MERGE semantics: for ANY event sequence (ops, keys,
+batch boundaries, duplicate re-deliveries), replaying through LakeTable
+in either merge mode must equal the last-writer-wins oracle computed
+independently in plain Python. Hypothesis shrinks failures to minimal
+sequences -- the deterministic tests pin known cases, this pins the
+space between them."""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from yadamu___yet_another_data_migration_utility_spark.sources.laketable import LakeTable
+
+SCHEMA = T.StructType(
+    [T.StructField("url", T.StringType()), T.StructField("val", T.StringType())]
+)
+
+#: (key_idx 0-4, op) sequences; lsn = position + 1 (strictly increasing,
+#: like a WAL); every 3rd event is re-delivered verbatim (at-least-once)
+EVENTS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=4), st.sampled_from("IUD")),
+    min_size=1,
+    max_size=24,
+)
+CUTS = st.lists(st.integers(min_value=1, max_value=23), max_size=2, unique=True)
+MODE = st.sampled_from(["mor", "cow"])
+
+
+def _python_oracle(events):
+    """Independent last-writer-wins state: dict key -> (val, lsn)."""
+    state = {}
+    for lsn, (k, op) in enumerate(events, start=1):
+        key = f"k{k}"
+        prev = state.get(key)
+        if prev is not None and prev[1] >= lsn:
+            continue  # stale (never happens with increasing lsn; kept for clarity)
+        if op == "D":
+            state[key] = (None, lsn, True)
+        else:
+            state[key] = (f"v{lsn}", lsn, False)
+    return {
+        (key, v[0], v[1]) for key, v in state.items() if not v[2]
+    }
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=EVENTS, cuts=CUTS, mode=MODE)
+def test_merge_equals_lww_oracle(spark, tmp_path_factory, events, cuts, mode):
+    rows = [
+        (f"k{k}", None if op == "D" else f"v{lsn}", op, lsn)
+        for lsn, (k, op) in enumerate(events, start=1)
+    ]
+    # at-least-once: re-deliver every 3rd event inside its own batch
+    root = str(tmp_path_factory.mktemp("prop") / "t")
+    t = LakeTable.create(root, SCHEMA, key="url", bucket_count=4, merge_mode=mode)
+    bounds = sorted({c for c in cuts if c < len(rows)}) + [len(rows)]
+    start = 0
+    for bid, end in enumerate(bounds):
+        chunk = rows[start:end]
+        if not chunk:
+            continue
+        if mode == "cow":
+            # merge()'s contract: cow batches arrive pre-reduced to one
+            # winning lsn per key (operators.apply enforces this); mor
+            # resolves unreduced batches at read time
+            winners = {}
+            for r in chunk:
+                winners[r[0]] = r  # ascending lsn -> last wins
+            chunk = list(winners.values())
+        dup = [r for i, r in enumerate(chunk) if i % 3 == 0]
+        df = spark.createDataFrame(chunk + dup, "url string, val string, op string, lsn long")
+        t.merge(spark, df, batch_id=bid)
+        start = end
+    # replay the first batch verbatim: must fence as a no-op
+    first = rows[: bounds[0]]
+    if first:
+        r = t.merge(
+            spark,
+            spark.createDataFrame(first, "url string, val string, op string, lsn long"),
+            batch_id=0,
+        )
+        assert r.fenced
+    got = {
+        (r["url"], r["val"], r["_lsn"])
+        for r in t.read(spark).select("url", "val", "_lsn").collect()
+    }
+    assert got == _python_oracle(events)
