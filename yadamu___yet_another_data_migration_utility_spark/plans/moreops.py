@@ -452,6 +452,43 @@ def staged_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "staged_roundtrip_parquet",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,2))), 4) AS DOUBLE) AS sum_total,
+           MIN(o_orderdate) AS min_date,
+           MAX(o_orderdate) AS max_date,
+           COUNT(DISTINCT o_custkey) AS n_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def staged_roundtrip_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNLOAD orders to a zstd parquet staged dataset, LOAD it back,
+    aggregate -- the FAST staged path next to the text-format fidelity
+    checks (CSV/JSON round-trips): binary-exact types, per-file codec,
+    splittable reads. The oracle aggregates the ORIGINAL parquet."""
+    import atexit
+    import shutil
+
+    from ..sources.staged import load_staged, unload
+
+    o = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="staged_pq_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    unload({"orders": o}, os.path.join(root, "ds"), fmt="parquet", compression="zstd")
+    back = load_staged(spark, os.path.join(root, "ds"))["orders"]
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        _sum_dbl(_dec("o_totalprice")).alias("sum_total"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+    )
+
+
+@_register(
     "export_roundtrip_json",
     """
     SELECT o_orderpriority,
