@@ -60,24 +60,34 @@ Scale notes (100 TB / 1000 executors)
 - Readers pay one hash-aggregate over (base + deltas) of the buckets
   that HAVE deltas; delta-free buckets scan plain. ``compact()`` bounds
   that cost, exactly like Iceberg's rewrite_data_files maintenance.
-- Storage honesty: manifest/data I/O below uses DIRECT filesystem
-  calls (python ``os`` + local-path Spark reads), so the table root
-  must be a POSIX path visible to the driver (local disk, NFS, or a
-  FUSE-mounted bucket). An object-store port is a contained swap of
-  these call sites for the Hadoop FileSystem API (S3A rename-safe
-  commit via the metadata pointer swap) -- future work, deliberately
-  not faked here.
+- Storage: all metadata/data I/O goes through the ``fsio.LocalFS``
+  seam (see fsio.py for the two commit primitives and their documented
+  S3 ports: immutable manifests via conditional PUT, the ``_current``
+  pointer as a roll-forward hint). The default backend is POSIX; an
+  object-store port swaps the FS object, not this file.
 
-Single-writer assumption: one streaming query owns a table (the
-reference is likewise single-process per job). The optimistic parent
-check turns a lost race into a clean error instead of corruption.
+Concurrency: commits are OPTIMISTIC. The commit CAS is the exclusive
+publish of the immutable ``v{N}.json`` manifest (whoever names version
+N first wins); a loser re-reads the head and REBASES -- a merge-on-read
+merge or an append composes with any intervening commit (its delta/base
+files are simply appended to the newer file lists), a copy-on-write
+merge rebases only when its touched buckets are disjoint from the
+intervening commits', and a concurrent schema change always aborts
+cleanly (``RebaseError``). Bounded retries; exactly-once is preserved
+because the batch fence rides the same manifest CAS. Commit data dirs
+are uuid-unique, so concurrent (or crashed-and-replayed) writers never
+collide on paths: a crash between the data write and the manifest
+publish leaves an unreferenced orphan dir that retention sweeps later,
+and the replayed batch simply writes a fresh dir -- hands-off recovery
+(the reference's reconnect-and-resume contract,
+/root/reference/src/YADAMU/common/yadamuDBI.js:704-813, applied to the
+write path).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass
@@ -86,6 +96,15 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .fsio import CommitConflict, LocalFS
+
+
+class RebaseError(RuntimeError):
+    """A concurrent commit landed that this commit cannot be rebased
+    onto (schema drift, or overlapping copy-on-write buckets). The
+    batch was NOT applied and NOT fenced -- retry it whole."""
+
 
 FORMAT_VERSION = 2
 MANIFEST_DIR = "manifests"
@@ -126,8 +145,9 @@ class MergeResult:
 class LakeTable:
     """A transactional hash-bucketed parquet table with MERGE semantics."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, fs: LocalFS | None = None):
         self.root = root
+        self.fs = fs or LocalFS()
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -141,25 +161,27 @@ class LakeTable:
         bucket_count: int = 32,
         overwrite: bool = False,
         merge_mode: str = "mor",
+        fs: LocalFS | None = None,
     ) -> "LakeTable":
         """Create an empty table (snapshot v1, no data files).
 
         ``merge_mode`` is a table property (Iceberg: write.merge.mode):
         "mor" writes per-batch delta files resolved at read/compact;
         "cow" rewrites touched buckets at merge time."""
+        fs = fs or LocalFS()
         if merge_mode not in MERGE_MODES:
             raise ValueError(f"merge_mode must be one of {MERGE_MODES}")
-        if os.path.exists(root):
+        if fs.exists(root):
             if not overwrite:
                 raise FileExistsError(f"LakeTable already exists at {root}")
-            shutil.rmtree(root)
+            fs.rmtree(root)
         if key not in schema.fieldNames():
             raise ValueError(f"merge key {key!r} not in schema")
         if LSN_COL not in schema.fieldNames():
             schema = T.StructType(list(schema.fields) + [T.StructField(LSN_COL, T.LongType())])
-        os.makedirs(os.path.join(root, MANIFEST_DIR))
-        os.makedirs(os.path.join(root, DATA_DIR))
-        tbl = cls(root)
+        fs.makedirs(os.path.join(root, MANIFEST_DIR))
+        fs.makedirs(os.path.join(root, DATA_DIR))
+        tbl = cls(root, fs=fs)
         manifest = {
             "format_version": FORMAT_VERSION,
             "version": 1,
@@ -180,61 +202,62 @@ class LakeTable:
         return tbl
 
     @classmethod
-    def load(cls, root: str) -> "LakeTable":
-        if not os.path.exists(os.path.join(root, MANIFEST_DIR, CURRENT)):
+    def load(cls, root: str, fs: LocalFS | None = None) -> "LakeTable":
+        fs = fs or LocalFS()
+        if not fs.exists(os.path.join(root, MANIFEST_DIR, CURRENT)):
             raise FileNotFoundError(f"no LakeTable at {root}")
-        return cls(root)
+        return cls(root, fs=fs)
 
     @classmethod
-    def exists(cls, root: str) -> bool:
-        return os.path.exists(os.path.join(root, MANIFEST_DIR, CURRENT))
+    def exists(cls, root: str, fs: LocalFS | None = None) -> bool:
+        return (fs or LocalFS()).exists(os.path.join(root, MANIFEST_DIR, CURRENT))
 
     # ------------------------------------------------------------------
     # manifest I/O
     # ------------------------------------------------------------------
+    def _manifest_path(self, v: int) -> str:
+        return os.path.join(self.root, MANIFEST_DIR, f"v{v:012d}.json")
+
     def current_version(self) -> int:
-        with open(os.path.join(self.root, MANIFEST_DIR, CURRENT)) as f:
-            return int(f.read().strip())
+        """Head version: the ``_current`` pointer is a HINT -- the
+        source of truth is the set of published manifests (whose names
+        are the commit CAS), so roll forward past the hint. The probe is
+        O(commits since the last pointer write), normally zero: it only
+        walks after a crash between manifest publish and pointer write,
+        or a pointer write that lost an update race."""
+        v = int(self.fs.read_text(os.path.join(self.root, MANIFEST_DIR, CURRENT)).strip())
+        while self.fs.exists(self._manifest_path(v + 1)):
+            v += 1
+        return v
 
     def manifest(self, version: int | None = None) -> dict[str, Any]:
         v = self.current_version() if version is None else version
-        path = os.path.join(self.root, MANIFEST_DIR, f"v{v:012d}.json")
-        with open(path) as f:
-            return json.load(f)
+        return json.loads(self.fs.read_text(self._manifest_path(v)))
 
     def merge_mode(self) -> str:
         return self.manifest().get("merge_mode", "cow")
 
     def _write_manifest(self, manifest: dict[str, Any], expected_parent: int | None) -> None:
-        """Atomic commit: write immutable vN.json, then swap _current.
+        """Atomic commit: exclusively PUBLISH the immutable vN.json --
+        manifest names encode the version, so the publish IS the
+        compare-and-swap (whoever names version N first owns it; the
+        loser gets ``CommitConflict`` and rebases). The ``_current``
+        pointer is then updated as a best-effort hint; readers roll
+        forward past a stale hint (current_version), so a crash between
+        publish and pointer write loses nothing.
 
-        Optimistic concurrency: if another writer advanced _current past
-        ``expected_parent`` we abort -- a clean conflict error, matching
-        Iceberg's commit-conflict semantics.
-        """
-        mdir = os.path.join(self.root, MANIFEST_DIR)
+        ``expected_parent`` is redundant under the name-CAS (version
+        N's uniqueness implies the parent chain) but kept for error
+        clarity."""
         v = manifest["version"]
-        mpath = os.path.join(mdir, f"v{v:012d}.json")
-        tmp = mpath + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, mpath)
-        cur = os.path.join(mdir, CURRENT)
-        if expected_parent is not None:
-            actual = self.current_version()
-            if actual != expected_parent:
-                os.remove(mpath)
-                raise RuntimeError(
-                    f"commit conflict: expected parent v{expected_parent}, found v{actual}"
-                )
-        ctmp = cur + f".tmp-{uuid.uuid4().hex}"
-        with open(ctmp, "w") as f:
-            f.write(str(v))
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(ctmp, cur)  # POSIX-atomic pointer swap == the commit
+        try:
+            self.fs.put_if_absent(self._manifest_path(v), json.dumps(manifest))
+        except CommitConflict:
+            raise CommitConflict(
+                f"commit conflict: version v{v} was already committed by another "
+                f"writer (expected parent v{expected_parent})"
+            ) from None
+        self.fs.put_atomic(os.path.join(self.root, MANIFEST_DIR, CURRENT), str(v))
         # deferred import: operators/__init__ imports apply which imports
         # this module (cycle at module-load time only)
         from ..operators import trace
@@ -250,6 +273,35 @@ class LakeTable:
                 version=v,
             )
 
+    def _commit_with_rebase(
+        self,
+        base: dict[str, Any],
+        build,
+        batch_id: int | None = None,
+        max_retries: int = 5,
+    ) -> dict[str, Any] | None:
+        """Optimistic-commit loop: ``build(parent_manifest)`` constructs
+        the manifest against a given parent; on ``CommitConflict`` the
+        head is re-read and ``build`` runs again against it (REBASE).
+        ``build`` must raise ``RebaseError`` when the intervening
+        commits are incompatible (schema drift, overlapping cow
+        buckets). Returns the committed manifest, or None when a
+        concurrent writer fenced ``batch_id`` first (the caller's
+        batch became a no-op -- exactly-once holds across writers)."""
+        m = base
+        last: CommitConflict | None = None
+        for _ in range(max_retries):
+            manifest = build(m)
+            try:
+                self._write_manifest(manifest, expected_parent=m["version"])
+                return manifest
+            except CommitConflict as e:
+                last = e
+                m = self.manifest()
+                if batch_id is not None and str(batch_id) in m["applied_batches"]:
+                    return None
+        raise last  # type: ignore[misc]  # loop ran at least once
+
     # ------------------------------------------------------------------
     # read path
     # ------------------------------------------------------------------
@@ -261,7 +313,9 @@ class LakeTable:
         out: list[str] = []
         for b, files in manifest.get(which, {}).items():
             if buckets is None or int(b) in buckets:
-                out.extend(os.path.join(self.root, f) for f in files)
+                out.extend(
+                    self.fs.spark_path(os.path.join(self.root, f)) for f in files
+                )
         return out
 
     def read(
@@ -291,7 +345,7 @@ class LakeTable:
             if fl and (buckets is None or int(b) in buckets)
         ]
         plain_files = [
-            os.path.join(self.root, f)
+            self.fs.spark_path(os.path.join(self.root, f))
             for b, fl in m["buckets"].items()
             if int(b) not in delta_buckets and (buckets is None or int(b) in buckets)
             for f in fl
@@ -342,6 +396,19 @@ class LakeTable:
         tombstone ``_lsn`` (NULL on the diff path -- the tombstone was
         already compacted away) and NULL payload.
 
+        ``public=True`` drops the ``_lsn`` column: that projection is
+        for INSPECTION/analytics only (what changed, human-readable) --
+        it cannot be applied downstream under the LSN-monotonic
+        contract above. Appliers must consume the default
+        (``public=False``) output, whose ``_lsn`` is the ordering token
+        the monotonic merge keys on.
+
+        Window bounds are validated against RETAINED history:
+        ``until_version`` beyond the head, or a window that crosses an
+        ``expire_snapshots`` horizon, raises ``ValueError`` (Iceberg's
+        expired-snapshot contract, surfaced as a clean error instead of
+        a mid-walk FileNotFoundError).
+
         Scale: when every commit in the window is a MOR merge (the
         steady state), the read touches ONLY the delta files those
         commits added -- O(changes), no table scan -- resolved
@@ -351,10 +418,26 @@ class LakeTable:
         snapshot DIFF: two time-travel reads full-outer-joined on the
         key -- O(table), but always correct, and the per-key ``_lsn``
         makes the diff a column compare, not a payload hash."""
-        until = self.current_version() if until_version is None else until_version
+        current = self.current_version()
+        until = current if until_version is None else until_version
+        if until > current:
+            raise ValueError(
+                f"until_version {until} > current version {current} (unknown snapshot)"
+            )
         if since_version > until:
             raise ValueError(f"since_version {since_version} > until_version {until}")
-        m_until = self.manifest(until)
+
+        def _mf(v: int) -> dict[str, Any]:
+            try:
+                return self.manifest(v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"snapshot v{v} has been expired by expire_snapshots (or never "
+                    f"existed): the change window ({since_version}, {until}] is not "
+                    "fully retained -- re-seed the consumer from a snapshot read"
+                ) from None
+
+        m_until = _mf(until)
         schema = T.StructType.fromJson(m_until["schema"])
         key = m_until["key"]
         out_cols = [f.name for f in schema.fields] + [self.CHANGE_COL]
@@ -364,6 +447,8 @@ class LakeTable:
             )
             return df.drop(LSN_COL) if public else df
 
+        m_since = _mf(since_version)  # window start must be retained too
+
         # window ops: mor merges / skips keep the fast path; anything
         # else (compact, append, cow or mode-override merge) diffs.
         # Each commit's ACTUAL mode is checked from its audit row -- the
@@ -371,7 +456,7 @@ class LakeTable:
         fast_ok = True
         v: int | None = until
         while v is not None and v > since_version:
-            m = self.manifest(v)
+            m = _mf(v)
             audit = m.get("audit") or {}
             op = audit.get("operation") or m.get("summary", {}).get("operation")
             if not (op == "skip" or (op == "merge" and audit.get("mode") == "mor")):
@@ -379,10 +464,9 @@ class LakeTable:
             v = m["parent"]
 
         if fast_ok:
-            m_since = self.manifest(since_version)
             old = {f for fl in m_since.get("deltas", {}).values() for f in fl}
             new_files = [
-                os.path.join(self.root, f)
+                self.fs.spark_path(os.path.join(self.root, f))
                 for fl in m_until.get("deltas", {}).values()
                 for f in fl
                 if f not in old
@@ -536,34 +620,50 @@ class LakeTable:
             return -1
         schema = T.StructType.fromJson(m["schema"])
         df = _align(df, schema)
-        v = m["version"] + 1
-        new_files, n_rows = self._write_bucketed(spark, df, m, v)
-        buckets = dict(m["buckets"])
-        for b, files in new_files.items():
-            buckets[b] = buckets.get(b, []) + files
-        applied = dict(m["applied_batches"])
-        if batch_id is not None:
-            applied[str(batch_id)] = {"version": v, "op": "append"}
-        manifest = {
-            **m,
-            "version": v,
-            "parent": m["version"],
-            "buckets": buckets,
-            "applied_batches": _cap(applied),
-            "audit": {
-                "batch_id": batch_id,
-                "operation": "append",
-                "rows_in": n_rows,
-                "rows_applied": n_rows,
-                "rows_deleted": 0,
+        new_files, n_rows, out_dir = self._write_bucketed(spark, df, m)
+
+        def build(mp: dict[str, Any]) -> dict[str, Any]:
+            # rebase: appending base files composes with any intervening
+            # commit of the same schema (file lists only ever gain ours)
+            if mp is not m and mp["schema"] != m["schema"]:
+                raise RebaseError(
+                    "concurrent schema change during append; retry the batch"
+                )
+            v = mp["version"] + 1
+            buckets = {k: list(fl) for k, fl in mp["buckets"].items()}
+            for b, files in new_files.items():
+                buckets[b] = buckets.get(b, []) + files
+            applied = dict(mp["applied_batches"])
+            if batch_id is not None:
+                applied[str(batch_id)] = {"version": v, "op": "append"}
+            return {
+                **mp,
                 "version": v,
-            },
-            "lineage": [],
-            "summary": {"operation": "append", "rows_written": n_rows},
-            "committed_at": _utc_now_iso(),
-        }
-        self._write_manifest(manifest, expected_parent=m["version"])
-        return v
+                "parent": mp["version"],
+                "buckets": buckets,
+                "applied_batches": _cap(applied),
+                "audit": {
+                    "batch_id": batch_id,
+                    "operation": "append",
+                    "rows_in": n_rows,
+                    "rows_applied": n_rows,
+                    "rows_deleted": 0,
+                    "version": v,
+                },
+                "lineage": [],
+                "summary": {"operation": "append", "rows_written": n_rows},
+                "committed_at": _utc_now_iso(),
+            }
+
+        try:
+            committed = self._commit_with_rebase(m, build, batch_id=batch_id)
+        except (CommitConflict, RebaseError):
+            self.fs.rmtree(out_dir)  # nothing references the files yet
+            raise
+        if committed is None:  # another writer fenced this batch first
+            self.fs.rmtree(out_dir)
+            return -1
+        return committed["version"]
 
     def merge(
         self,
@@ -651,10 +751,9 @@ class LakeTable:
         src = _align(src, table_schema, keep=[op_col])
         delta = src.withColumn(DELETED_COL, F.col(op_col) == "D").drop(op_col)
 
-        v = m["version"] + 1
         key, nb = m["key"], m["bucket_count"]
         obs = Observation(f"merge_mor_{batch_id}")
-        out_dir = os.path.join(self.root, DATA_DIR, f"c{v:012d}")
+        out_dir, rel_dir = self._new_commit_dir(m["version"] + 1)
         (
             delta.withColumn("_b", _bucket_expr(key, nb))
             .observe(
@@ -665,7 +764,7 @@ class LakeTable:
                 F.max(LSN_COL).alias("mx"),
             )
             .write.partitionBy("_b")
-            .parquet(out_dir)
+            .parquet(self.fs.spark_path(out_dir))
         )
         _tick("delta_write")
         got = obs.get
@@ -673,54 +772,73 @@ class LakeTable:
             if pre_commit_hook is not None:
                 pre_commit_hook()  # may raise -> clean abort below
         except Exception:
-            shutil.rmtree(out_dir, ignore_errors=True)  # nothing referenced it yet
+            self.fs.rmtree(out_dir)  # nothing referenced it yet
             raise
         _tick("hook")
 
-        new_files = _list_bucket_files(out_dir, os.path.join(DATA_DIR, f"c{v:012d}"))
+        new_files = _list_bucket_files(self.fs, out_dir, rel_dir)
         lineage: list[dict[str, Any]] = []
         if collect_lineage:
-            for b, fstats in _footer_stats(self.root, new_files).items():
+            for b, fstats in _footer_stats(self.fs, self.root, new_files).items():
                 lineage.append({"batch_id": batch_id, "bucket": int(b), **fstats})
         _tick("footers")
 
-        deltas = {k: list(fl) for k, fl in m.get("deltas", {}).items()}
-        for b, files in new_files.items():
-            deltas[b] = deltas.get(b, []) + files
-        applied = dict(m["applied_batches"])
-        applied[str(batch_id)] = {"version": v, "op": "merge"}
         n_in = got["n"] or 0
         dels = got["dels"] or 0
-        audit = {
-            "batch_id": batch_id,
-            "operation": "merge",
-            "mode": "mor",
-            "rows_in": n_in,
-            "rows_applied": n_in - dels,
-            "rows_deleted": dels,
-            "min_lsn": got["mn"],
-            "max_lsn": got["mx"],
-            "touched_buckets": len(new_files),
-            "version": v,
-            **(extra_audit or {}),
-        }
-        manifest = {
-            **m,
-            "version": v,
-            "parent": m["version"],
-            "schema": table_schema.jsonValue(),
-            "deltas": deltas,
-            "applied_batches": _cap(applied),
-            "audit": audit,
-            "lineage": lineage,
-            "summary": {"operation": "merge", "mode": "mor", "rows_written": n_in},
-            "committed_at": _utc_now_iso(),
-        }
-        self._write_manifest(manifest, expected_parent=m["version"])
+
+        def build(mp: dict[str, Any]) -> dict[str, Any]:
+            # rebase: a mor merge only APPENDS delta files + its fence
+            # entry, which composes with any intervening commit (another
+            # merge, an append, even a compact -- our files were not part
+            # of what it folded). Only a concurrent schema change aborts.
+            if mp is not m and mp["schema"] != m["schema"]:
+                raise RebaseError(
+                    "concurrent schema change during merge; retry the batch"
+                )
+            v = mp["version"] + 1
+            deltas = {k: list(fl) for k, fl in mp.get("deltas", {}).items()}
+            for b, files in new_files.items():
+                deltas[b] = deltas.get(b, []) + files
+            applied = dict(mp["applied_batches"])
+            applied[str(batch_id)] = {"version": v, "op": "merge"}
+            audit = {
+                "batch_id": batch_id,
+                "operation": "merge",
+                "mode": "mor",
+                "rows_in": n_in,
+                "rows_applied": n_in - dels,
+                "rows_deleted": dels,
+                "min_lsn": got["mn"],
+                "max_lsn": got["mx"],
+                "touched_buckets": len(new_files),
+                "version": v,
+                **(extra_audit or {}),
+            }
+            return {
+                **mp,
+                "version": v,
+                "parent": mp["version"],
+                "schema": table_schema.jsonValue(),
+                "deltas": deltas,
+                "applied_batches": _cap(applied),
+                "audit": audit,
+                "lineage": lineage,
+                "summary": {"operation": "merge", "mode": "mor", "rows_written": n_in},
+                "committed_at": _utc_now_iso(),
+            }
+
+        try:
+            committed = self._commit_with_rebase(m, build, batch_id=batch_id)
+        except (CommitConflict, RebaseError):
+            self.fs.rmtree(out_dir)  # unreferenced; leave the table clean
+            raise
         _tick("manifest")
         dt = int((time.monotonic() - t0) * 1000)
+        if committed is None:  # a concurrent writer fenced this batch first
+            self.fs.rmtree(out_dir)
+            return MergeResult(batch_id, None, True, 0, 0, 0, None, None, 0, dt)
         return MergeResult(
-            batch_id, v, False, n_in, n_in - dels, dels,
+            batch_id, committed["version"], False, n_in, n_in - dels, dels,
             got["mn"], got["mx"], len(new_files), dt,
         )
 
@@ -816,9 +934,8 @@ class LakeTable:
             # REPLACES the touched buckets' file lists in the manifest,
             # so counts never accumulate; compact() exists for
             # pathological cases. ----------------
-            v = m["version"] + 1
-            new_files, n_out = self._write_bucketed(
-                spark, result, {**m, "schema": table_schema.jsonValue()}, v
+            new_files, n_out, out_dir = self._write_bucketed(
+                spark, result, {**m, "schema": table_schema.jsonValue()}
             )
         finally:
             src.unpersist()
@@ -830,43 +947,76 @@ class LakeTable:
             "max_lsn": max((r["mx"] for r in bstats), default=None),
             "dels": sum(r["dels"] for r in bstats),
         }
+        touched_strs = {str(b) for b in touched}
 
-        # ---- manifest: new files for touched buckets, inherit rest ---
-        buckets = dict(m["buckets"])
-        for b in touched:
-            buckets[str(b)] = new_files.get(str(b), [])
-        applied = dict(m["applied_batches"])
-        audit = {
-            "batch_id": batch_id,
-            "operation": "merge",
-            "mode": "cow",
-            "rows_in": agg["rows_in"],
-            "rows_applied": agg["rows_in"] - agg["dels"],
-            "rows_deleted": agg["dels"],
-            "min_lsn": agg["min_lsn"],
-            "max_lsn": agg["max_lsn"],
-            "touched_buckets": len(touched),
-            "version": v,
-            **(extra_audit or {}),
-        }
-        applied[str(batch_id)] = {"version": v, "op": "merge"}
-        manifest = {
-            **m,
-            "version": v,
-            "parent": m["version"],
-            "schema": table_schema.jsonValue(),
-            "buckets": buckets,
-            "applied_batches": _cap(applied),
-            "audit": audit,
-            "lineage": lineage,
-            "summary": {"operation": "merge", "mode": "cow", "rows_written": n_out},
-            "committed_at": _utc_now_iso(),
-        }
-        self._write_manifest(manifest, expected_parent=m["version"])
+        def build(mp: dict[str, Any]) -> dict[str, Any]:
+            if mp is not m:
+                # a cow rewrite REPLACES its buckets' file lists, so it
+                # can only rebase onto commits that left those buckets
+                # alone (disjoint-bucket writers); anything overlapping
+                # -- file-list change or new deltas in our buckets, or a
+                # schema change -- aborts cleanly.
+                if mp["schema"] != m["schema"]:
+                    raise RebaseError(
+                        "concurrent schema change during merge; retry the batch"
+                    )
+                inter = _buckets_changed_between(m, mp)
+                if inter & touched_strs:
+                    raise RebaseError(
+                        "concurrent commit touched the same buckets as this "
+                        f"copy-on-write merge ({sorted(inter & touched_strs)}); "
+                        "retry the batch"
+                    )
+                if any(mp.get("deltas", {}).get(b) for b in touched_strs):
+                    raise RebaseError(
+                        "concurrent mor deltas appeared in this merge's buckets; "
+                        "compact and retry the batch"
+                    )
+            v = mp["version"] + 1
+            buckets = dict(mp["buckets"])
+            for b in touched:
+                buckets[str(b)] = new_files.get(str(b), [])
+            applied = dict(mp["applied_batches"])
+            applied[str(batch_id)] = {"version": v, "op": "merge"}
+            audit = {
+                "batch_id": batch_id,
+                "operation": "merge",
+                "mode": "cow",
+                "rows_in": agg["rows_in"],
+                "rows_applied": agg["rows_in"] - agg["dels"],
+                "rows_deleted": agg["dels"],
+                "min_lsn": agg["min_lsn"],
+                "max_lsn": agg["max_lsn"],
+                "touched_buckets": len(touched),
+                "version": v,
+                **(extra_audit or {}),
+            }
+            return {
+                **mp,
+                "version": v,
+                "parent": mp["version"],
+                "schema": table_schema.jsonValue(),
+                "buckets": buckets,
+                "applied_batches": _cap(applied),
+                "audit": audit,
+                "lineage": lineage,
+                "summary": {"operation": "merge", "mode": "cow", "rows_written": n_out},
+                "committed_at": _utc_now_iso(),
+            }
+
+        try:
+            committed = self._commit_with_rebase(m, build, batch_id=batch_id)
+        except (CommitConflict, RebaseError):
+            self.fs.rmtree(out_dir)
+            raise
         dt = int((time.monotonic() - t0) * 1000)
+        if committed is None:  # a concurrent writer fenced this batch first
+            self.fs.rmtree(out_dir)
+            return MergeResult(batch_id, None, True, 0, 0, 0, None, None, 0, dt)
         return MergeResult(
-            batch_id, v, False, agg["rows_in"], agg["rows_in"] - agg["dels"],
-            agg["dels"], agg["min_lsn"], agg["max_lsn"], len(touched), dt,
+            batch_id, committed["version"], False, agg["rows_in"],
+            agg["rows_in"] - agg["dels"], agg["dels"], agg["min_lsn"],
+            agg["max_lsn"], len(touched), dt,
         )
 
     def record_skip(
@@ -880,29 +1030,34 @@ class LakeTable:
         m = self.manifest()
         if str(batch_id) in m["applied_batches"]:
             return None
-        v = m["version"] + 1
-        applied = dict(m["applied_batches"])
-        applied[str(batch_id)] = {"version": v, "op": "skip"}
-        manifest = {
-            **m,
-            "version": v,
-            "parent": m["version"],
-            "applied_batches": _cap(applied),
-            "audit": {
-                "batch_id": batch_id,
-                "operation": "skip",
-                "rows_in": 0,
-                "rows_applied": 0,
-                "rows_deleted": 0,
+
+        def build(mp: dict[str, Any]) -> dict[str, Any]:
+            # a skip writes no data and inherits everything from the
+            # parent it lands on, so it rebases onto any commit
+            v = mp["version"] + 1
+            applied = dict(mp["applied_batches"])
+            applied[str(batch_id)] = {"version": v, "op": "skip"}
+            return {
+                **mp,
                 "version": v,
-                **(extra_audit or {}),
-            },
-            "lineage": [],
-            "summary": {"operation": "skip"},
-            "committed_at": _utc_now_iso(),
-        }
-        self._write_manifest(manifest, expected_parent=m["version"])
-        return v
+                "parent": mp["version"],
+                "applied_batches": _cap(applied),
+                "audit": {
+                    "batch_id": batch_id,
+                    "operation": "skip",
+                    "rows_in": 0,
+                    "rows_applied": 0,
+                    "rows_deleted": 0,
+                    "version": v,
+                    **(extra_audit or {}),
+                },
+                "lineage": [],
+                "summary": {"operation": "skip"},
+                "committed_at": _utc_now_iso(),
+            }
+
+        committed = self._commit_with_rebase(m, build, batch_id=batch_id)
+        return None if committed is None else committed["version"]
 
     def compact(
         self,
@@ -935,8 +1090,8 @@ class LakeTable:
         df = self.read(spark, buckets=fat).repartition(
             len(fat), _bucket_expr(m["key"], m["bucket_count"])
         )
+        new_files, _, out_dir = self._write_bucketed(spark, df, m)
         v = m["version"] + 1
-        new_files, _ = self._write_bucketed(spark, df, m, v)
         buckets = dict(m["buckets"])
         new_deltas = {k: list(fl) for k, fl in deltas.items()}
         for b in fat:
@@ -953,7 +1108,14 @@ class LakeTable:
             "summary": {"operation": "compact", "buckets_rewritten": len(fat)},
             "committed_at": _utc_now_iso(),
         }
-        self._write_manifest(manifest, expected_parent=m["version"])
+        try:
+            # maintenance folds a SNAPSHOT of the buckets it read, so it
+            # cannot rebase (an intervening commit may have changed that
+            # state) -- a conflict aborts cleanly and compaction re-runs
+            self._write_manifest(manifest, expected_parent=m["version"])
+        except CommitConflict:
+            self.fs.rmtree(out_dir)
+            raise
         return v
 
     def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
@@ -972,10 +1134,17 @@ class LakeTable:
 
         Crash-safe + idempotent: data files are deleted only AFTER the
         manifests that referenced them, and re-running simply finds
-        nothing left to remove. Safe next to an in-flight merge: only
-        commit directories at or below the CURRENT version at entry are
-        swept, and an uncommitted merge writes to ``c{current+1}`` --
-        its files (and Spark ``_temporary`` dirs) are never touched.
+        nothing left to remove. Safe next to in-flight writers: only
+        commit directories whose version prefix is STRICTLY OLDER than
+        the oldest retained manifest are swept. An in-flight (or
+        rebasing) merge writes to a dir named ``c{head+1}-{uuid}``,
+        which stays at or above that horizon until ``keep_last``
+        further commits land -- so with ``keep_last >= 2`` a writer's
+        uncommitted files (and Spark ``_temporary`` dirs) are never
+        touched mid-flight. Orphan dirs from a crashed commit age past
+        the horizon and are then swept here -- the GC half of the
+        crash-recovery story (the replay itself never blocks on them
+        because every attempt writes a fresh uuid dir).
         Checksum sidecars and ``_SUCCESS`` markers follow their primary
         file's fate; ``deleted_files`` counts primaries only.
         Driver-side O(retained files + files on disk); no Spark job."""
@@ -1002,7 +1171,7 @@ class LakeTable:
         #    the retained ones readable)
         mdir = os.path.join(self.root, MANIFEST_DIR)
         n_manifests = 0
-        for name in os.listdir(mdir):
+        for name in self.fs.listdir(mdir):
             if not (name.startswith("v") and name.endswith(".json")):
                 continue
             try:
@@ -1010,25 +1179,26 @@ class LakeTable:
             except ValueError:
                 continue
             if mv < oldest_kept:
-                os.remove(os.path.join(mdir, name))
+                self.fs.remove(os.path.join(mdir, name))
                 n_manifests += 1
 
         # 2) delete data files no retained manifest references --
-        #    restricted to COMMITTED c{v} dirs (v <= current at entry)
+        #    restricted to commit dirs older than every retained
+        #    manifest (see docstring for the in-flight-writer argument)
         ddir = os.path.join(self.root, DATA_DIR)
         n_files = 0
         commit_dirs = []
-        if os.path.isdir(ddir):
-            for name in sorted(os.listdir(ddir)):
+        if self.fs.isdir(ddir):
+            for name in sorted(self.fs.listdir(ddir)):
                 if name.startswith("c"):
                     try:
-                        dv = int(name[1:])
+                        dv = int(name[1:].split("-", 1)[0])
                     except ValueError:
                         continue
-                    if dv <= current:
+                    if dv < oldest_kept:
                         commit_dirs.append(os.path.join(ddir, name))
         for cdir in commit_dirs:
-            for dirpath, _dirs, files in os.walk(cdir, topdown=False):
+            for dirpath, _dirs, files in self.fs.walk_bottom_up(cdir):
                 primaries = [
                     n for n in files
                     if not (n.startswith(".") and n.endswith(".crc"))
@@ -1038,17 +1208,16 @@ class LakeTable:
                     p = os.path.join(dirpath, name)
                     if os.path.relpath(p, self.root) in protected:
                         continue
-                    os.remove(p)
+                    self.fs.remove(p)
                     crc = os.path.join(dirpath, f".{name}.crc")
-                    if os.path.exists(crc):
-                        os.remove(crc)
+                    if self.fs.exists(crc):
+                        self.fs.remove(crc)
                     n_files += 1
-                residue = set(os.listdir(dirpath))
+                residue = set(self.fs.listdir(dirpath))
                 if residue and residue <= {"_SUCCESS", "._SUCCESS.crc"}:
                     for name in residue:  # only markers left -> dir is dead
-                        os.remove(os.path.join(dirpath, name))
-                if not os.listdir(dirpath):
-                    os.rmdir(dirpath)
+                        self.fs.remove(os.path.join(dirpath, name))
+                self.fs.rmdir_if_empty(dirpath)
         return {
             "expired_manifests": n_manifests,
             "deleted_files": n_files,
@@ -1056,26 +1225,37 @@ class LakeTable:
         }
 
     # ------------------------------------------------------------------
+    def _new_commit_dir(self, version_hint: int) -> tuple[str, str]:
+        """A UNIQUE prospective commit directory ``c{v}-{uuid}``. The
+        version prefix orders it for retention (expire_snapshots sweeps
+        strictly-older-than-retained dirs); the uuid suffix guarantees
+        no two write attempts -- concurrent writers racing on the same
+        version, or a crashed batch's replay -- ever collide on a path.
+        That uniqueness is what makes crash recovery hands-off: a dir
+        orphaned between data write and manifest publish is simply
+        never referenced, and the replay writes a fresh one."""
+        rel = os.path.join(DATA_DIR, f"c{version_hint:012d}-{uuid.uuid4().hex[:8]}")
+        return os.path.join(self.root, rel), rel
+
     def _write_bucketed(
-        self, spark: SparkSession, df: DataFrame, m: dict[str, Any], version: int
-    ) -> tuple[dict[str, list[str]], int]:
-        """Write df partitioned by bucket under data/c{version}; return
-        {bucket: [relative file paths]} and the row count (via observe,
-        no extra job)."""
+        self, spark: SparkSession, df: DataFrame, m: dict[str, Any]
+    ) -> tuple[dict[str, list[str]], int, str]:
+        """Write df partitioned by bucket under a fresh commit dir;
+        return ({bucket: [relative file paths]}, row count (via
+        observe, no extra job), absolute out_dir for abort cleanup)."""
         key, nb = m["key"], m["bucket_count"]
         from pyspark.sql import Observation
 
-        obs = Observation(f"write_v{version}")
-        out_dir = os.path.join(self.root, DATA_DIR, f"c{version:012d}")
+        out_dir, rel = self._new_commit_dir(m["version"] + 1)
+        obs = Observation(f"write_{os.path.basename(rel)}")
         (
             df.withColumn("_b", _bucket_expr(key, nb))
             .observe(obs, F.count(F.lit(1)).alias("rows"))
             .write.partitionBy("_b")
-            .parquet(out_dir)
+            .parquet(self.fs.spark_path(out_dir))
         )
         n_rows = obs.get["rows"]
-        rel = os.path.join(DATA_DIR, f"c{version:012d}")
-        return _list_bucket_files(out_dir, rel), n_rows
+        return _list_bucket_files(self.fs, out_dir, rel), n_rows, out_dir
 
 
 # ----------------------------------------------------------------------
@@ -1110,21 +1290,34 @@ def _evolved_schema(m: dict[str, Any], batch_df: DataFrame, op_col: str,
     return table_schema
 
 
-def _list_bucket_files(out_dir: str, rel: str) -> dict[str, list[str]]:
+def _buckets_changed_between(old: dict[str, Any], new: dict[str, Any]) -> set[str]:
+    """Bucket ids whose base or delta file lists differ between two
+    manifests -- the exact footprint of the commits between them (used
+    by the copy-on-write rebase disjointness check)."""
+    out: set[str] = set()
+    for which in ("buckets", "deltas"):
+        o, n = old.get(which, {}), new.get(which, {})
+        out |= {b for b in set(o) | set(n) if o.get(b, []) != n.get(b, [])}
+    return out
+
+
+def _list_bucket_files(fs: LocalFS, out_dir: str, rel: str) -> dict[str, list[str]]:
     files: dict[str, list[str]] = {}
-    if os.path.exists(out_dir):
-        for d in os.listdir(out_dir):
+    if fs.exists(out_dir):
+        for d in fs.listdir(out_dir):
             if d.startswith("_b="):
                 b = d.split("=", 1)[1]
                 files[b] = [
                     os.path.join(rel, d, f)
-                    for f in os.listdir(os.path.join(out_dir, d))
+                    for f in fs.listdir(os.path.join(out_dir, d))
                     if f.endswith(".parquet")
                 ]
     return files
 
 
-def _footer_stats(root: str, new_files: dict[str, list[str]]) -> dict[str, dict[str, Any]]:
+def _footer_stats(
+    fs: LocalFS, root: str, new_files: dict[str, list[str]]
+) -> dict[str, dict[str, Any]]:
     """Per-bucket (row_count, min_lsn, max_lsn) from parquet footers of
     just-written files -- the lineage stats WITHOUT a Spark job. Footers
     carry per-row-group column statistics for the flat ``_lsn`` column;
@@ -1137,7 +1330,8 @@ def _footer_stats(root: str, new_files: dict[str, list[str]]) -> dict[str, dict[
         mn: int | None = None
         mx: int | None = None
         for rel in files:
-            md = pq.ParquetFile(os.path.join(root, rel)).metadata
+            with fs.open_read(os.path.join(root, rel)) as fobj:
+                md = pq.ParquetFile(fobj).metadata
             n += md.num_rows
             idx = None
             for i in range(md.num_columns):
