@@ -80,6 +80,64 @@ def test_export_file_gzip(spark, tmp_path):
     assert _canon(back) == _canon(df)
 
 
+def test_import_json_tiny_chunks_roundtrip(spark, tmp_path):
+    """Force the incremental parser across MANY buffer boundaries
+    (values split mid-string/mid-number between refills): a 64-byte
+    chunk over the tricky-types doc must still round-trip exactly."""
+    df = tricky_df(spark)
+    path = str(tmp_path / "export.json")
+    export_json({"t": df, "t2": df}, path)
+    back = import_json(spark, path, chunk_size=64)
+    assert _canon(back["t"]) == _canon(df)
+    assert _canon(back["t2"]) == _canon(df)
+
+
+def test_import_json_bounded_driver_memory(tmp_path):
+    """The streaming import's driver memory must be O(chunk + one row),
+    NOT O(document): synthesize a document ~40 MB of row data (no
+    Spark needed -- this tests the parser), stream it with a 64 KiB
+    chunk, and assert the parser buffer peaked near the chunk size --
+    three orders of magnitude below the document. This is the
+    reference's clarinet/SAX property (jsonParser.js:35-218): the
+    export document never lives in memory."""
+    import json as _json
+
+    from yadamu___yet_another_data_migration_utility_spark.sources.exportfile import (
+        _stream_to_jsonl,
+    )
+
+    path = str(tmp_path / "big_export.json")
+    n_rows, payload = 200_000, "x" * 180
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("s", T.StringType())])
+    head = {
+        "systemInformation": {"vendor": "test"},
+        "ddl": [],
+        "metadata": {"big": {"tableName": "big", "columnNames": ["id", "s"],
+                             "schema": schema.jsonValue()}},
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(_json.dumps(head)[:-1])
+        f.write(', "data": {"big": [')
+        for i in range(n_rows):
+            if i:
+                f.write(", ")
+            f.write(f'[{i}, "{payload}-{i}"]')
+        f.write("]}}")
+    doc_bytes = os.path.getsize(path)
+    assert doc_bytes > 30_000_000  # the document really is large
+
+    chunk = 64 * 1024
+    out_head, files, peak = _stream_to_jsonl(path, str(tmp_path), chunk_size=chunk)
+    # bounded: peak buffer ~ chunk + one row (plus slack), NOT the doc
+    assert peak <= 4 * chunk, f"parser buffered {peak} chars (doc {doc_bytes})"
+    assert peak * 100 < doc_bytes
+    assert out_head["metadata"]["big"]["columnNames"] == ["id", "s"]
+    with open(files["big"], encoding="utf-8") as f:
+        n = sum(1 for _ in f)
+    assert n == n_rows
+
+
 @pytest.mark.parametrize("fmt", ["csv", "json"])
 def test_staged_compression_option(spark, tmp_path, fmt):
     """The staged writer's compression option (reference gzip chain,

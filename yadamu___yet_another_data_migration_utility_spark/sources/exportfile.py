@@ -6,7 +6,10 @@ per-table row arrays (reference: fileDBI writer pipeline
 and value encodings /root/reference/src/YADAMU/file/node/jsonWriter.js
 :63-85 -- binary as hex text :22-26, timestamps as ISO-8601,
 non-finite doubles as "NaN"/"Infinity"/"-Infinity" sentinels,
-decimals as exact strings).
+decimals as exact strings; incremental import parse filling the role
+of the reference's vendored SAX pipeline,
+/root/reference/src/YADAMU/clarinet/clarinet.js and
+/root/reference/src/YADAMU/file/node/jsonParser.js:35-218).
 
 Scale honesty: a single JSON document is a COMPATIBILITY/interchange
 format -- the final file is written by one stream no matter the engine
@@ -16,11 +19,16 @@ executors (typed columns pre-encoded as Spark expressions, one
 ``to_json`` fragment per column, all whole-stage codegen), folded to
 one string per Arrow batch with ``mapInPandas``, and the driver just
 streams those ~10k-row chunks to the file -- it never holds the table,
-and never touches a value in Python. Import is symmetric: the driver
-re-dumps each row array as one JSON-lines object (C-speed ``json``),
-and ``spark.read.json`` parses the lines back to typed rows
-distributed (quoted NaN/Infinity sentinels and string decimals are
-parsed natively by Spark's JSON reader; hex binary via ``unhex``).
+and never touches a value in Python. Import is symmetric AND bounded:
+the driver INCREMENTALLY parses the document (one row array at a time
+-- the ``_JsonStream`` pull parser below, the stdlib C decoder over a
+sliding buffer; peak driver memory is O(chunk + one row), never
+O(document)), re-dumps each row as one JSON-lines object, and
+``spark.read.json`` parses the lines back to typed rows distributed
+(quoted NaN/Infinity sentinels and string decimals are parsed natively
+by Spark's JSON reader; hex binary via ``unhex``). A multi-GB export
+therefore imports in constant driver memory, like the reference's
+clarinet/SAX pipeline and unlike a ``json.load`` of the document.
 
 Optional ``compression="gzip"`` wraps the document in gzip (reference:
 the createGzip stage, fileDBI.js:344-372).
@@ -157,28 +165,164 @@ def _read_schema(schema: T.StructType) -> T.StructType:
     return T.StructType(fields)
 
 
-def import_json(spark: SparkSession, path: str) -> dict[str, DataFrame]:
-    """Read a monolithic export document back into DataFrames with the
-    exact exported schemas (no inference). The document itself is
-    parsed once on the driver (single file -- inherently one stream);
-    value decoding happens distributed via ``spark.read.json``."""
+_DECODER = json.JSONDecoder()
+
+
+class _JsonStream:
+    """Pull parser over a JSON text stream: decode ONE value at a time
+    with the stdlib C decoder against a sliding buffer, so a document
+    of any size is consumed in O(chunk + largest single value) memory.
+    This is the role clarinet/jsonParser plays in the reference --
+    the export document must never live in driver memory.
+
+    ``max_buffered`` records the peak buffer size: the bounded-memory
+    test asserts it stays near chunk_size while importing a document
+    many times larger."""
+
+    def __init__(self, f, chunk_size: int = 1 << 20):
+        self._f = f
+        self._chunk = chunk_size
+        self._buf = ""
+        self._pos = 0
+        self._eof = False
+        self.max_buffered = 0
+
+    def _fill(self) -> bool:
+        if self._pos > self._chunk:  # drop the consumed prefix
+            self._buf = self._buf[self._pos:]
+            self._pos = 0
+        data = self._f.read(self._chunk)
+        if not data:
+            self._eof = True
+            return False
+        self._buf += data
+        if len(self._buf) > self.max_buffered:
+            self.max_buffered = len(self._buf)
+        return True
+
+    def peek(self) -> str:
+        while True:
+            while self._pos < len(self._buf) and self._buf[self._pos] in " \t\r\n":
+                self._pos += 1
+            if self._pos < len(self._buf):
+                return self._buf[self._pos]
+            if not self._fill():
+                raise ValueError("unexpected end of export document")
+
+    def advance(self) -> None:
+        self._pos += 1
+
+    def expect(self, ch: str) -> None:
+        got = self.peek()
+        if got != ch:
+            raise ValueError(
+                f"malformed export document: expected {ch!r}, got {got!r}"
+            )
+        self._pos += 1
+
+    def value(self):
+        """Decode one complete JSON value at the cursor. A decode that
+        consumes the whole buffer is retried after a refill: it might
+        be a truncated number/keyword whose digits continue in the next
+        chunk (strings/objects/arrays self-delimit, numbers do not)."""
+        self.peek()  # position on the first value character
+        while True:
+            try:
+                obj, end = _DECODER.raw_decode(self._buf, self._pos)
+            except json.JSONDecodeError:
+                if not self._fill():
+                    raise
+                continue
+            if end == len(self._buf) and not self._eof and self._fill():
+                continue
+            self._pos = end
+            return obj
+
+
+def _open_text(path: str):
     if path.endswith(".gz") or _is_gzip(path):
-        with gzip.open(path, "rt", encoding="utf-8") as f:
-            doc = json.load(f)
-    else:
-        with open(path, encoding="utf-8") as f:
-            doc = json.load(f)
-    out: dict[str, DataFrame] = {}
+        return gzip.open(path, "rt", encoding="utf-8")
+    return open(path, encoding="utf-8")
+
+
+def _stream_to_jsonl(
+    path: str, scratch: str, chunk_size: int = 1 << 20
+) -> tuple[dict, dict[str, str], int]:
+    """Incrementally parse an export document, spilling each table's
+    rows as JSON-lines files under ``scratch``. Returns (head sections,
+    {table: jsonl path}, peak parser buffer chars). Driver memory is
+    bounded by the head sections (small by design) + the parser buffer
+    -- NOT the document size."""
+    head: dict = {}
+    files: dict[str, str] = {}
+    with _open_text(path) as f:
+        js = _JsonStream(f, chunk_size)
+        js.expect("{")
+        while True:
+            if js.peek() == "}":
+                js.advance()
+                break
+            key = js.value()
+            js.expect(":")
+            if key != "data":
+                head[key] = js.value()  # systemInformation/ddl/metadata: small
+            else:
+                if "metadata" not in head:
+                    raise ValueError(
+                        "malformed export document: 'data' precedes 'metadata'"
+                    )
+                cols_by_table = {
+                    n: m["columnNames"] for n, m in head["metadata"].items()
+                }
+                js.expect("{")
+                while True:
+                    if js.peek() == "}":
+                        js.advance()
+                        break
+                    tname = js.value()
+                    js.expect(":")
+                    cols = cols_by_table.get(tname)
+                    if cols is None:
+                        raise ValueError(f"data for unknown table {tname!r}")
+                    lines_path = os.path.join(scratch, f"{tname}.jsonl")
+                    files[tname] = lines_path
+                    with open(lines_path, "w", encoding="utf-8") as lf:
+                        js.expect("[")
+                        if js.peek() != "]":
+                            while True:
+                                rec = js.value()  # ONE row array at a time
+                                lf.write(json.dumps(dict(zip(cols, rec))))
+                                lf.write("\n")
+                                if js.peek() == ",":
+                                    js.advance()
+                                else:
+                                    break
+                        js.expect("]")
+                    if js.peek() == ",":
+                        js.advance()
+            if js.peek() == ",":
+                js.advance()
+    return head, files, js.max_buffered
+
+
+def import_json(
+    spark: SparkSession, path: str, chunk_size: int = 1 << 20
+) -> dict[str, DataFrame]:
+    """Read a monolithic export document back into DataFrames with the
+    exact exported schemas (no inference). The document is parsed
+    INCREMENTALLY on the driver (see ``_JsonStream`` -- bounded memory,
+    the clarinet/SAX role); value decoding happens distributed via
+    ``spark.read.json`` over the spilled per-table JSON-lines."""
     scratch = tempfile.mkdtemp(prefix="export_import_")
     atexit.register(shutil.rmtree, scratch, ignore_errors=True)
-    for name, meta in doc["metadata"].items():
+    head, files, _peak = _stream_to_jsonl(path, scratch, chunk_size)
+    out: dict[str, DataFrame] = {}
+    for name, meta in head["metadata"].items():
         schema = T.StructType.fromJson(meta["schema"])
-        cols = meta["columnNames"]
-        lines_path = os.path.join(scratch, f"{name}.jsonl")
-        with open(lines_path, "w", encoding="utf-8") as lf:
-            for rec in doc["data"].get(name, []):
-                lf.write(json.dumps(dict(zip(cols, rec))))
-                lf.write("\n")
+        lines_path = files.get(name)
+        if lines_path is None:  # exported table with no data section
+            out[name] = spark.createDataFrame([], schema)
+            continue
         df = (
             spark.read.schema(_read_schema(schema))
             .option("timestampFormat", TS_FMT)
