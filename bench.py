@@ -153,32 +153,44 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         # first timed query absorbs ~20s of compiler work that belongs
         # to the JVM, not the plan. media_decode_meta additionally
         # spawns the Python worker pool (mapInPandas) so no timed query
-        # pays the per-worker interpreter + pandas-import cost.
+        # pays the per-worker interpreter + pandas-import cost. The
+        # full-pool pandas-UDF warmup is gated on the SAME flag (and the
+        # emitted JSON carries warmed_pool) so cross-round totals state
+        # their warmup conditions explicitly.
         warm_dir = "/root/testdata/sf0.001"
-        if os.path.isdir(warm_dir):
+        warmed = os.path.isdir(warm_dir)
+        if warmed:
             for wq in ("q1_pricing_summary", "cdc_last_state", "media_decode_meta"):
                 if wq in QUERIES:
                     force(QUERIES[wq](spark, warm_dir))
-        # spawn the FULL Python worker pool (one per core), not just the
-        # few workers the tiny warm-SF mapInPandas touches: the first
-        # timed query running an Arrow UDF across all partitions
-        # otherwise pays ~cpus interpreter+pandas-import spawns
-        # (measured: ann_lsh_bucketed 12.2s cold-pool vs ~3-5s warm)
-        from pyspark.sql.functions import pandas_udf as _pudf
+            # spawn the FULL Python worker pool (one per core), not just
+            # the few workers the tiny warm-SF mapInPandas touches: the
+            # first timed query running an Arrow UDF across all
+            # partitions otherwise pays ~cpus interpreter+pandas-import
+            # spawns (measured: ann_lsh_bucketed 12.2s cold vs ~3-5s warm)
+            from pyspark.sql.functions import pandas_udf as _pudf
 
-        @_pudf("long")
-        def _warm_udf(x: pd.Series) -> pd.Series:
-            return x
+            @_pudf("long")
+            def _warm_udf(x: pd.Series) -> pd.Series:
+                return x
 
-        force(
-            spark.range(cpus * 1000)
-            .repartition(cpus)
-            .select(_warm_udf("id").alias("v"))
-        )
+            force(
+                spark.range(cpus * 1000)
+                .repartition(cpus)
+                .select(_warm_udf("id").alias("v"))
+            )
+        # per-query Spark JOB counts ride along so stage-overhead-bound
+        # entries (many tiny jobs, e.g. a 10-job replay) are legible as
+        # overhead vs compute without re-deriving it each round
+        sc = spark.sparkContext
+        jobs: dict[str, int] = {}
+        tracker = sc.statusTracker()
         for name in names:
+            sc.setJobGroup(name, f"bench:{name}")
             t0 = time.monotonic()
             force(QUERIES[name](spark, sf_dir))
             timings[name] = round(time.monotonic() - t0, 3)
+            jobs[name] = len(tracker.getJobIdsForGroup(name))
         total = round(sum(timings.values()), 3)
         sf = _sf_of(sf_dir)
         return {
@@ -186,6 +198,8 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "jobs": jobs,
+            "warmed_pool": warmed,
             "sf": sf,
             "cpus": cpus,
             "n_queries": len(timings),

@@ -209,6 +209,46 @@ def test_compare_normalization_still_catches_real_drift(spark):
     assert not res.ok
 
 
+def test_compare_ordered_json_rule(spark):
+    """ORDERED_JSON (yadamuQA.js:327-357): two stores of the same JSON
+    document with different key order / whitespace / nesting order must
+    FAIL the strict compare and PASS with ordered_json=True -- while a
+    true value drift, a number-vs-string type drift, and a plain-string
+    difference still fail WITH the rule on."""
+    src = spark.createDataFrame(
+        [
+            (1, '{"b": 1, "a": {"y": [1, 2], "x": "v"}}', "plain"),
+            (2, '{"k": "v"}', ""),
+            (3, None, "[not json"),
+        ],
+        "id long, props string, note string",
+    )
+    tgt_reordered = spark.createDataFrame(
+        [
+            (1, '{"a":{"x":"v","y":[1, 2]},"b":1}', "plain"),
+            (2, '{ "k" : "v" }', ""),
+            (3, None, "[not json"),
+        ],
+        "id long, props string, note string",
+    )
+    assert not compare(src, tgt_reordered).ok  # strict: byte compare fails
+    assert compare(src, tgt_reordered, ordered_json=True).ok
+
+    # genuine drift stays caught: value change, type change (1 vs "1"),
+    # and a non-JSON string difference
+    for drift in (
+        [(1, '{"b": 2, "a": {"y": [1, 2], "x": "v"}}', "plain")],
+        [(1, '{"b": "1", "a": {"y": [1, 2], "x": "v"}}', "plain")],
+        [(1, '{"b": 1, "a": {"y": [1, 2], "x": "v"}}', "PLAIN")],
+        [(1, '{"b": 1, "a": {"y": [2, 1], "x": "v"}}', "plain")],  # array ORDER is data
+    ):
+        tgt_bad = spark.createDataFrame(
+            drift + [(2, '{"k": "v"}', ""), (3, None, "[not json")],
+            "id long, props string, note string",
+        )
+        assert not compare(src, tgt_bad, ordered_json=True).ok, drift
+
+
 def test_jdbc_interface_options():
     """Interface-level acceptance (no DB server in the sandbox): the
     reader options must spell Spark's partitioned-parallel JDBC read."""

@@ -11,6 +11,9 @@ import pyspark.sql.types as T
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from yadamu___yet_another_data_migration_utility_spark.operators.apply import (
+    last_lsn_dedup,
+)
 from yadamu___yet_another_data_migration_utility_spark.sources.laketable import LakeTable
 
 SCHEMA = T.StructType(
@@ -65,16 +68,16 @@ def test_merge_equals_lww_oracle(spark, tmp_path_factory, events, cuts, mode):
         chunk = rows[start:end]
         if not chunk:
             continue
-        if mode == "cow":
-            # merge()'s contract: cow batches arrive pre-reduced to one
-            # winning lsn per key (operators.apply enforces this); mor
-            # resolves unreduced batches at read time
-            winners = {}
-            for r in chunk:
-                winners[r[0]] = r  # ascending lsn -> last wins
-            chunk = list(winners.values())
+        # at-least-once delivery: every 3rd event arrives twice
         dup = [r for i, r in enumerate(chunk) if i % 3 == 0]
         df = spark.createDataFrame(chunk + dup, "url string, val string, op string, lsn long")
+        if mode == "cow":
+            # merge()'s contract: cow batches arrive pre-reduced to one
+            # winning lsn per key -- apply it with the ENGINE's own
+            # reduction (the same operator apply_batch routes through),
+            # so the property fuzzes the real pre-reduction + merge
+            # pipeline, duplicates included, not a test-local re-oracle
+            df = last_lsn_dedup(df, key="url", lsn_col="lsn", salt_buckets=4)
         t.merge(spark, df, batch_id=bid)
         start = end
     # replay the first batch verbatim: must fence as a no-op

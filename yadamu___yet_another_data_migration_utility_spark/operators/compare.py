@@ -27,16 +27,28 @@ before differencing:
 - ``empty_string_is_null``: treat '' as NULL in string columns (Oracle
   semantics -- the reference's EMPTY_STRING_IS_NULL rule);
 - ``infinity_is_null``: map NaN/±Infinity to NULL in float/double
-  columns (engines that cannot store non-finite doubles).
+  columns (engines that cannot store non-finite doubles);
+- ``ordered_json``: canonicalize string columns holding JSON documents
+  (recursive key sort, minimal separators) before differencing -- two
+  stores that serialize the same document with different key order or
+  whitespace still compare equal, while any VALUE drift (including
+  number-vs-string type drift) still fails. The reference's
+  ORDERED_JSON rule (yadamuQA.js:327-357; vendors that re-serialize
+  JSON columns in their own key order).
 
-All normalization runs JVM-side on both DataFrames symmetrically, so
-the compare stays one pair of exceptAll shuffles regardless of rules.
+Normalization runs on both DataFrames symmetrically, so the compare
+stays one pair of exceptAll shuffles regardless of rules. Every rule
+is JVM-side except ``ordered_json``, which needs a real recursive JSON
+canonicalizer: an Arrow-batched pandas UDF (QA acceptance path, one
+pass per compare -- not a per-event hot path; the reference likewise
+parses JSON in its host language for this rule).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd  # module-level: the pandas_udf type hints resolve here
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -58,6 +70,34 @@ class CompareResult:
         )
 
 
+def _canonical_json_udf():
+    """Arrow-batched canonicalizer: values that parse as a JSON object
+    or array are re-serialized with recursively sorted keys + minimal
+    separators; scalars and non-JSON strings pass through UNCHANGED (so
+    the rule can never equate two genuinely different plain strings)."""
+    import json
+
+    from pyspark.sql.functions import pandas_udf
+
+    def canon_one(v):
+        if v is None:
+            return None
+        t = v.strip()
+        if not t or t[0] not in "[{":
+            return v
+        try:
+            obj = json.loads(t)
+        except ValueError:
+            return v
+        return json.dumps(obj, sort_keys=True, separators=(",", ":"))
+
+    @pandas_udf("string")
+    def canon(s: pd.Series) -> pd.Series:
+        return s.map(canon_one)
+
+    return canon
+
+
 def _normalize(
     df: DataFrame,
     columns: list[str],
@@ -65,8 +105,10 @@ def _normalize(
     double_precision: int | None,
     empty_string_is_null: bool,
     infinity_is_null: bool,
+    ordered_json: bool = False,
 ) -> DataFrame:
     by_name = {f.name: f.dataType for f in df.schema.fields}
+    canon = _canonical_json_udf() if ordered_json else None
     cols = []
     for name in columns:
         c = F.col(name)
@@ -97,6 +139,8 @@ def _normalize(
             c = F.when(F.isnan(c) | (F.abs(c) == float("inf")), F.lit(None)).otherwise(c)
         if empty_string_is_null and isinstance(dt, T.StringType):
             c = F.when(F.length(c) == 0, F.lit(None)).otherwise(c)
+        if canon is not None and isinstance(dt, T.StringType):
+            c = canon(c)
         cols.append(c.alias(name))
     return df.select(*cols)
 
@@ -109,15 +153,16 @@ def compare(
     double_precision: int | None = None,
     empty_string_is_null: bool = False,
     infinity_is_null: bool = False,
+    ordered_json: bool = False,
 ) -> CompareResult:
     if columns is None:
         columns = sorted(set(source.columns) & set(target.columns))
     if timestamp_precision is not None and not (0 <= timestamp_precision <= 6):
         raise ValueError("timestamp_precision must be in 0..6")
     s = _normalize(source, columns, timestamp_precision, double_precision,
-                   empty_string_is_null, infinity_is_null)
+                   empty_string_is_null, infinity_is_null, ordered_json)
     t = _normalize(target, columns, timestamp_precision, double_precision,
-                   empty_string_is_null, infinity_is_null)
+                   empty_string_is_null, infinity_is_null, ordered_json)
     return CompareResult(
         source_rows=s.count(),
         target_rows=t.count(),

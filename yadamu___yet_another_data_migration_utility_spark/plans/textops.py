@@ -467,24 +467,63 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic global training-order shuffle: order by an
-    md5-derived key and assign positions -- the 'shuffle the corpus
-    once, stream it in order' step before sharding into training
-    files. First 100 positions returned as the checkable prefix.
+    """Deterministic global training-order shuffle over the FULL
+    corpus: order by an md5-derived key and assign every document its
+    1-based position -- the 'shuffle the corpus once, stream it in
+    order' step before sharding into training files. The first 100
+    positions are returned as the bounded checkable prefix.
 
-    Scale: the prefix is fetched with orderBy+limit -- Spark plans
-    TakeOrderedAndProject, a per-partition partial top-k merged on the
-    driver, NOT an unpartitioned global window; the row_number then
-    runs over only the 100 survivors. The full-corpus variant is a
-    range-partitioned total sort with zipWithIndex-style per-partition
-    position offsets -- the top-k prefix keeps the oracle comparison
-    bounded while hash-checking the order itself."""
+    Scale (this IS the full-corpus variant, not a top-k shortcut):
+    ONE range-partitioned total sort (Spark samples split points, so
+    each partition holds a contiguous key range, sorted within), then
+    zipWithIndex-style positions: an Arrow-batched per-partition local
+    index (narrow mapInPandas, no extra shuffle) plus per-partition
+    row-count offsets folded on the driver (P integers). No global
+    window -- a Window.orderBy without partitioning would funnel the
+    corpus through ONE task; this plan's only wide exchange is the
+    range partitioner itself. The count pass recomputes the sort at
+    tiny SF; at 100 TB you persist/checkpoint the sorted run once and
+    pay the two passes against it -- same contract as RDD.zipWithIndex
+    (deterministic partitioning between the count job and the map)."""
     d = load(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
-    top = d.select("doc_id", key.alias("shuffle_key")).orderBy("shuffle_key").limit(100)
-    w = W.orderBy(F.col("shuffle_key"))
-    return top.withColumn("position", F.row_number().over(w)).select(
-        "position", "doc_id", "shuffle_key"
+    keyed = d.select("doc_id", key.alias("shuffle_key"))
+    n_parts = max(2, spark.sparkContext.defaultParallelism // 2)
+    sorted_df = keyed.repartitionByRange(n_parts, "shuffle_key").sortWithinPartitions(
+        "shuffle_key"
+    )
+
+    def local_index(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        i = 0
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf.assign(_pid=pid, _idx=range(i, i + len(pdf)))
+                i += len(pdf)
+                yield pdf
+
+    indexed = sorted_df.mapInPandas(
+        local_index, "doc_id long, shuffle_key string, _pid int, _idx long"
+    )
+    # job 1: per-partition counts (P tiny rows) -> cumulative offsets
+    counts = {r["_pid"]: r["n"] for r in
+              indexed.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for p in range(n_parts):
+        offsets[p] = acc
+        acc += counts.get(p, 0)
+    off_map = F.create_map(
+        *[F.lit(x) for p in range(n_parts) for x in (p, offsets[p])]
+    )
+    # job 2: global position = partition offset + local index + 1
+    return (
+        indexed.withColumn(
+            "position", (F.element_at(off_map, F.col("_pid")) + F.col("_idx") + 1)
+        )
+        .filter(F.col("position") <= 100)
+        .select("position", "doc_id", "shuffle_key")
     )
 
 
