@@ -90,6 +90,8 @@ HEADLINE_ORDER = [
     "staged_roundtrip_csv",
     "export_roundtrip_json",
     "document_roundtrip",
+    "interval_iso8601",
+    "spatial_recode",
 ]
 
 

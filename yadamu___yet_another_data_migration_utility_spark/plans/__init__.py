@@ -7,3 +7,4 @@ from . import moreops  # noqa: F401  (simhash, cosine dedup, rolling hash, stage
 from . import webtext  # noqa: F401  (url canonicalization, boilerplate scoring, pii scrub)
 from . import temporal  # noqa: F401  (as-of join, sessionization)
 from . import vectorops  # noqa: F401  (IVF ANN)
+from . import migrate_types  # noqa: F401  (interval ISO-8601, spatial recode)
