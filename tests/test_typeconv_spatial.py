@@ -113,6 +113,40 @@ def test_spatial_recode_columns_dataframe(spark):
     assert gj[1] == '{"type":"Point","coordinates":[1.0,2.0]}'
 
 
+def test_spatial_property_fuzz_roundtrip():
+    """Hypothesis: arbitrary finite coordinates (incl. negatives, tiny
+    and huge magnitudes, non-representable decimals) survive every
+    format chain bit-exactly through WKB and value-exactly through the
+    text formats (repr is shortest-round-trip)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    coord = st.floats(
+        allow_nan=False, allow_infinity=False, width=64,
+        min_value=-1e12, max_value=1e12,
+    )
+    point = st.tuples(coord, coord).map(list)
+    line = st.lists(point, min_size=2, max_size=6)
+    geom = st.one_of(
+        point.map(lambda c: {"type": "Point", "coordinates": c}),
+        line.map(lambda c: {"type": "LineString", "coordinates": c}),
+        st.lists(line, min_size=1, max_size=3).map(
+            lambda c: {"type": "MultiLineString", "coordinates": c}
+        ),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(g=geom)
+    def check(g):
+        assert wkb_to_geom(geom_to_wkb(g)) == g
+        assert wkt_to_geom(geom_to_wkt(g)) == g
+        assert geojson_to_geom(geom_to_geojson(g)) == g
+        wkt = geom_to_wkt(g)
+        assert geom_to_wkt(wkb_to_geom(geom_to_wkb(wkt_to_geom(wkt)))) == wkt
+
+    check()
+
+
 # ----------------------------------------------------------------------
 # intervals
 # ----------------------------------------------------------------------

@@ -100,9 +100,14 @@ def export_json(
     tables: dict[str, DataFrame],
     path: str,
     compression: str | None = None,
+    encryption_key: bytes | None = None,
 ) -> dict:
     """Write ONE JSON export document for ``tables``. Returns the
-    metadata section. Atomic: written to a temp name, renamed last."""
+    metadata section. Atomic: written to a temp name, renamed last.
+
+    ``encryption_key`` (32 bytes, see filecrypto.derive_key) wraps the
+    document in the reference's [IV][AES-256-CBC] envelope, OUTSIDE the
+    gzip layer -- the stream order of fileDBI.js:346-360."""
     if compression not in (None, "gzip"):
         raise ValueError("compression must be None or 'gzip'")
     metadata: dict = {}
@@ -123,11 +128,16 @@ def export_json(
     }
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     raw = open(tmp, "wb")
+    sink = raw
+    if encryption_key is not None:
+        from .filecrypto import CipherWriter
+
+        sink = io.BufferedWriter(CipherWriter(raw, encryption_key))
     out: io.TextIOBase
     if compression == "gzip":
-        out = io.TextIOWrapper(gzip.GzipFile(fileobj=raw, mode="wb"), encoding="utf-8")
+        out = io.TextIOWrapper(gzip.GzipFile(fileobj=sink, mode="wb"), encoding="utf-8")
     else:
-        out = io.TextIOWrapper(raw, encoding="utf-8")
+        out = io.TextIOWrapper(sink, encoding="utf-8")
     try:
         head = json.dumps(doc_head)[:-1]  # strip closing brace, keep streaming
         out.write(head)
@@ -150,7 +160,11 @@ def export_json(
         out.write("}}")
         out.flush()
     finally:
-        out.close()
+        out.close()  # closes GzipFile (which leaves fileobj open) or the sink
+        if sink is not raw and not sink.closed:
+            sink.close()  # flush cipher final block + close raw
+        if not raw.closed:
+            raw.close()
     os.rename(tmp, path)
     return metadata
 
@@ -239,14 +253,23 @@ class _JsonStream:
             return obj
 
 
-def _open_text(path: str):
-    if path.endswith(".gz") or _is_gzip(path):
-        return gzip.open(path, "rt", encoding="utf-8")
-    return open(path, encoding="utf-8")
+def _open_text(path: str, encryption_key: bytes | None = None):
+    if encryption_key is None:
+        if path.endswith(".gz") or _is_gzip(path):
+            return gzip.open(path, "rt", encoding="utf-8")
+        return open(path, encoding="utf-8")
+    from .filecrypto import CipherReader
+
+    # cipher is the OUTERMOST layer on disk; sniff gzip on the plaintext
+    r = io.BufferedReader(CipherReader(open(path, "rb"), encryption_key))
+    if r.peek(2)[:2] == b"\x1f\x8b":
+        return io.TextIOWrapper(gzip.GzipFile(fileobj=r), encoding="utf-8")
+    return io.TextIOWrapper(r, encoding="utf-8")
 
 
 def _stream_to_jsonl(
-    path: str, scratch: str, chunk_size: int = 1 << 20
+    path: str, scratch: str, chunk_size: int = 1 << 20,
+    encryption_key: bytes | None = None,
 ) -> tuple[dict, dict[str, str], int]:
     """Incrementally parse an export document, spilling each table's
     rows as JSON-lines files under ``scratch``. Returns (head sections,
@@ -255,7 +278,7 @@ def _stream_to_jsonl(
     -- NOT the document size."""
     head: dict = {}
     files: dict[str, str] = {}
-    with _open_text(path) as f:
+    with _open_text(path, encryption_key) as f:
         js = _JsonStream(f, chunk_size)
         js.expect("{")
         while True:
@@ -306,16 +329,19 @@ def _stream_to_jsonl(
 
 
 def import_json(
-    spark: SparkSession, path: str, chunk_size: int = 1 << 20
+    spark: SparkSession, path: str, chunk_size: int = 1 << 20,
+    encryption_key: bytes | None = None,
 ) -> dict[str, DataFrame]:
     """Read a monolithic export document back into DataFrames with the
     exact exported schemas (no inference). The document is parsed
     INCREMENTALLY on the driver (see ``_JsonStream`` -- bounded memory,
     the clarinet/SAX role); value decoding happens distributed via
-    ``spark.read.json`` over the spilled per-table JSON-lines."""
+    ``spark.read.json`` over the spilled per-table JSON-lines.
+    ``encryption_key`` decrypts the reference's [IV][AES-CBC] envelope
+    in the same stream (still bounded memory)."""
     scratch = tempfile.mkdtemp(prefix="export_import_")
     atexit.register(shutil.rmtree, scratch, ignore_errors=True)
-    head, files, _peak = _stream_to_jsonl(path, scratch, chunk_size)
+    head, files, _peak = _stream_to_jsonl(path, scratch, chunk_size, encryption_key)
     out: dict[str, DataFrame] = {}
     for name, meta in head["metadata"].items():
         schema = T.StructType.fromJson(meta["schema"])
