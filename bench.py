@@ -119,10 +119,16 @@ def build_spark(cpus: int):
         .config("spark.driver.extraJavaOptions",
                 f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC "
                 f"-XX:ParallelGCThreads={max(2, cpus)}")
-        # ~32 MB input splits: finer tasks keep all pinned cores busy at
-        # the tail of a stage (a 2M-row batch packs into too few 128 MB
-        # splits otherwise -- measured straggler waves at local[8])
-        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # ~32 MB input splits by default: finer tasks keep all pinned
+        # cores busy at the tail of a stage (a 2M-row batch packs into
+        # too few 128 MB splits otherwise -- measured straggler waves at
+        # local[8]). Env-tunable for wave-packing experiments: a batch
+        # whose task count is not a multiple of the core count idles
+        # cores in its last wave (20 tasks / 8 cores = 2.5 waves).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", str(32 * 1024 * 1024)),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -26,6 +26,7 @@ import pytest
 
 from yadamu___yet_another_data_migration_utility_spark.sources.fsio import (
     CommitConflict,
+    LocalFS,
 )
 from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
     LakeTable,
@@ -130,6 +131,92 @@ def test_crash_after_manifest_publish_before_pointer_rolls_forward(
     r = t2.merge(spark, batch(spark, [("b", "v1", "I", 2)]), batch_id=1)
     assert r.fenced
     assert state(spark, t2) == {("a", "v1", 1), ("b", "v1", 2)}
+
+
+class SimulatedCrash(RuntimeError):
+    pass
+
+
+class CrashFS(LocalFS):
+    """Fault-injecting FS: dies (before performing the op) on the k-th
+    metadata MUTATION. Sweeping k over the whole create+merge sequence
+    proves hands-off recovery at EVERY metadata crash point, not just
+    hand-picked ones."""
+
+    def __init__(self, crash_after: int):
+        self.remaining = crash_after
+
+    def _tick(self):
+        self.remaining -= 1
+        if self.remaining < 0:
+            raise SimulatedCrash("injected metadata crash")
+
+    def put_if_absent(self, path, data):
+        self._tick()
+        return super().put_if_absent(path, data)
+
+    def put_atomic(self, path, data):
+        self._tick()
+        return super().put_atomic(path, data)
+
+    def makedirs(self, path):
+        self._tick()
+        return super().makedirs(path)
+
+    def remove(self, path):
+        self._tick()
+        return super().remove(path)
+
+    def rmtree(self, path):
+        self._tick()
+        return super().rmtree(path)
+
+
+def test_crash_sweep_every_metadata_mutation(spark, tmp_path):
+    """For every k: run create + seed-merge + second-merge with a crash
+    injected before the k-th metadata mutation, then recover with a
+    clean FS and replay -- the table must always end in the oracle
+    state with both batches applied exactly once. Terminates when a
+    full pass sees no crash (k beyond the op count)."""
+    from yadamu___yet_another_data_migration_utility_spark.sources.fsio import LocalFS
+
+    b0 = [("a", "v1", "I", 1), ("b", "v1", "I", 2)]
+    b1 = [("a", "v2", "U", 3), ("c", "v1", "I", 4)]
+    want = {("a", "v2", 3), ("b", "v1", 2), ("c", "v1", 4)}
+    k = 0
+    while True:
+        root = str(tmp_path / f"sweep{k}")
+        cfs = CrashFS(k)
+        crashed = False
+        try:
+            t = LakeTable.create(root, SCHEMA, key="url", bucket_count=4,
+                                 merge_mode="mor", fs=cfs)
+            t.merge(spark, batch(spark, b0), batch_id=0)
+            t.merge(spark, batch(spark, b1), batch_id=1)
+        except SimulatedCrash:
+            crashed = True
+
+        # --- recovery with a clean FS, exactly like a process restart ---
+        if not LakeTable.exists(root):
+            try:
+                t2 = LakeTable.create(root, SCHEMA, key="url", bucket_count=4,
+                                      merge_mode="mor")
+            except FileExistsError:
+                # interrupted create whose manifest was durable: the
+                # pointer was repaired, load() must now work
+                t2 = LakeTable.load(root)
+        else:
+            t2 = LakeTable.load(root)
+        for bid, rows in ((0, b0), (1, b1)):
+            if not t2.is_applied(bid):
+                r = t2.merge(spark, batch(spark, rows), batch_id=bid)
+                assert not r.fenced
+        assert state(spark, t2) == want, f"crash point k={k}"
+        assert t2.is_applied(0) and t2.is_applied(1)
+        if not crashed:
+            break
+        k += 1
+    assert k >= 5, f"sweep covered only {k} mutation points"
 
 
 # ----------------------------------------------------------------------

@@ -172,9 +172,31 @@ class LakeTable:
         if merge_mode not in MERGE_MODES:
             raise ValueError(f"merge_mode must be one of {MERGE_MODES}")
         if fs.exists(root):
-            if not overwrite:
+            if overwrite:
+                fs.rmtree(root)
+            elif fs.exists(os.path.join(root, MANIFEST_DIR, CURRENT)):
                 raise FileExistsError(f"LakeTable already exists at {root}")
-            fs.rmtree(root)
+            else:
+                # root exists but no pointer: a CRASHED create. If the
+                # v1 manifest was published the create was durable --
+                # repair the pointer hint and report the table exists
+                # (load() then works); otherwise the debris (bare dirs,
+                # tmp files) is swept and the create proceeds fresh.
+                # Hands-off recovery for the one commit that has no
+                # prior pointer to roll forward from.
+                mdir = os.path.join(root, MANIFEST_DIR)
+                published = [
+                    n for n in (fs.listdir(mdir) if fs.isdir(mdir) else [])
+                    if n.startswith("v") and n.endswith(".json")
+                ]
+                if published:
+                    v = max(int(n[1:-5]) for n in published)
+                    fs.put_atomic(os.path.join(mdir, CURRENT), str(v))
+                    raise FileExistsError(
+                        f"LakeTable already exists at {root} (pointer repaired "
+                        f"to v{v} after an interrupted create; use load())"
+                    )
+                fs.rmtree(root)
         if key not in schema.fieldNames():
             raise ValueError(f"merge key {key!r} not in schema")
         if LSN_COL not in schema.fieldNames():
