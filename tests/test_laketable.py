@@ -422,3 +422,66 @@ def test_read_changes_across_schema_evolution(spark, tmp_table_root):
     }
     assert got == {("b", "v1", None, 2, "upsert"),
                    ("c", "v1", "text/html", 3, "upsert")}, got
+
+
+def test_rebucket_changes_layout_preserves_state(spark, tmp_table_root):
+    """rebucket: full rewrite under a new bucket_count -- state, fences,
+    time travel and incremental reads all survive; subsequent merges
+    prune under the NEW layout."""
+    t = mk(spark, tmp_table_root, bucket_count=2, merge_mode="mor")
+    t.merge(spark, batch(spark, [(f"u{i}", "v1", "I", i + 1) for i in range(32)]),
+            batch_id=0)
+    t.merge(spark, batch(spark, [("u0", "v2", "U", 100), ("u1", None, "D", 101)]),
+            batch_id=1)
+    before = state(spark, t)
+    v_since = t.current_version()
+
+    assert t.rebucket(spark, 2) is None  # same layout -> no-op
+    with pytest.raises(ValueError):
+        t.rebucket(spark, 0)
+    v = t.rebucket(spark, 8)
+    m = t.manifest()
+    assert v == m["version"] and m["bucket_count"] == 8
+    assert not any(m["deltas"].values())
+    assert len(m["buckets"]) > 2  # rows spread over the wider layout
+    assert state(spark, t) == before
+    # fences survive: replaying an old batch is still a no-op
+    assert t.merge(spark, batch(spark, [("u0", "x", "U", 1)]), batch_id=0).fenced
+
+    # merges keep working under the new layout, bucket-pruned
+    t.merge(spark, batch(spark, [("u5", "v3", "U", 200)]), batch_id=2)
+    assert ("u5", "v3", 200) in state(spark, t)
+    assert t.manifest()["audit"]["touched_buckets"] == 1
+
+    # a change window CROSSING the rebucket takes the diff path, exactly
+    ch = {(r["url"], r["_change_type"])
+          for r in t.read_changes(spark, v_since).collect()}
+    assert ch == {("u5", "upsert")}
+    # time travel to the pre-rebucket snapshot reads the OLD layout
+    assert t.read(spark, version=v_since).count() == len(before)
+
+
+def test_compact_sort_within_buckets_clusters_files(spark, tmp_table_root):
+    """sort_within_buckets: every rewritten bucket file is internally
+    ordered by the sort key (tight row-group min/max -> prunable point
+    lookups), and state is unchanged."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = mk(spark, tmp_table_root, bucket_count=2, merge_mode="mor")
+    rows = [(f"u{i:03d}", "v", "I", i + 1) for i in reversed(range(40))]
+    t.merge(spark, batch(spark, rows), batch_id=0)
+    before = state(spark, t)
+    assert t.compact(spark, all_deltas=True, sort_within_buckets=["url"]) is not None
+    m = t.manifest()
+    checked = 0
+    for fl in m["buckets"].values():
+        for rel in fl:
+            urls = pq.read_table(
+                os.path.join(tmp_table_root, rel), columns=["url"]
+            )["url"].to_pylist()
+            assert urls == sorted(urls), rel
+            checked += 1
+    assert checked >= 2
+    assert state(spark, t) == before

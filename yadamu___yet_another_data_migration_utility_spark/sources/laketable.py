@@ -1086,6 +1086,7 @@ class LakeTable:
         spark: SparkSession,
         max_files_per_bucket: int = 4,
         all_deltas: bool = False,
+        sort_within_buckets: list[str] | None = None,
     ) -> int | None:
         """Fold delta files into the base and rewrite buckets holding
         too many files (Iceberg: rewrite_data_files; reference analogue:
@@ -1097,7 +1098,13 @@ class LakeTable:
         cadence -- or, with ``all_deltas=True``, when it has ANY delta:
         the full fold a cow merge on a mor table requires. Deltas are
         always folded when a bucket is selected. Compaction materializes
-        the resolved state, so winning tombstones physically disappear."""
+        the resolved state, so winning tombstones physically disappear.
+
+        ``sort_within_buckets``: cluster each rewritten bucket's rows by
+        these columns (Iceberg: rewrite_data_files sort strategy) --
+        tight parquet row-group min/max on the sort key turns point/range
+        lookups into row-group prunes instead of full-bucket scans. A
+        per-partition sort, no extra shuffle."""
         m = self.manifest()
         deltas = m.get("deltas", {})
         all_buckets = set(m["buckets"]) | {b for b, fl in deltas.items() if fl}
@@ -1112,7 +1119,9 @@ class LakeTable:
         df = self.read(spark, buckets=fat).repartition(
             len(fat), _bucket_expr(m["key"], m["bucket_count"])
         )
-        new_files, _, out_dir = self._write_bucketed(spark, df, m)
+        new_files, _, out_dir = self._write_bucketed(
+            spark, df, m, sort_within=sort_within_buckets
+        )
         v = m["version"] + 1
         buckets = dict(m["buckets"])
         new_deltas = {k: list(fl) for k, fl in deltas.items()}
@@ -1134,6 +1143,60 @@ class LakeTable:
             # maintenance folds a SNAPSHOT of the buckets it read, so it
             # cannot rebase (an intervening commit may have changed that
             # state) -- a conflict aborts cleanly and compaction re-runs
+            self._write_manifest(manifest, expected_parent=m["version"])
+        except CommitConflict:
+            self.fs.rmtree(out_dir)
+            raise
+        return v
+
+    def rebucket(self, spark: SparkSession, new_bucket_count: int) -> int | None:
+        """Change the hash-bucket layout (Iceberg: REPLACE PARTITION
+        FIELD + rewrite_data_files). ``bucket_count`` is the unit of
+        merge parallelism, fixed at create -- when a table outgrows it
+        (or was over-provisioned), this is the maintenance op: ONE job
+        reads the resolved current snapshot and rewrites every row under
+        the new layout; the commit carries the new ``bucket_count`` with
+        empty deltas. Older snapshots stay readable under THEIR layout
+        (each manifest is self-describing), and a ``read_changes``
+        window crossing the rebucket automatically takes the snapshot-
+        diff path (the commit is neither a mor merge nor a skip).
+
+        Scale: a full-table rewrite -- O(table), run it like any
+        rewrite_data_files maintenance. The shuffle is one
+        repartition on the new bucket expression; fencing, audit
+        history, schema and time travel are untouched."""
+        m = self.manifest()
+        nb = int(new_bucket_count)
+        if nb < 1:
+            raise ValueError(f"bucket_count must be >= 1, got {nb}")
+        if nb == m["bucket_count"]:
+            return None
+        df = self.read(spark).repartition(
+            min(nb, 2 * spark.sparkContext.defaultParallelism),
+            _bucket_expr(m["key"], nb),
+        )
+        m_new = {**m, "bucket_count": nb}
+        new_files, n_rows, out_dir = self._write_bucketed(spark, df, m_new)
+        v = m["version"] + 1
+        manifest = {
+            **m,
+            "version": v,
+            "parent": m["version"],
+            "bucket_count": nb,
+            "buckets": new_files,
+            "deltas": {},
+            "audit": None,
+            "lineage": [],
+            "summary": {
+                "operation": "rebucket",
+                "from_bucket_count": m["bucket_count"],
+                "to_bucket_count": nb,
+                "rows_written": n_rows,
+            },
+            "committed_at": _utc_now_iso(),
+        }
+        try:
+            # like compact: rewrites a snapshot, cannot rebase
             self._write_manifest(manifest, expected_parent=m["version"])
         except CommitConflict:
             self.fs.rmtree(out_dir)
@@ -1260,19 +1323,27 @@ class LakeTable:
         return os.path.join(self.root, rel), rel
 
     def _write_bucketed(
-        self, spark: SparkSession, df: DataFrame, m: dict[str, Any]
+        self, spark: SparkSession, df: DataFrame, m: dict[str, Any],
+        sort_within: list[str] | None = None,
     ) -> tuple[dict[str, list[str]], int, str]:
         """Write df partitioned by bucket under a fresh commit dir;
         return ({bucket: [relative file paths]}, row count (via
-        observe, no extra job), absolute out_dir for abort cleanup)."""
+        observe, no extra job), absolute out_dir for abort cleanup).
+
+        ``sort_within``: per-partition sort by (_b, *sort_within) --
+        the _b prefix satisfies the partitioned writer's required
+        ordering, so Spark skips its own partition-column sort and the
+        within-bucket clustering survives into the files."""
         key, nb = m["key"], m["bucket_count"]
         from pyspark.sql import Observation
 
         out_dir, rel = self._new_commit_dir(m["version"] + 1)
         obs = Observation(f"write_{os.path.basename(rel)}")
+        out = df.withColumn("_b", _bucket_expr(key, nb))
+        if sort_within:
+            out = out.sortWithinPartitions("_b", *sort_within)
         (
-            df.withColumn("_b", _bucket_expr(key, nb))
-            .observe(obs, F.count(F.lit(1)).alias("rows"))
+            out.observe(obs, F.count(F.lit(1)).alias("rows"))
             .write.partitionBy("_b")
             .parquet(self.fs.spark_path(out_dir))
         )
