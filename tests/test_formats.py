@@ -249,6 +249,33 @@ def test_compare_ordered_json_rule(spark):
         assert not compare(src, tgt_bad, ordered_json=True).ok, drift
 
 
+def test_compare_canonical_xml_rule(spark):
+    """XML canonicalization (the reference's XSLT rule): attribute
+    order / empty-element serialization drift passes only with
+    canonical_xml=True; text and attribute VALUE drift still fails."""
+    src = spark.createDataFrame(
+        [(1, '<doc a="1" b="2"><item x="y"/>text</doc>'),
+         (2, None), (3, "not xml at all")],
+        "id long, payload string",
+    )
+    tgt_equiv = spark.createDataFrame(
+        [(1, '<doc b="2" a="1"><item x="y"></item>text</doc>'),
+         (2, None), (3, "not xml at all")],
+        "id long, payload string",
+    )
+    assert not compare(src, tgt_equiv).ok
+    assert compare(src, tgt_equiv, canonical_xml=True).ok
+    for drifted in (
+        '<doc a="1" b="3"><item x="y"/>text</doc>',   # attribute value
+        '<doc a="1" b="2"><item x="y"/>TEXT</doc>',   # text content
+    ):
+        tgt_bad = spark.createDataFrame(
+            [(1, drifted), (2, None), (3, "not xml at all")],
+            "id long, payload string",
+        )
+        assert not compare(src, tgt_bad, canonical_xml=True).ok, drifted
+
+
 def test_jdbc_interface_options():
     """Interface-level acceptance (no DB server in the sandbox): the
     reader options must spell Spark's partitioned-parallel JDBC read."""

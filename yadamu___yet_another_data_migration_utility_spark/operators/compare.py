@@ -34,14 +34,19 @@ before differencing:
   whitespace still compare equal, while any VALUE drift (including
   number-vs-string type drift) still fails. The reference's
   ORDERED_JSON rule (yadamuQA.js:327-357; vendors that re-serialize
-  JSON columns in their own key order).
+  JSON columns in their own key order);
+- ``canonical_xml``: canonicalize string columns holding XML documents
+  (W3C C14N via the stdlib ``xml.etree.ElementTree.canonicalize``):
+  attribute order and self-closing-vs-empty-pair serialization drift
+  passes, text/attribute VALUE drift still fails. The reference's XSLT
+  canonicalization rule (yadamuQA.js:327-357 XML_COMPARISON_RULE).
 
 Normalization runs on both DataFrames symmetrically, so the compare
 stays one pair of exceptAll shuffles regardless of rules. Every rule
-is JVM-side except ``ordered_json``, which needs a real recursive JSON
-canonicalizer: an Arrow-batched pandas UDF (QA acceptance path, one
-pass per compare -- not a per-event hot path; the reference likewise
-parses JSON in its host language for this rule).
+is JVM-side except ``ordered_json``/``canonical_xml``, which need real
+recursive canonicalizers: Arrow-batched pandas UDFs (QA acceptance
+path, one pass per compare -- not a per-event hot path; the reference
+likewise canonicalizes in its host language for these rules).
 """
 
 from __future__ import annotations
@@ -98,6 +103,33 @@ def _canonical_json_udf():
     return canon
 
 
+def _canonical_xml_udf():
+    """Arrow-batched W3C-C14N canonicalizer: values that parse as XML
+    are re-serialized canonically (attributes sorted, whitespace-in-tag
+    and empty-element serialization normalized); non-XML strings pass
+    through UNCHANGED."""
+    from xml.etree.ElementTree import canonicalize
+
+    from pyspark.sql.functions import pandas_udf
+
+    def canon_one(v):
+        if v is None:
+            return None
+        t = v.strip()
+        if not t.startswith("<"):
+            return v
+        try:
+            return canonicalize(xml_data=t)
+        except Exception:  # noqa: BLE001 -- malformed XML compares raw
+            return v
+
+    @pandas_udf("string")
+    def canon(s: pd.Series) -> pd.Series:
+        return s.map(canon_one)
+
+    return canon
+
+
 def _normalize(
     df: DataFrame,
     columns: list[str],
@@ -106,9 +138,11 @@ def _normalize(
     empty_string_is_null: bool,
     infinity_is_null: bool,
     ordered_json: bool = False,
+    canonical_xml: bool = False,
 ) -> DataFrame:
     by_name = {f.name: f.dataType for f in df.schema.fields}
     canon = _canonical_json_udf() if ordered_json else None
+    canon_x = _canonical_xml_udf() if canonical_xml else None
     cols = []
     for name in columns:
         c = F.col(name)
@@ -141,6 +175,8 @@ def _normalize(
             c = F.when(F.length(c) == 0, F.lit(None)).otherwise(c)
         if canon is not None and isinstance(dt, T.StringType):
             c = canon(c)
+        if canon_x is not None and isinstance(dt, T.StringType):
+            c = canon_x(c)
         cols.append(c.alias(name))
     return df.select(*cols)
 
@@ -154,15 +190,18 @@ def compare(
     empty_string_is_null: bool = False,
     infinity_is_null: bool = False,
     ordered_json: bool = False,
+    canonical_xml: bool = False,
 ) -> CompareResult:
     if columns is None:
         columns = sorted(set(source.columns) & set(target.columns))
     if timestamp_precision is not None and not (0 <= timestamp_precision <= 6):
         raise ValueError("timestamp_precision must be in 0..6")
     s = _normalize(source, columns, timestamp_precision, double_precision,
-                   empty_string_is_null, infinity_is_null, ordered_json)
+                   empty_string_is_null, infinity_is_null, ordered_json,
+                   canonical_xml)
     t = _normalize(target, columns, timestamp_precision, double_precision,
-                   empty_string_is_null, infinity_is_null, ordered_json)
+                   empty_string_is_null, infinity_is_null, ordered_json,
+                   canonical_xml)
     return CompareResult(
         source_rows=s.count(),
         target_rows=t.count(),
