@@ -1,0 +1,119 @@
+"""CLI verbs (the reference's primary user surface, yadamuCLI.js):
+export/import, unload/load, copy, encrypt/decrypt, compare -- driven
+in-process through cli.main (get_spark getOrCreate reuses the test
+session, so each verb runs exactly the code `python -m pkg ...` runs)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from yadamu___yet_another_data_migration_utility_spark.cli import main
+from tests.test_formats import _canon, tricky_df
+
+
+@pytest.fixture()
+def src_dir(spark, tmp_path):
+    d = tmp_path / "src"
+    tricky_df(spark).write.parquet(str(d / "t.parquet"))
+    return str(d)
+
+
+def _run(capsys, argv) -> tuple[int, dict]:
+    rc = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()
+    return rc, (json.loads(out[-1]) if out else {})
+
+
+def test_cli_export_import_roundtrip(spark, tmp_path, src_dir, capsys):
+    doc = str(tmp_path / "export.json")
+    rc, out = _run(capsys, ["export", "--dir", src_dir, "--tables", "t",
+                            "--file", doc, "--compression", "gzip"])
+    assert rc == 0 and out["exported"] == ["t"]
+    # EXPORT refuses to clobber without --overwrite (yadamuCLI.js:48)
+    rc, _ = _run(capsys, ["export", "--dir", src_dir, "--tables", "t",
+                          "--file", doc])
+    assert rc == 2
+    outdir = str(tmp_path / "imported")
+    rc, out = _run(capsys, ["import", "--file", doc, "--out-dir", outdir])
+    assert rc == 0 and out["imported"] == {"t": 4}
+    back = spark.read.parquet(os.path.join(outdir, "t.parquet"))
+    assert _canon(back) == _canon(tricky_df(spark))
+    # import of a missing file is a clean error
+    rc, _ = _run(capsys, ["import", "--file", str(tmp_path / "nope.json"),
+                          "--out-dir", outdir])
+    assert rc == 2
+
+
+def test_cli_export_encrypted(spark, tmp_path, src_dir, capsys):
+    doc = str(tmp_path / "export.enc")
+    rc, _ = _run(capsys, ["export", "--dir", src_dir, "--tables", "t",
+                          "--file", doc, "--passphrase", "pw"])
+    assert rc == 0
+    with open(doc, "rb") as f:
+        assert b"systemInformation" not in f.read(64)
+    outdir = str(tmp_path / "imported_enc")
+    rc, out = _run(capsys, ["upload", "--file", doc, "--out-dir", outdir,
+                            "--passphrase", "pw"])
+    assert rc == 0 and out["imported"] == {"t": 4}
+
+
+def test_cli_unload_load_and_compare(spark, tmp_path, src_dir, capsys):
+    ds = str(tmp_path / "staged")
+    rc, out = _run(capsys, ["unload", "--dir", src_dir, "--tables", "t",
+                            "--out-dir", ds, "--format", "csv"])
+    assert rc == 0 and out["unloaded"] == ["t"]
+    outdir = str(tmp_path / "loaded")
+    rc, out = _run(capsys, ["load", "--dataset-dir", ds, "--out-dir", outdir])
+    assert rc == 0 and out["loaded"] == {"t": 4}
+    # compare: loaded-vs-source equal -> exit 0; drifted -> exit 1
+    rc, out = _run(capsys, ["compare",
+                            "--source", os.path.join(src_dir, "t.parquet"),
+                            "--target", os.path.join(outdir, "t.parquet")])
+    assert rc == 0 and out["ok"]
+    rc, out = _run(capsys, ["compare",
+                            "--source", os.path.join(src_dir, "t.parquet"),
+                            "--target", os.path.join(src_dir, "t.parquet")])
+    assert rc == 0
+    drifted = str(tmp_path / "drift.parquet")
+    tricky_df(spark).limit(3).write.parquet(drifted)
+    rc, out = _run(capsys, ["compare",
+                            "--source", os.path.join(src_dir, "t.parquet"),
+                            "--target", drifted])
+    assert rc == 1 and not out["ok"]
+
+
+def test_cli_copy_seeds_laketable(spark, tmp_path, capsys):
+    from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
+        LakeTable,
+    )
+
+    src = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        [(f"u{i}", f"v{i}") for i in range(20)], "url string, val string"
+    ).write.parquet(src)
+    root = str(tmp_path / "lake")
+    rc, out = _run(capsys, ["copy", "--source", src, "--table-root", root,
+                            "--key", "url", "--buckets", "4"])
+    assert rc == 0 and out["copied_rows"] == 20
+    t = LakeTable.load(root)
+    assert t.read(spark).count() == 20 and t.merge_mode() == "mor"
+
+
+def test_cli_encrypt_decrypt(tmp_path, capsys):
+    plain = tmp_path / "plain.txt"
+    plain.write_bytes(b"the quick brown fox" * 100)
+    enc, dec = str(tmp_path / "c.bin"), str(tmp_path / "p2.txt")
+    rc, _ = _run(capsys, ["encrypt", "--file", str(plain), "--out-file", enc,
+                          "--passphrase", "pw"])
+    assert rc == 0
+    assert open(enc, "rb").read()[16:32] != plain.read_bytes()[:16]
+    rc, _ = _run(capsys, ["decrypt", "--file", enc, "--out-file", dec,
+                          "--passphrase", "pw"])
+    assert rc == 0
+    assert open(dec, "rb").read() == plain.read_bytes()
+    # missing passphrase is a clean usage error
+    rc, _ = _run(capsys, ["encrypt", "--file", str(plain), "--out-file", enc])
+    assert rc == 2

@@ -1,0 +1,279 @@
+"""Command-line interface -- the reference's primary user surface.
+
+The reference is driven by CLI verbs (yadamuCLI.js:29-96: EXPORT,
+IMPORT, UPLOAD, UNLOAD, LOAD, COPY, ENCRYPT, DECRYPT, TEST). A user of
+the reference runs jobs from the shell; this module maps each verb onto
+the engine's library surfaces so that workflow carries over::
+
+    python -m yadamu___yet_another_data_migration_utility_spark <verb> ...
+
+    export   parquet tables -> ONE monolithic JSON export document
+             (--compression gzip, --passphrase for the AES envelope;
+             EXPORT requires the file NOT to exist unless --overwrite,
+             yadamuCLI.js:48,70)
+    import   monolithic export document -> parquet tables
+             (IMPORT requires the file to exist, yadamuCLI.js:47,65)
+    upload   alias of import (the reference's server-side-parse verb;
+             Spark IS the server -- SURVEY §2 D2)
+    unload   parquet tables -> staged dataset (parquet/csv/json + control
+             file), the reference's loader-format UNLOAD
+    load     staged dataset -> parquet tables
+    copy     parquet tables -> a LakeTable seed (the bulk COPY path)
+    encrypt  wrap any file in the [IV][AES-256-CBC] envelope
+    decrypt  strip the envelope
+    compare  QA acceptance between two parquet tables (row counts +
+             symmetric exceptAll, all six normalization rule families);
+             exit code 0 iff equal -- the reference's TEST role
+
+Every Spark verb builds the standard engine session (session.get_spark)
+and reads/writes plain paths, so s3a:// URIs work where Hadoop is
+configured. Passphrases arrive via --passphrase or $YADAMU_PASSPHRASE
+(the reference prompts interactively; non-interactive here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(cpus: int | None):
+    from .session import get_spark
+
+    master = f"local[{cpus}]" if cpus else None
+    return get_spark("yadamu_cli", master=master)
+
+
+def _tables_arg(s: str) -> list[str]:
+    return [t.strip() for t in s.split(",") if t.strip()]
+
+
+def _load_tables(spark, src_dir: str, tables: list[str]):
+    out = {}
+    for t in tables:
+        out[t] = spark.read.parquet(os.path.join(src_dir, f"{t}.parquet"))
+    return out
+
+
+def _key(args) -> bytes | None:
+    pw = args.passphrase or os.environ.get("YADAMU_PASSPHRASE")
+    if pw is None:
+        return None
+    from .sources.filecrypto import derive_key
+
+    return derive_key(pw, salt=args.salt)
+
+
+def cmd_export(args) -> int:
+    if os.path.exists(args.file) and not args.overwrite:
+        print(f"error: {args.file} exists (EXPORT refuses to overwrite "
+              "without --overwrite)", file=sys.stderr)
+        return 2
+    from .sources.exportfile import export_json
+
+    spark = _spark(args.cpus)
+    tables = _load_tables(spark, args.dir, _tables_arg(args.tables))
+    meta = export_json(tables, args.file, compression=args.compression,
+                       encryption_key=_key(args))
+    print(json.dumps({"exported": list(meta), "file": args.file}))
+    return 0
+
+
+def cmd_import(args) -> int:
+    if not os.path.exists(args.file):
+        print(f"error: {args.file} does not exist", file=sys.stderr)
+        return 2
+    from .sources.exportfile import import_json
+
+    spark = _spark(args.cpus)
+    dfs = import_json(spark, args.file, encryption_key=_key(args))
+    os.makedirs(args.out_dir, exist_ok=True)
+    rows = {}
+    for name, df in dfs.items():
+        dest = os.path.join(args.out_dir, f"{name}.parquet")
+        df.write.mode("overwrite" if args.overwrite else "errorifexists").parquet(dest)
+        rows[name] = spark.read.parquet(dest).count()
+    print(json.dumps({"imported": rows, "out_dir": args.out_dir}))
+    return 0
+
+
+def cmd_unload(args) -> int:
+    from .sources.staged import unload
+
+    spark = _spark(args.cpus)
+    tables = _load_tables(spark, args.dir, _tables_arg(args.tables))
+    manifest = unload(tables, args.out_dir, fmt=args.format,
+                      compression=args.compression)
+    print(json.dumps({"unloaded": list(manifest["tables"]),
+                      "format": args.format, "out_dir": args.out_dir}))
+    return 0
+
+
+def cmd_load(args) -> int:
+    from .sources.staged import load_staged
+
+    spark = _spark(args.cpus)
+    dfs = load_staged(spark, args.dataset_dir)
+    os.makedirs(args.out_dir, exist_ok=True)
+    rows = {}
+    for name, df in dfs.items():
+        dest = os.path.join(args.out_dir, f"{name}.parquet")
+        df.write.mode("overwrite" if args.overwrite else "errorifexists").parquet(dest)
+        rows[name] = spark.read.parquet(dest).count()
+    print(json.dumps({"loaded": rows, "out_dir": args.out_dir}))
+    return 0
+
+
+def cmd_copy(args) -> int:
+    from .sources.laketable import LakeTable
+
+    spark = _spark(args.cpus)
+    df = spark.read.parquet(args.source)
+    table = LakeTable.create(args.table_root, df.schema, key=args.key,
+                             bucket_count=args.buckets,
+                             overwrite=args.overwrite,
+                             merge_mode=args.merge_mode)
+    v = table.append(spark, df, batch_id=0)
+    print(json.dumps({"copied_rows": table.read(spark).count(),
+                      "table": args.table_root, "version": v}))
+    return 0
+
+
+def cmd_encrypt(args) -> int:
+    from .sources.filecrypto import encrypt_file
+
+    key = _key(args)
+    if key is None:
+        print("error: --passphrase or $YADAMU_PASSPHRASE required", file=sys.stderr)
+        return 2
+    encrypt_file(args.file, args.out_file, key)
+    print(json.dumps({"encrypted": args.out_file}))
+    return 0
+
+
+def cmd_decrypt(args) -> int:
+    from .sources.filecrypto import decrypt_file
+
+    key = _key(args)
+    if key is None:
+        print("error: --passphrase or $YADAMU_PASSPHRASE required", file=sys.stderr)
+        return 2
+    decrypt_file(args.file, args.out_file, key)
+    print(json.dumps({"decrypted": args.out_file}))
+    return 0
+
+
+def cmd_compare(args) -> int:
+    from .operators.compare import compare
+
+    spark = _spark(args.cpus)
+    res = compare(
+        spark.read.parquet(args.source),
+        spark.read.parquet(args.target),
+        timestamp_precision=args.timestamp_precision,
+        double_precision=args.double_precision,
+        empty_string_is_null=args.empty_string_is_null,
+        infinity_is_null=args.infinity_is_null,
+        ordered_json=args.ordered_json,
+        canonical_xml=args.canonical_xml,
+    )
+    print(json.dumps({
+        "source_rows": res.source_rows, "target_rows": res.target_rows,
+        "missing_rows": res.missing_rows, "extra_rows": res.extra_rows,
+        "ok": res.ok,
+    }))
+    return 0 if res.ok else 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="yadamu-spark", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    def common(sp, crypto=False):
+        sp.add_argument("--cpus", type=int, default=None,
+                        help="local[N] cores (default: engine session default)")
+        if crypto:
+            sp.add_argument("--passphrase", default=None)
+            sp.add_argument("--salt", default=None)
+
+    sp = sub.add_parser("export", help="parquet tables -> monolithic JSON document")
+    sp.add_argument("--dir", required=True, help="directory of <table>.parquet")
+    sp.add_argument("--tables", required=True, help="comma-separated table names")
+    sp.add_argument("--file", required=True, help="output document path")
+    sp.add_argument("--compression", choices=["gzip"], default=None)
+    sp.add_argument("--overwrite", action="store_true")
+    common(sp, crypto=True)
+    sp.set_defaults(fn=cmd_export)
+
+    for verb, fn in (("import", cmd_import), ("upload", cmd_import)):
+        sp = sub.add_parser(verb, help="monolithic JSON document -> parquet tables")
+        sp.add_argument("--file", required=True)
+        sp.add_argument("--out-dir", required=True)
+        sp.add_argument("--overwrite", action="store_true")
+        common(sp, crypto=True)
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("unload", help="parquet tables -> staged dataset")
+    sp.add_argument("--dir", required=True)
+    sp.add_argument("--tables", required=True)
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--format", choices=["parquet", "csv", "json"], default="parquet")
+    sp.add_argument("--compression", default=None)
+    common(sp)
+    sp.set_defaults(fn=cmd_unload)
+
+    sp = sub.add_parser("load", help="staged dataset -> parquet tables")
+    sp.add_argument("--dataset-dir", required=True)
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--overwrite", action="store_true")
+    common(sp)
+    sp.set_defaults(fn=cmd_load)
+
+    sp = sub.add_parser("copy", help="parquet -> LakeTable bulk seed")
+    sp.add_argument("--source", required=True, help="parquet path")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--key", required=True, help="merge key column")
+    sp.add_argument("--buckets", type=int, default=32)
+    sp.add_argument("--merge-mode", choices=["mor", "cow"], default="mor")
+    sp.add_argument("--overwrite", action="store_true")
+    common(sp)
+    sp.set_defaults(fn=cmd_copy)
+
+    for verb, fn in (("encrypt", cmd_encrypt), ("decrypt", cmd_decrypt)):
+        sp = sub.add_parser(verb, help=f"{verb} a file ([IV][AES-256-CBC] envelope)")
+        sp.add_argument("--file", required=True)
+        sp.add_argument("--out-file", required=True)
+        sp.add_argument("--passphrase", default=None)
+        sp.add_argument("--salt", default=None)
+        sp.set_defaults(fn=fn, cpus=None)
+
+    sp = sub.add_parser("compare", help="QA acceptance between two parquet tables")
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--target", required=True)
+    sp.add_argument("--timestamp-precision", type=int, default=None)
+    sp.add_argument("--double-precision", type=int, default=None)
+    sp.add_argument("--empty-string-is-null", action="store_true")
+    sp.add_argument("--infinity-is-null", action="store_true")
+    sp.add_argument("--ordered-json", action="store_true")
+    sp.add_argument("--canonical-xml", action="store_true")
+    common(sp)
+    sp.set_defaults(fn=cmd_compare)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if getattr(args, "salt", None) is None and hasattr(args, "salt"):
+        from .sources.filecrypto import DEFAULT_SALT
+
+        args.salt = DEFAULT_SALT
+    return args.fn(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())
