@@ -102,6 +102,84 @@ def test_cli_copy_seeds_laketable(spark, tmp_path, capsys):
     assert t.read(spark).count() == 20 and t.merge_mode() == "mor"
 
 
+def test_cli_replay_verb(spark, tmp_path, capsys):
+    """The core pipeline as a verb: WAL -> fenced merge, exactly-once on
+    re-run from the same checkpoint."""
+    from yadamu___yet_another_data_migration_utility_spark.fixtures.changelog import (
+        changelog_df,
+        write_wal_segments,
+    )
+
+    wal = str(tmp_path / "wal")
+    write_wal_segments(changelog_df(spark, 600, 50, dup_mod=40), wal, 3)
+    root, ckpt = str(tmp_path / "pages"), str(tmp_path / "ckpt")
+    # no table + no --create is a clean usage error
+    rc, _ = _run(capsys, ["replay", "--log-path", wal, "--table-root", root,
+                          "--checkpoint-dir", ckpt])
+    assert rc == 2
+    rc, out = _run(capsys, ["replay", "--log-path", wal, "--table-root", root,
+                            "--checkpoint-dir", ckpt, "--create", "--buckets", "8"])
+    assert rc == 0 and out["batches"] == 3 and out["fenced_batches"] == 0
+    assert out["table_rows"] > 0 and out["rows_merged_in"] > 0
+    rows, ver = out["table_rows"], out["version"]
+    # re-run: availableNow from the same checkpoint finds nothing new
+    rc, out = _run(capsys, ["replay", "--log-path", wal, "--table-root", root,
+                            "--checkpoint-dir", ckpt])
+    assert rc == 0 and out["batches"] == 0
+    assert out["table_rows"] == rows and out["version"] == ver
+
+
+def test_cli_table_maintenance(spark, tmp_path, capsys):
+    """compact / expire / rebucket / history / changes over a merged table."""
+    from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
+        LakeTable,
+    )
+
+    src = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        [(f"u{i}", f"v{i}") for i in range(20)], "url string, val string"
+    ).write.parquet(src)
+    root = str(tmp_path / "lake")
+    rc, _ = _run(capsys, ["copy", "--source", src, "--table-root", root,
+                          "--key", "url", "--buckets", "4"])
+    assert rc == 0
+    t = LakeTable.load(root)
+    for b in range(3):  # a few MoR merges so compact/expire/changes have work
+        upd = spark.createDataFrame(
+            [(f"u{i}", f"w{b}_{i}", "U", 100 * (b + 1) + i) for i in range(5)],
+            "url string, val string, op string, lsn long",
+        )
+        t.merge(spark, upd, batch_id=b + 1)
+    v_before = t.current_version()
+
+    rc = main(["history", "--table-root", root])
+    lines = capsys.readouterr().out.strip().splitlines()
+    # one audit row per data commit: the seed append + 3 merges
+    assert rc == 0 and len(lines) == 4
+    assert {json.loads(ln)["operation"] for ln in lines} >= {"append", "merge"}
+
+    ch = str(tmp_path / "changes.parquet")
+    # since=2 (the seeded snapshot): the window covers just the 3 merges
+    rc, out = _run(capsys, ["changes", "--table-root", root, "--since", "2",
+                            "--out-dir", ch])
+    assert rc == 0 and out["changes"] == 5 and out["until"] == v_before
+    cols = spark.read.parquet(ch).columns
+    assert "_change_type" in cols and "_lsn" in cols
+
+    rc, out = _run(capsys, ["compact", "--table-root", root, "--all-deltas",
+                            "--sort-by", "url"])
+    assert rc == 0 and out["compacted"] and out["version"] == v_before + 1
+
+    rc, out = _run(capsys, ["rebucket", "--table-root", root, "--buckets", "8"])
+    assert rc == 0 and out["rebucketed"]
+    t = LakeTable.load(root)
+    assert t.read(spark).count() == 20
+
+    rc, out = _run(capsys, ["expire", "--table-root", root, "--keep-last", "2"])
+    assert rc == 0 and out["expired"]["expired_manifests"] >= 1
+    assert t.read(spark).count() == 20
+
+
 def test_cli_encrypt_decrypt(tmp_path, capsys):
     plain = tmp_path / "plain.txt"
     plain.write_bytes(b"the quick brown fox" * 100)

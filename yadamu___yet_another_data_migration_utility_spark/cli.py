@@ -25,6 +25,24 @@ the engine's library surfaces so that workflow carries over::
              symmetric exceptAll, all six normalization rule families);
              exit code 0 iff equal -- the reference's TEST role
 
+    replay   the engine's core pipeline as a verb: stream a parquet
+             WAL changelog through quarantine -> extract -> fenced
+             LSN-monotonic MERGE into a lake table, exactly-once,
+             resumable from its checkpoint
+
+Table-maintenance verbs (no reference analogue -- the reference is
+stateless per-job; a lake table needs day-2 operations):
+
+    compact  fold MoR delta files into bucket bases (optionally
+             clustering rows by a sort key)
+    expire   snapshot retention: drop manifests/data older than the
+             last N versions
+    rebucket rewrite the table under a new bucket count (layout
+             evolution as the table grows)
+    history  the commit audit trail as JSON lines (one per commit)
+    changes  incremental CDC-out: net per-key changes in a version
+             window, written as parquet for a downstream consumer
+
 Every Spark verb builds the standard engine session (session.get_spark)
 and reads/writes plain paths, so s3a:// URIs work where Hadoop is
 configured. Passphrases arrive via --passphrase or $YADAMU_PASSPHRASE
@@ -141,6 +159,97 @@ def cmd_copy(args) -> int:
     return 0
 
 
+def cmd_replay(args) -> int:
+    from .sources.laketable import LakeTable
+    from .streaming.stream import start_replay
+
+    spark = _spark(args.cpus)
+    if os.path.exists(os.path.join(args.table_root, "manifests")):
+        table = LakeTable.load(args.table_root)
+    elif args.create:
+        from .fixtures.changelog import PAGE_SCHEMA
+
+        table = LakeTable.create(args.table_root, PAGE_SCHEMA, key=args.key,
+                                 bucket_count=args.buckets,
+                                 merge_mode=args.merge_mode)
+    else:
+        print(f"error: no table at {args.table_root} (pass --create to "
+              "create the standard pages table)", file=sys.stderr)
+        return 2
+    metrics: list = []
+    q = start_replay(
+        spark, table, args.log_path, args.checkpoint_dir,
+        max_files_per_trigger=args.max_files_per_trigger,
+        salt_buckets=args.salt_buckets,
+        max_errors=args.max_errors, on_error=args.on_error,
+        compact_every=args.compact_every,
+        on_metrics=metrics.append,
+    )
+    q.awaitTermination()
+    applied = sum(m.rows_merged_in for m in metrics)
+    quarantined = sum(m.rows_quarantined for m in metrics)
+    fenced = sum(1 for m in metrics if m.fenced)
+    print(json.dumps({
+        "batches": len(metrics), "rows_merged_in": applied,
+        "rows_quarantined": quarantined, "fenced_batches": fenced,
+        "table_rows": table.read(spark).count(),
+        "version": table.current_version(),
+    }))
+    return 0
+
+
+def _table(args):
+    from .sources.laketable import LakeTable
+
+    return LakeTable.load(args.table_root)
+
+
+def cmd_compact(args) -> int:
+    table = _table(args)
+    spark = _spark(args.cpus)
+    sort_by = _tables_arg(args.sort_by) if args.sort_by else None
+    v = table.compact(spark, max_files_per_bucket=args.max_files_per_bucket,
+                      all_deltas=args.all_deltas, sort_within_buckets=sort_by)
+    print(json.dumps({"compacted": v is not None, "version": v}))
+    return 0
+
+
+def cmd_expire(args) -> int:
+    swept = _table(args).expire_snapshots(keep_last=args.keep_last)
+    print(json.dumps({"expired": swept}))
+    return 0
+
+
+def cmd_rebucket(args) -> int:
+    table = _table(args)
+    spark = _spark(args.cpus)
+    v = table.rebucket(spark, args.buckets)
+    print(json.dumps({"rebucketed": v is not None, "version": v,
+                      "buckets": args.buckets}))
+    return 0
+
+
+def cmd_history(args) -> int:
+    # audit entries live in the manifests -- no Spark session needed
+    for row in _table(args).audit_entries():
+        print(json.dumps(row, sort_keys=True))
+    return 0
+
+
+def cmd_changes(args) -> int:
+    table = _table(args)
+    spark = _spark(args.cpus)
+    df = table.read_changes(spark, args.since, until_version=args.until,
+                            public=args.public)
+    df.write.mode("overwrite" if args.overwrite else "errorifexists").parquet(args.out_dir)
+    n = spark.read.parquet(args.out_dir).count()
+    print(json.dumps({"changes": n, "since": args.since,
+                      "until": args.until if args.until is not None
+                      else table.current_version(),
+                      "out_dir": args.out_dir}))
+    return 0
+
+
 def cmd_encrypt(args) -> int:
     from .sources.filecrypto import encrypt_file
 
@@ -243,6 +352,62 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--overwrite", action="store_true")
     common(sp)
     sp.set_defaults(fn=cmd_copy)
+
+    sp = sub.add_parser("replay", help="stream a parquet WAL changelog into a lake "
+                                       "table (exactly-once CDC apply)")
+    sp.add_argument("--log-path", required=True, help="parquet changelog dir")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--checkpoint-dir", required=True,
+                    help="streaming checkpoint (resume point across restarts)")
+    sp.add_argument("--create", action="store_true",
+                    help="create the standard pages table if absent")
+    sp.add_argument("--key", default="url")
+    sp.add_argument("--buckets", type=int, default=32)
+    sp.add_argument("--merge-mode", choices=["mor", "cow"], default="mor")
+    sp.add_argument("--max-files-per-trigger", type=int, default=1)
+    sp.add_argument("--salt-buckets", type=int, default=0)
+    sp.add_argument("--max-errors", type=int, default=None)
+    sp.add_argument("--on-error", choices=["abort", "skip", "flush"], default="abort")
+    sp.add_argument("--compact-every", type=int, default=None)
+    common(sp)
+    sp.set_defaults(fn=cmd_replay)
+
+    sp = sub.add_parser("compact", help="fold MoR deltas / rewrite fragmented buckets")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--max-files-per-bucket", type=int, default=4)
+    sp.add_argument("--all-deltas", action="store_true",
+                    help="fold every bucket holding ANY delta (full fold)")
+    sp.add_argument("--sort-by", default=None,
+                    help="comma-separated columns to cluster rewritten buckets by")
+    common(sp)
+    sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("expire", help="snapshot retention: drop old versions")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--keep-last", type=int, default=10)
+    common(sp)
+    sp.set_defaults(fn=cmd_expire)
+
+    sp = sub.add_parser("rebucket", help="rewrite the table under a new bucket count")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--buckets", type=int, required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_rebucket)
+
+    sp = sub.add_parser("history", help="commit audit trail as JSON lines")
+    sp.add_argument("--table-root", required=True)
+    sp.set_defaults(fn=cmd_history, cpus=None)
+
+    sp = sub.add_parser("changes", help="incremental CDC-out window -> parquet")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--since", type=int, required=True)
+    sp.add_argument("--until", type=int, default=None)
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--public", action="store_true",
+                    help="drop engine columns (inspection only -- not safely applyable)")
+    sp.add_argument("--overwrite", action="store_true")
+    common(sp)
+    sp.set_defaults(fn=cmd_changes)
 
     for verb, fn in (("encrypt", cmd_encrypt), ("decrypt", cmd_decrypt)):
         sp = sub.add_parser(verb, help=f"{verb} a file ([IV][AES-256-CBC] envelope)")
