@@ -527,6 +527,132 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: train/val/test dice out of 100 -- the split every training corpus
+#: needs; md5-derived so membership is reproducible and a doc NEVER
+#: migrates between splits as the corpus grows (rand() leaks val->train
+#: on every re-run)
+_SPLIT_TRAIN, _SPLIT_VAL = 98, 99
+
+
+@_register(
+    "corpus_train_split",
+    f"""
+    WITH tagged AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             n_chars,
+             CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS die
+      FROM documents
+    )
+    SELECT CASE WHEN die < {_SPLIT_TRAIN} THEN 'train'
+                WHEN die < {_SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM tagged
+    GROUP BY 1, 2
+    """,
+)
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (98/1/1 by an md5 die on
+    doc_id) with per-(split, lang) size accounting -- the holdout split
+    every pretraining corpus cuts before anything else. Hash dice make
+    membership a pure function of doc_id: re-running over a grown
+    corpus never moves a document across the split boundary, which is
+    the property that keeps the validation set uncontaminated.
+
+    Scale: a pure scan (one hash + compare per row, no shuffle for the
+    assignment itself); the report is one algebraic groupBy on a
+    6-value key space -- map-side combine collapses it."""
+    d = load(spark, sf_dir, "documents")
+    die = _md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(die < _SPLIT_TRAIN, "train")
+        .when(die < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return d.select(split.alias("split"), "lang", n_tokens.alias("n_tokens"),
+                    "n_chars").groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_PACK_BUDGET = 2048  # tokens per training sequence
+_PACK_SHARDS = 8  # parallel packing streams per source
+
+
+@_register(
+    "corpus_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT source,
+             CAST(concat('0x', substr(md5(concat('pack:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % {_PACK_SHARDS} AS shard,
+             md5(concat('packord:', CAST(doc_id AS VARCHAR))) AS ord_key,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT source, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY ord_key
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT source, shard,
+           CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           ROUND(100.0 * SUM(n_tokens) / {_PACK_BUDGET}, 4) AS fill_pct
+    FROM c
+    GROUP BY 1, 2, 3
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents in a deterministic
+    md5-shuffled order and chunk the stream at a 2048-token budget
+    (pack_id = completed budgets before the doc starts) -- the
+    concat-and-chunk packing step that turns a filtered corpus into
+    fixed-length training sequences. Chunk boundaries may bisect a
+    document (the standard pretraining convention); per-pack token
+    counts land in [budget, budget + max_doc_tokens).
+
+    Scale: packing is a sequential fold, so the plan SHARDS it --
+    each (source, shard-die) stream packs independently under ONE
+    window whose partition key is (source, shard): one shuffle, 8x
+    parallelism per source, bounded partition state. At 100 TB you
+    raise the shard count with the fleet; a partition-less
+    window (the naive spelling) would funnel the corpus through one
+    task."""
+    d = load(spark, sf_dir, "documents")
+    shard = _md5_long(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))) % _PACK_SHARDS
+    ord_key = F.md5(F.concat(F.lit("packord:"), F.col("doc_id").cast("string")))
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    t = d.select(
+        "source", shard.alias("shard"), ord_key.alias("ord_key"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("source", "shard")
+        .orderBy("ord_key")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        t.withColumn("pack_id",
+                     F.floor((cum - F.col("n_tokens")) / float(_PACK_BUDGET)))
+        .groupBy("source", "shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.round(F.lit(100.0) * F.sum("n_tokens") / _PACK_BUDGET, 4).alias("fill_pct"),
+        )
+    )
+
+
 @_register(
     "doc_repetition",
     """
