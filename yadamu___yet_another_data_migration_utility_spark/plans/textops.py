@@ -654,6 +654,62 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_decontaminate",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS die,
+             unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                   for i in generate_series(1, len(w) - 2)])) AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+      WHERE len(w) >= 3
+    ),
+    test_sh AS (SELECT DISTINCT shingle FROM sh WHERE die >= {_SPLIT_VAL})
+    SELECT a.doc_id, COUNT(*) AS n_shared
+    FROM sh a JOIN test_sh t ON a.shingle = t.shingle
+    WHERE a.die < {_SPLIT_TRAIN}
+    GROUP BY 1
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval decontamination: flag TRAIN documents sharing any word
+    shingle with the held-out TEST split (the same md5 die as
+    corpus_train_split), reporting the distinct shared-shingle count
+    per contaminated doc -- the overlap scrub every serious
+    pretraining corpus runs against its benchmarks so eval scores
+    measure generalization, not memorization. 3-word shingles here
+    (the repo's cross-engine shingle contract); production uses
+    longer n-grams -- only the constant changes.
+
+    Scale: explode-once, then ONE hash equi-join on the shingle
+    string between the train side and the distinct test-side
+    shingles -- no self-join, no all-pairs. The test/eval side is a
+    fixed benchmark set in production (tiny -> broadcast); here it is
+    the 1% die slice, so the plan keeps the shuffle join that
+    survives an arbitrarily large eval side. Stop-shingle skew is the
+    known hazard -- the mitigation is the same DF-threshold drop
+    boilerplate_score computes."""
+    d = load(spark, sf_dir, "documents")
+    die = _md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    w = F.split(F.lower(F.col("text")), " ")
+    sh = (
+        d.withColumn("_w", w)
+        .filter(F.size("_w") >= 3)
+        .select(
+            "doc_id", die.alias("die"),
+            F.explode(F.array_distinct(shingle_arr(F.col("_w")))).alias("shingle"),
+        )
+    )
+    test_sh = sh.filter(F.col("die") >= _SPLIT_VAL).select("shingle").distinct()
+    return (
+        sh.filter(F.col("die") < _SPLIT_TRAIN)
+        .join(test_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@_register(
     "doc_repetition",
     """
     WITH w AS (
