@@ -164,7 +164,7 @@ def cmd_replay(args) -> int:
     from .streaming.stream import start_replay
 
     spark = _spark(args.cpus)
-    if os.path.exists(os.path.join(args.table_root, "manifests")):
+    if LakeTable.exists(args.table_root):
         table = LakeTable.load(args.table_root)
     elif args.create:
         from .fixtures.changelog import PAGE_SCHEMA
@@ -239,13 +239,16 @@ def cmd_history(args) -> int:
 def cmd_changes(args) -> int:
     table = _table(args)
     spark = _spark(args.cpus)
-    df = table.read_changes(spark, args.since, until_version=args.until,
+    # resolve the window bound ONCE and pass it explicitly: the printed
+    # `until` is the consumer's next --since, so it must name exactly
+    # the snapshot the parquet covers even if a concurrent writer
+    # commits between the read and the print
+    until = table.current_version() if args.until is None else args.until
+    df = table.read_changes(spark, args.since, until_version=until,
                             public=args.public)
     df.write.mode("overwrite" if args.overwrite else "errorifexists").parquet(args.out_dir)
     n = spark.read.parquet(args.out_dir).count()
-    print(json.dumps({"changes": n, "since": args.since,
-                      "until": args.until if args.until is not None
-                      else table.current_version(),
+    print(json.dumps({"changes": n, "since": args.since, "until": until,
                       "out_dir": args.out_dir}))
     return 0
 
@@ -366,8 +369,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--merge-mode", choices=["mor", "cow"], default="mor")
     sp.add_argument("--max-files-per-trigger", type=int, default=1)
     sp.add_argument("--salt-buckets", type=int, default=0)
-    sp.add_argument("--max-errors", type=int, default=None)
-    sp.add_argument("--on-error", choices=["abort", "skip", "flush"], default="abort")
+    sp.add_argument("--max-errors", type=int, default=None,
+                    help="bad-row threshold; omit for the FLUSH behavior "
+                         "(quarantine + continue, no limit)")
+    sp.add_argument("--on-error", choices=["abort", "skip"], default="abort")
     sp.add_argument("--compact-every", type=int, default=None)
     common(sp)
     sp.set_defaults(fn=cmd_replay)

@@ -41,13 +41,20 @@ _DOCS_AUG_SQL = """
       SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
 """
 
-_SHINGLES_SQL = """
+def _shingles_sql(src: str = "docs_aug") -> str:
+    """DuckDB spelling of the cross-engine shingle contract over table
+    ``src`` -- ONE definition (mirrors ``shingle_arr``); every oracle
+    that shingles derives from it so a width change edits one place."""
+    return f"""
       SELECT doc_id,
              unnest(list_distinct([array_to_string(w[i:i+2], ' ')
                                    for i in generate_series(1, len(w) - 2)])) AS shingle
-      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM docs_aug)
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM {src})
       WHERE len(w) >= 3
 """
+
+
+_SHINGLES_SQL = _shingles_sql()
 
 
 def docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,13 +416,21 @@ _SAMPLE_RATE_SQL = "CASE lang " + " ".join(
 ) + f" ELSE {_SAMPLE_DEFAULT} END"
 
 
+def _die_sql(prefix: str, mod: int) -> str:
+    """DuckDB spelling of the md5 die: ``_md5_long(prefix:doc_id) % mod``
+    -- derived from _MD5_LONG_SQL so the hash contract has one home."""
+    return _MD5_LONG_SQL.format(
+        x=f"concat('{prefix}:', CAST(doc_id AS VARCHAR))"
+    ) + f" % {mod}"
+
+
 @_register(
     "corpus_sample",
     f"""
     WITH tagged AS (
       SELECT source, lang, doc_id,
              len(string_split(text, ' ')) AS n_tokens,
-             CAST(concat('0x', substr(md5(concat('sample:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS die,
+             {_die_sql("sample", 100)} AS die,
              {_SAMPLE_RATE_SQL} AS rate
       FROM documents
     )
@@ -541,7 +556,7 @@ _SPLIT_TRAIN, _SPLIT_VAL = 98, 99
       SELECT lang,
              len(string_split(text, ' ')) AS n_tokens,
              n_chars,
-             CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS die
+             {_die_sql("split", 100)} AS die
       FROM documents
     )
     SELECT CASE WHEN die < {_SPLIT_TRAIN} THEN 'train'
@@ -591,7 +606,7 @@ _PACK_SHARDS = 8  # parallel packing streams per source
     f"""
     WITH t AS (
       SELECT source,
-             CAST(concat('0x', substr(md5(concat('pack:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % {_PACK_SHARDS} AS shard,
+             {_die_sql("pack", _PACK_SHARDS)} AS shard,
              md5(concat('packord:', CAST(doc_id AS VARCHAR))) AS ord_key,
              len(string_split(text, ' ')) AS n_tokens
       FROM documents
@@ -656,13 +671,9 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "corpus_decontaminate",
     f"""
-    WITH sh AS (
-      SELECT doc_id,
-             CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS die,
-             unnest(list_distinct([array_to_string(w[i:i+2], ' ')
-                                   for i in generate_series(1, len(w) - 2)])) AS shingle
-      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
-      WHERE len(w) >= 3
+    WITH sh0 AS ({_shingles_sql("documents")}),
+    sh AS (
+      SELECT doc_id, {_die_sql("split", 100)} AS die, shingle FROM sh0
     ),
     test_sh AS (SELECT DISTINCT shingle FROM sh WHERE die >= {_SPLIT_VAL})
     SELECT a.doc_id, COUNT(*) AS n_shared
