@@ -669,6 +669,68 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_tfidf_topterms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE regexp_matches(term, '^[a-z]{3,}$')
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / df.df AS score
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, ROUND(score, 6) AS score, rank FROM (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document by tf-idf -- the
+    keyword-extraction / topic-fingerprint signal quality filters and
+    corpus explorers both consume. The idf is the RATIONAL form
+    tf x N/df (pure IEEE-754 multiply/divide -- bit-identical across
+    engines, unlike ln whose last-ulp may differ between libms);
+    ranking is unaffected since x -> ln is monotone. Alpha terms of
+    >= 3 chars only; ties broken by term so the top-3 is total-order
+    deterministic.
+
+    Scale: token explode -> (doc, term) count (map-side combine) ->
+    term df (algebraic agg on the term key; stop-term skew is absorbed
+    by partial aggregation, not a join fan-out) -> hash join tf x df
+    on term -> per-doc window (partitioned by doc_id -- never global).
+    The corpus doc count is one O(1) scalar job."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term").rlike("^[a-z]{3,}$"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id", "term",
+        (F.col("tf").cast("double") * F.lit(n_docs) / F.col("df")).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+@_register(
     "corpus_decontaminate",
     f"""
     WITH sh0 AS ({_shingles_sql("documents")}),
