@@ -187,6 +187,56 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_containment",
+    f"""
+    WITH docs_aug AS ({_DOCS_AUG_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT inner_doc, outer_doc,
+           ROUND(CAST(n_inter AS DOUBLE) / s1.n, 6) AS containment
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = inner_doc
+    WHERE CAST(n_inter AS DOUBLE) / s1.n >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL near-dup: shingle containment |A∩B| / |A| >= 0.9
+    flags documents whose content is (almost) wholly inside another --
+    quote farms, boilerplate supersets, truncated mirrors. Jaccard
+    misses these when the containing doc is much larger (the union
+    denominator dilutes); containment is the asymmetric complement
+    every dedup pipeline runs beside it.
+
+    Scale: same equi-join-on-shingle shape as dedup_ngram_jaccard
+    (declared exact baseline; the banded-minhash path below is the
+    100 TB candidate generator), one extra broadcast of the per-doc
+    size table. int/int double division -- engine-identical."""
+    sh = shingles(docs_aug(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("inner_doc"),
+                 F.col("b.doc_id").alias("outer_doc"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    s1 = sizes.alias("s1")
+    cont = F.col("n_inter").cast("double") / F.col("s1.n")
+    return (
+        inter.join(F.broadcast(s1), F.col("inner_doc") == F.col("s1.doc_id"))
+        .filter(cont >= 0.9)
+        .select("inner_doc", "outer_doc", F.round(cont, 6).alias("containment"))
+    )
+
+
 _MINHASH_K = 6  # 3 bands x 2 rows
 
 _MINHASH_SQL = f"""
