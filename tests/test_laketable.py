@@ -485,3 +485,57 @@ def test_compact_sort_within_buckets_clusters_files(spark, tmp_table_root):
             checked += 1
     assert checked >= 2
     assert state(spark, t) == before
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_type_widening_evolution(spark, tmp_table_root, mode):
+    """A batch arriving with a WIDER column type (int->long,
+    float->double, decimal precision growth) widens the table schema;
+    old narrow files are read upcast, values exact, in both merge
+    modes, through compaction and on a values-beyond-int32 batch."""
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("views", T.IntegerType()),
+        T.StructField("score", T.FloatType()),
+        T.StructField("price", T.DecimalType(5, 2)),
+    ])
+    t = LakeTable.create(tmp_table_root, schema, key="url", bucket_count=4,
+                         merge_mode=mode)
+    seed = spark.createDataFrame(
+        [("u1", 7, 1.5, "3.25"), ("u2", 9, 2.5, "4.75")],
+        "url string, views int, score float, price string",
+    ).withColumn("price", F.col("price").cast("decimal(5,2)"))
+    t.append(spark, seed, batch_id=0)
+
+    wide = spark.createDataFrame(
+        [("u3", 2**40, 0.25, "12345678.50", "U", 10),
+         ("u2", 2**41, 0.75, "5.25", "U", 11)],
+        "url string, views long, score double, price string, op string, lsn long",
+    ).withColumn("price", F.col("price").cast("decimal(10,2)"))
+    t.merge(spark, wide, batch_id=1)
+
+    got_schema = {f.name: f.dataType for f in t.schema().fields}
+    assert got_schema["views"] == T.LongType()
+    assert got_schema["score"] == T.DoubleType()
+    assert got_schema["price"] == T.DecimalType(10, 2)
+
+    def snap():
+        return {r["url"]: (r["views"], r["score"], str(r["price"]))
+                for r in t.read(spark).collect()}
+
+    expect = {
+        "u1": (7, 1.5, "3.25"),                       # old narrow file, upcast
+        "u2": (2**41, 0.75, "5.25"),                  # overwritten wide
+        "u3": (2**40, 0.25, "12345678.50"),           # new, beyond int32/decimal(5)
+    }
+    assert snap() == expect
+    # compaction rewrites old files under the widened schema; state holds
+    t.compact(spark, all_deltas=True)
+    assert snap() == expect
+    # a narrower batch AFTER widening keeps the wide schema (cast up)
+    t.merge(spark, spark.createDataFrame(
+        [("u1", 3, 9.0, "1.00", "U", 20)],
+        "url string, views int, score double, price string, op string, lsn long",
+    ).withColumn("price", F.col("price").cast("decimal(10,2)")), batch_id=2)
+    assert t.schema()["views"].dataType == T.LongType()
+    assert snap()["u1"] == (3, 9.0, "1.00")

@@ -1366,21 +1366,52 @@ def _resolve(df: DataFrame, key: str, schema: T.StructType) -> DataFrame:
     ).select(*[f.name for f in schema.fields])
 
 
+#: integral promotion ladder for type widening (Iceberg UpdateSchema)
+_WIDEN_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _widens(old: T.DataType, new: T.DataType) -> bool:
+    """True iff ``new`` is a legal type WIDENING of ``old`` -- Iceberg's
+    promotion set: the integral ladder up to long, float -> double, and
+    decimal precision growth at fixed scale. Safe because every old
+    value is exactly representable in the new type, and Spark's parquet
+    readers (vectorized included) upcast old narrow files to the wider
+    read schema natively -- no data rewrite."""
+    if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+        return new.scale == old.scale and new.precision > old.precision
+    ro = _WIDEN_RANK.get(old.typeName())
+    rn = _WIDEN_RANK.get(new.typeName())
+    if ro is not None and rn is not None:
+        return rn > ro
+    return old.typeName() == "float" and new.typeName() == "double"
+
+
 def _evolved_schema(m: dict[str, Any], batch_df: DataFrame, op_col: str,
                     lsn_col: str) -> T.StructType:
-    """Additive schema evolution: new payload columns in the batch are
-    appended (nullable) to the table schema (Iceberg: UpdateSchema)."""
+    """Schema evolution (Iceberg: UpdateSchema): new payload columns in
+    the batch are appended (nullable) to the table schema, and an
+    existing column arriving with a legally WIDER type (``_widens``)
+    widens the table column -- old data files are read upcast, new
+    files are written wide. Any other type drift keeps the table type
+    (the batch column is cast by ``_align``, the pre-evolution
+    behavior)."""
     table_schema = T.StructType.fromJson(m["schema"])
     payload_cols = [c for c in batch_df.columns if c not in (op_col, lsn_col)]
+    batch_fields = {f.name: f for f in batch_df.schema.fields
+                    if f.name in payload_cols}
+    fields = [
+        T.StructField(f.name, batch_fields[f.name].dataType, True)
+        if f.name in batch_fields and _widens(f.dataType, batch_fields[f.name].dataType)
+        else f
+        for f in table_schema.fields
+    ]
     known = set(table_schema.fieldNames())
-    new_fields = [
+    fields += [
         T.StructField(f.name, f.dataType, True)
         for f in batch_df.schema.fields
         if f.name in payload_cols and f.name not in known
     ]
-    if new_fields:
-        table_schema = T.StructType(list(table_schema.fields) + new_fields)
-    return table_schema
+    return T.StructType(fields)
 
 
 def _buckets_changed_between(old: dict[str, Any], new: dict[str, Any]) -> set[str]:
