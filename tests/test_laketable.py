@@ -539,3 +539,29 @@ def test_type_widening_evolution(spark, tmp_table_root, mode):
     ).withColumn("price", F.col("price").cast("decimal(10,2)")), batch_id=2)
     assert t.schema()["views"].dataType == T.LongType()
     assert snap()["u1"] == (3, 9.0, "1.00")
+
+
+def test_read_changes_across_type_widening(spark, tmp_table_root):
+    """Type widening INSIDE the window: pre-widening delta files carry
+    the narrow type; the fast path reads them with the until-schema so
+    old values surface upcast -- same contract as read()."""
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("views", T.IntegerType()),
+    ])
+    t = LakeTable.create(tmp_table_root, schema, key="url", bucket_count=4,
+                         merge_mode="mor")
+    t.merge(spark, spark.createDataFrame(
+        [("a", 7, "I", 1)], "url string, views int, op string, lsn long"
+    ), batch_id=0)
+    v_since = t.current_version()
+    t.merge(spark, spark.createDataFrame(
+        [("b", 9, "I", 2)], "url string, views int, op string, lsn long"
+    ), batch_id=1)
+    t.merge(spark, spark.createDataFrame(
+        [("c", 2**40, "I", 3)], "url string, views long, op string, lsn long"
+    ), batch_id=2)
+    ch = t.read_changes(spark, v_since)
+    assert dict(ch.dtypes)["views"] == "bigint"
+    got = {(r["url"], r["views"], r["_change_type"]) for r in ch.collect()}
+    assert got == {("b", 9, "upsert"), ("c", 2**40, "upsert")}, got
