@@ -565,3 +565,43 @@ def test_read_changes_across_type_widening(spark, tmp_table_root):
     assert dict(ch.dtypes)["views"] == "bigint"
     got = {(r["url"], r["views"], r["_change_type"]) for r in ch.collect()}
     assert got == {("b", 9, "upsert"), ("c", 2**40, "upsert")}, got
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_drop_column_purges_and_readd_is_fresh(spark, tmp_table_root, mode):
+    """drop_column: full-rewrite purge; time travel keeps the column in
+    old snapshots; re-adding the name later never resurrects values."""
+    t = mk(spark, tmp_table_root, merge_mode=mode)
+    t.merge(spark, batch(spark, [("a", "va", "I", 1), ("b", "vb", "I", 2)]),
+            batch_id=0)
+    v_before = t.current_version()
+    with pytest.raises(ValueError):
+        t.drop_column(spark, "url")  # merge key
+    with pytest.raises(ValueError):
+        t.drop_column(spark, "_lsn")
+    with pytest.raises(ValueError):
+        t.drop_column(spark, "nope")
+    v = t.drop_column(spark, "val")
+    assert v == v_before + 1
+    assert "val" not in t.schema().fieldNames()
+    assert set(t.read(spark).columns) == {"url", "_lsn"}
+    assert {r["url"] for r in t.read(spark).collect()} == {"a", "b"}
+    # physical purge: no parquet file of the new snapshot carries val
+    m = t.manifest()
+    assert m["summary"]["operation"] == "drop_column"
+    for fl in m["buckets"].values():
+        for f in fl:
+            cols = spark.read.parquet(
+                t.fs.spark_path(f"{tmp_table_root}/{f}")).columns
+            assert "val" not in cols
+    # time travel: the pre-drop snapshot still has it
+    old = t.read(spark, version=v_before)
+    assert {(r["url"], r["val"]) for r in old.collect()} == {("a", "va"), ("b", "vb")}
+    # re-add the name: fresh column, no ghosts
+    t.merge(spark, batch(spark, [("c", "vc", "I", 3)]), batch_id=1)
+    got = {(r["url"], r["val"]) for r in t.read(spark).collect()}
+    assert got == {("a", None), ("b", None), ("c", "vc")}, got
+    # incremental read across the drop takes the diff path cleanly
+    ch = {(r["url"], r["_change_type"])
+          for r in t.read_changes(spark, v_before).collect()}
+    assert ("c", "upsert") in ch

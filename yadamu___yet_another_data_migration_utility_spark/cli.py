@@ -39,6 +39,9 @@ stateless per-job; a lake table needs day-2 operations):
              last N versions
     rebucket rewrite the table under a new bucket count (layout
              evolution as the table grows)
+    drop-column  drop a payload column as a full-rewrite purge (no
+             field IDs -> a metadata-only drop could resurrect values;
+             old snapshots keep the column, expire completes the purge)
     history  the commit audit trail as JSON lines (one per commit)
     changes  incremental CDC-out: net per-key changes in a version
              window, written as parquet for a downstream consumer
@@ -229,6 +232,14 @@ def cmd_rebucket(args) -> int:
     return 0
 
 
+def cmd_drop_column(args) -> int:
+    table = _table(args)
+    spark = _spark(args.cpus)
+    v = table.drop_column(spark, args.column)
+    print(json.dumps({"dropped": args.column, "version": v}))
+    return 0
+
+
 def cmd_history(args) -> int:
     # audit entries live in the manifests -- no Spark session needed
     for row in _table(args).audit_entries():
@@ -398,6 +409,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--buckets", type=int, required=True)
     common(sp)
     sp.set_defaults(fn=cmd_rebucket)
+
+    sp = sub.add_parser("drop-column", help="drop a payload column "
+                                            "(full-rewrite purge; old snapshots keep it)")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--column", required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_drop_column)
 
     sp = sub.add_parser("history", help="commit audit trail as JSON lines")
     sp.add_argument("--table-root", required=True)

@@ -1203,6 +1203,59 @@ class LakeTable:
             raise
         return v
 
+    def drop_column(self, spark: SparkSession, name: str) -> int:
+        """Drop a payload column (Iceberg: ALTER TABLE DROP COLUMN) as a
+        FULL-REWRITE commit. This format carries no Iceberg field IDs,
+        so a metadata-only drop would RESURRECT old physical values if
+        the name were ever re-added; the rewrite physically purges the
+        column from the current snapshot instead -- which is also the
+        column-erasure (GDPR) story. Older snapshots retain the column
+        (time travel unaffected; the data lives in THEIR files);
+        ``expire_snapshots`` completes the purge. A later batch
+        re-introducing the name is a fresh additive column -- exactly
+        Iceberg's drop-then-add semantics, with no ghost values because
+        the purge already ran. ``read_changes`` windows crossing the
+        drop take the snapshot-diff path (the commit is neither a mor
+        merge nor a skip).
+
+        The merge key and the ``_lsn`` ordering token cannot be
+        dropped. Scale: O(table) rewrite like rebucket/compact -- run
+        as maintenance."""
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        if name not in schema.fieldNames():
+            raise ValueError(f"no column {name!r} in table schema")
+        if name == m["key"]:
+            raise ValueError(f"cannot drop the merge key {name!r}")
+        if name == LSN_COL:
+            raise ValueError(f"cannot drop the ordering token {LSN_COL!r}")
+        new_schema = T.StructType([f for f in schema.fields if f.name != name])
+        df = self.read(spark).drop(name)
+        new_files, n_rows, out_dir = self._write_bucketed(spark, df, m)
+        manifest = {
+            **m,
+            "version": m["version"] + 1,
+            "parent": m["version"],
+            "schema": new_schema.jsonValue(),
+            "buckets": new_files,
+            "deltas": {},
+            "audit": None,
+            "lineage": [],
+            "summary": {
+                "operation": "drop_column",
+                "column": name,
+                "rows_written": n_rows,
+            },
+            "committed_at": _utc_now_iso(),
+        }
+        try:
+            # like compact/rebucket: rewrites a snapshot, cannot rebase
+            self._write_manifest(manifest, expected_parent=m["version"])
+        except CommitConflict:
+            self.fs.rmtree(out_dir)
+            raise
+        return manifest["version"]
+
     def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
         """Retention maintenance (Iceberg ``expire_snapshots``): drop
         manifests older than the newest ``keep_last`` versions and
