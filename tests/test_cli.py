@@ -179,6 +179,11 @@ def test_cli_table_maintenance(spark, tmp_path, capsys):
     assert rc == 0 and out["expired"]["expired_manifests"] >= 1
     assert t.read(spark).count() == 20
 
+    rc, out = _run(capsys, ["describe", "--table-root", root])
+    assert rc == 0 and out["bucket_count"] == 8 and out["merge_mode"] == "mor"
+    assert out["schema"]["url"] == "string" and out["delta_files"] == 0
+    assert out["last_operation"] == "rebucket" and out["applied_batches"] == 4
+
 
 def test_cli_encrypt_decrypt(tmp_path, capsys):
     plain = tmp_path / "plain.txt"

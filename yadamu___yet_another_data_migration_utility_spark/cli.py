@@ -43,6 +43,8 @@ stateless per-job; a lake table needs day-2 operations):
              field IDs -> a metadata-only drop could resurrect values;
              old snapshots keep the column, expire completes the purge)
     history  the commit audit trail as JSON lines (one per commit)
+    describe table status from the manifest: schema, layout, delta
+             pressure, applied batches (no Spark session)
     changes  incremental CDC-out: net per-key changes in a version
              window, written as parquet for a downstream consumer
 
@@ -247,6 +249,28 @@ def cmd_history(args) -> int:
     return 0
 
 
+def cmd_describe(args) -> int:
+    # manifest-only: no Spark session needed
+    t = _table(args)
+    m = t.manifest()
+    deltas = m.get("deltas", {})
+    print(json.dumps({
+        "version": m["version"],
+        "key": m["key"],
+        "bucket_count": m["bucket_count"],
+        "merge_mode": t.merge_mode(),
+        "schema": {f["name"]: f["type"] for f in m["schema"]["fields"]},
+        "base_files": sum(len(v) for v in m["buckets"].values()),
+        "delta_files": sum(len(v) for v in deltas.values()),
+        "buckets_with_deltas": sum(1 for v in deltas.values() if v),
+        "applied_batches": len(m["applied_batches"]),
+        "last_operation": (m.get("summary") or {}).get("operation")
+        or (m.get("audit") or {}).get("operation"),
+        "committed_at": m.get("committed_at"),
+    }, sort_keys=True))
+    return 0
+
+
 def cmd_changes(args) -> int:
     table = _table(args)
     spark = _spark(args.cpus)
@@ -420,6 +444,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("history", help="commit audit trail as JSON lines")
     sp.add_argument("--table-root", required=True)
     sp.set_defaults(fn=cmd_history, cpus=None)
+
+    sp = sub.add_parser("describe", help="table status from the manifest "
+                                         "(schema, layout, delta pressure)")
+    sp.add_argument("--table-root", required=True)
+    sp.set_defaults(fn=cmd_describe, cpus=None)
 
     sp = sub.add_parser("changes", help="incremental CDC-out window -> parquet")
     sp.add_argument("--table-root", required=True)
