@@ -230,3 +230,58 @@ def test_streaming_hourly_rollup_watermark_semantics(spark, tmp_path):
         ("2024-01-01 10:00:00", "I"): (2, 1, 3),
         ("2024-01-01 10:00:00", "U"): (1, 2, 2),
     }, got
+
+
+def test_follow_changes_tail_reconstructs_snapshots(spark, tmp_path):
+    """CDC-out tail: the polling cursor emits each new window once;
+    applying the windows in order through the real merge reconstructs
+    the followed table. Stop conditions make the loop deterministic."""
+    import pyspark.sql.functions as F
+
+    from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
+        follow_changes,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "url string, val string, op string, lsn long")
+
+    t = LakeTable.create(str(tmp_path / "src"),
+                         spark.createDataFrame([], "url string, val string").schema,
+                         key="url", bucket_count=4)
+    t.merge(spark, batch([("a", "v1", "I", 1), ("b", "v1", "I", 2)]), batch_id=0)
+    v_seed = t.current_version()
+
+    # downstream consumer: a second table seeded at the cursor's origin
+    t2 = LakeTable.create(str(tmp_path / "dst"),
+                          spark.createDataFrame([], "url string, val string").schema,
+                          key="url", bucket_count=4)
+    t2.merge(spark, batch([("a", "v1", "I", 1), ("b", "v1", "I", 2)]), batch_id=0)
+    windows = []
+
+    def consume(df, since, until):
+        windows.append((since, until))
+        ch = df.select(
+            "url", "val",
+            F.when(F.col("_change_type") == "delete", "D").otherwise("U").alias("op"),
+            F.col("_lsn").alias("lsn"),
+        )
+        t2.merge(spark, ch, batch_id=100 + until)
+
+    # nothing new yet: cursor stays put, no emission
+    cur = follow_changes(spark, t, v_seed, consume, poll_seconds=0.01, max_polls=1)
+    assert cur == v_seed and windows == []
+    # two upstream commits, then one poll -> ONE coalesced window
+    t.merge(spark, batch([("a", "v2", "U", 10), ("c", "v1", "I", 11)]), batch_id=1)
+    t.merge(spark, batch([("b", None, "D", 12)]), batch_id=2)
+    cur = follow_changes(spark, t, cur, consume, poll_seconds=0.01,
+                         stop_at_version=t.current_version())
+    assert windows == [(v_seed, v_seed + 2)] and cur == v_seed + 2
+    # another commit, tail again from the persisted cursor
+    t.merge(spark, batch([("d", "v1", "I", 20)]), batch_id=3)
+    cur = follow_changes(spark, t, cur, consume, poll_seconds=0.01,
+                         stop_at_version=t.current_version())
+    assert windows[-1] == (v_seed + 2, v_seed + 3)
+
+    src = {(r["url"], r["val"]) for r in t.read(spark).collect()}
+    dst = {(r["url"], r["val"]) for r in t2.read(spark).collect()}
+    assert src == dst == {("a", "v2"), ("c", "v1"), ("d", "v1")}

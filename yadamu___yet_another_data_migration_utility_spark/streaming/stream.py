@@ -28,6 +28,8 @@ of the source DataFrame is format-agnostic.
 
 from __future__ import annotations
 
+import time
+
 from typing import Callable
 
 from pyspark.sql import SparkSession
@@ -338,3 +340,51 @@ def replay_available(
     )
     q.awaitTermination()
     return metrics
+
+
+def follow_changes(
+    spark: SparkSession,
+    table: LakeTable,
+    since_version: int,
+    on_changes: Callable,
+    poll_seconds: float = 1.0,
+    max_polls: int | None = None,
+    stop_at_version: int | None = None,
+) -> int:
+    """CDC-out TAIL: poll the table head and emit each new window's net
+    changes through ``on_changes(df, since, until)`` -- the downstream
+    half of the CDC loop (upstream: ``start_replay`` ingests a
+    changelog; here a consumer follows the table AS a changelog).
+    This is exactly how Iceberg/Delta streaming reads work under the
+    hood: a monotonic snapshot cursor + incremental scans between
+    consecutive positions; Spark's source API would wrap this same
+    loop in ``latestOffset``/``getBatch``.
+
+    Delivery contract (same as ``read_changes``, which each window
+    delegates to): per-window net per-key changes with ``_change_type``
+    and the ``_lsn`` ordering token; applying windows IN ORDER through
+    the engine's LSN-monotonic merge reproduces every followed
+    snapshot. The cursor is returned so a caller persisting it next to
+    its sink gets exactly-once resume (re-emitting a window is
+    idempotent under the monotonic apply).
+
+    Scale: each poll is one manifest read (O(1) driver); each emitted
+    window costs O(window changes) via the delta-file fast path. A
+    retention-expired cursor raises read_changes' clean window error --
+    the consumer must re-seed from a snapshot, Iceberg's contract.
+    ``poll_seconds`` bounds idle cost; ``stop_at_version`` /
+    ``max_polls`` make the loop testable (None = follow forever)."""
+    cursor = since_version
+    polls = 0
+    while True:
+        head = table.current_version()
+        if head > cursor:
+            df = table.read_changes(spark, cursor, until_version=head)
+            on_changes(df, cursor, head)
+            cursor = head
+        if stop_at_version is not None and cursor >= stop_at_version:
+            return cursor
+        polls += 1
+        if max_polls is not None and polls >= max_polls:
+            return cursor
+        time.sleep(poll_seconds)
