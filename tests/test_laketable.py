@@ -605,3 +605,29 @@ def test_drop_column_purges_and_readd_is_fresh(spark, tmp_table_root, mode):
     ch = {(r["url"], r["_change_type"])
           for r in t.read_changes(spark, v_before).collect()}
     assert ("c", "upsert") in ch
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_key_type_never_widens(spark, tmp_table_root, mode):
+    """A batch whose MERGE KEY arrives wider must NOT widen the key:
+    bucket placement is xxhash64(key-as-its-type), so a widened key
+    would hash new rows into different buckets than their old versions
+    and resurrect duplicates. The wider batch key is cast down to the
+    table type instead."""
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("val", T.StringType()),
+    ])
+    t = LakeTable.create(tmp_table_root, schema, key="id", bucket_count=4,
+                         merge_mode=mode)
+    t.append(spark, spark.createDataFrame([(5, "old"), (6, "keep")],
+                                          "id int, val string"), batch_id=0)
+    t.merge(spark, spark.createDataFrame(
+        [(5, "new", "U", 10)], "id long, val string, op string, lsn long"
+    ), batch_id=1)
+    assert t.schema()["id"].dataType == T.IntegerType()
+    got = {r["id"]: r["val"] for r in t.read(spark).collect()}
+    assert got == {5: "new", 6: "keep"}, got
+    t.compact(spark, all_deltas=True)
+    got = {r["id"]: r["val"] for r in t.read(spark).collect()}
+    assert got == {5: "new", 6: "keep"}, got

@@ -285,3 +285,54 @@ def test_follow_changes_tail_reconstructs_snapshots(spark, tmp_path):
     src = {(r["url"], r["val"]) for r in t.read(spark).collect()}
     dst = {(r["url"], r["val"]) for r in t2.read(spark).collect()}
     assert src == dst == {("a", "v2"), ("c", "v1"), ("d", "v1")}
+
+
+def test_follow_changes_compact_crossing_delete_converges(spark, tmp_path):
+    """A tail window crossing a compact sees the delete on the diff
+    path, where the tombstone's physical LSN is folded away (NULL) --
+    the tail must stamp it with a winning synthetic LSN or the
+    downstream monotonic apply keeps the deleted row forever. Also:
+    stop_at_version clamps delivery when the upstream keeps writing."""
+    import pyspark.sql.functions as F
+
+    from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
+        follow_changes,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "url string, val string, op string, lsn long")
+
+    schema = spark.createDataFrame([], "url string, val string").schema
+    t = LakeTable.create(str(tmp_path / "src"), schema, key="url", bucket_count=4)
+    t.merge(spark, batch([("a", "v1", "I", 1), ("b", "v1", "I", 2)]), batch_id=0)
+    v_seed = t.current_version()
+    t2 = LakeTable.create(str(tmp_path / "dst"), schema, key="url", bucket_count=4)
+    t2.merge(spark, batch([("a", "v1", "I", 1), ("b", "v1", "I", 2)]), batch_id=0)
+
+    def consume(df, since, until):
+        assert df.filter(F.col("_lsn").isNull()).count() == 0  # always stamped
+        ch = df.select(
+            "url", "val",
+            F.when(F.col("_change_type") == "delete", "D").otherwise("U").alias("op"),
+            F.col("_lsn").alias("lsn"),
+        )
+        t2.merge(spark, ch, batch_id=100 + until)
+
+    # delete b, then compact BEFORE the consumer polls: the coalesced
+    # window crosses the compact -> diff path -> NULL tombstone lsn
+    t.merge(spark, batch([("b", None, "D", 10)]), batch_id=1)
+    assert t.compact(spark, all_deltas=True) is not None
+    stop = t.current_version()
+    # upstream keeps writing PAST the consumer's alignment point
+    t.merge(spark, batch([("c", "v1", "I", 20)]), batch_id=2)
+    cur = follow_changes(spark, t, v_seed, consume, poll_seconds=0.01,
+                         stop_at_version=stop)
+    assert cur == stop  # clamped: nothing past the requested stop
+    dst = {(r["url"], r["val"]) for r in t2.read(spark).collect()}
+    assert dst == {("a", "v1")}, dst  # the folded delete DID land
+    # resume to the live head picks up the post-stop commit
+    cur = follow_changes(spark, t, cur, consume, poll_seconds=0.01,
+                         stop_at_version=t.current_version())
+    src = {(r["url"], r["val"]) for r in t.read(spark).collect()}
+    dst = {(r["url"], r["val"]) for r in t2.read(spark).collect()}
+    assert src == dst == {("a", "v1"), ("c", "v1")}

@@ -258,7 +258,7 @@ def cmd_describe(args) -> int:
         "version": m["version"],
         "key": m["key"],
         "bucket_count": m["bucket_count"],
-        "merge_mode": t.merge_mode(),
+        "merge_mode": m.get("merge_mode", "cow"),
         "schema": {f["name"]: f["type"] for f in m["schema"]["fields"]},
         "base_files": sum(len(v) for v in m["buckets"].values()),
         "delta_files": sum(len(v) for v in deltas.values()),

@@ -1453,8 +1453,14 @@ def _evolved_schema(m: dict[str, Any], batch_df: DataFrame, op_col: str,
     batch_fields = {f.name: f for f in batch_df.schema.fields
                     if f.name in payload_cols}
     fields = [
-        T.StructField(f.name, batch_fields[f.name].dataType, True)
-        if f.name in batch_fields and _widens(f.dataType, batch_fields[f.name].dataType)
+        # the MERGE KEY never widens: bucket placement is
+        # xxhash64(key-as-its-type), so changing the key's type would
+        # re-bucket new rows away from their old versions and resurrect
+        # duplicates (a wider batch key is cast down by _align instead)
+        T.StructField(f.name, batch_fields[f.name].dataType, f.nullable,
+                      f.metadata)
+        if f.name != m["key"] and f.name in batch_fields
+        and _widens(f.dataType, batch_fields[f.name].dataType)
         else f
         for f in table_schema.fields
     ]

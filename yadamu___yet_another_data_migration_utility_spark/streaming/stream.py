@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.apply import BatchMetrics, apply_batch
-from ..sources.laketable import LakeTable
+from ..sources.laketable import LSN_COL, LakeTable
 
 #: changelog wire schema (FIXTURES.md F2); content_type is the additive
 #: evolution column -- present in evolved logs, absent otherwise.
@@ -360,12 +360,18 @@ def follow_changes(
     consecutive positions; Spark's source API would wrap this same
     loop in ``latestOffset``/``getBatch``.
 
-    Delivery contract (same as ``read_changes``, which each window
-    delegates to): per-window net per-key changes with ``_change_type``
-    and the ``_lsn`` ordering token; applying windows IN ORDER through
-    the engine's LSN-monotonic merge reproduces every followed
-    snapshot. The cursor is returned so a caller persisting it next to
-    its sink gets exactly-once resume (re-emitting a window is
+    Delivery contract: per-window net per-key changes with
+    ``_change_type`` and the ``_lsn`` ordering token; applying windows
+    IN ORDER through the engine's LSN-monotonic merge reproduces every
+    followed snapshot. One repair on top of raw ``read_changes``: a
+    window crossing a compact/cow commit takes the snapshot-diff path,
+    where a delete's physical tombstone LSN is already folded away
+    (NULL) -- a NULL-LSN delete would LOSE the monotonic apply against
+    the downstream copy's existing row and silently diverge, so the
+    tail stamps those deletes with a synthetic LSN strictly above every
+    LSN in the followed table's audit chain (driver-side manifest walk,
+    no Spark job). The cursor is returned so a caller persisting it
+    next to its sink gets exactly-once resume (re-emitting a window is
     idempotent under the monotonic apply).
 
     Scale: each poll is one manifest read (O(1) driver); each emitted
@@ -378,8 +384,21 @@ def follow_changes(
     polls = 0
     while True:
         head = table.current_version()
+        if stop_at_version is not None:
+            # never deliver past the requested stop: a live upstream
+            # writer must not push the consumer beyond its alignment
+            # point, and the returned cursor must name it exactly
+            head = min(head, stop_at_version)
         if head > cursor:
             df = table.read_changes(spark, cursor, until_version=head)
+            hi = max(
+                (a["max_lsn"] for a in table.audit_entries()
+                 if a.get("max_lsn") is not None),
+                default=0,
+            )
+            df = df.withColumn(
+                LSN_COL, F.coalesce(F.col(LSN_COL), F.lit(hi + 1))
+            )
             on_changes(df, cursor, head)
             cursor = head
         if stop_at_version is not None and cursor >= stop_at_version:
