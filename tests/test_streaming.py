@@ -336,3 +336,76 @@ def test_follow_changes_compact_crossing_delete_converges(spark, tmp_path):
     src = {(r["url"], r["val"]) for r in t.read(spark).collect()}
     dst = {(r["url"], r["val"]) for r in t2.read(spark).collect()}
     assert src == dst == {("a", "v1"), ("c", "v1")}
+
+
+def test_follow_changes_randomized_op_sequence_converges(spark, tmp_path):
+    """Seeded randomized CDC-loop stress: a writer interleaves merges
+    (inserts/updates/deletes), compactions and a rebucket; a tail
+    consumer polls at random points and applies each window through the
+    real merge. The downstream copy must equal the source at EVERY
+    poll -- the end-to-end exactly-once story under arbitrary
+    maintenance interleavings."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
+        follow_changes,
+    )
+
+    rng = random.Random(31337)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "url string, val string, op string, lsn long")
+
+    schema = spark.createDataFrame([], "url string, val string").schema
+    t = LakeTable.create(str(tmp_path / "src"), schema, key="url", bucket_count=4)
+    t2 = LakeTable.create(str(tmp_path / "dst"), schema, key="url", bucket_count=4)
+    seed_rows = [(f"u{i}", "v0", "I", i + 1) for i in range(30)]
+    t.merge(spark, batch(seed_rows), batch_id=0)
+    t2.merge(spark, batch(seed_rows), batch_id=0)
+    cursor, lsn, bid, polls = t.current_version(), 100, 1, 0
+
+    def consume(df, since, until):
+        ch = df.select(
+            "url", "val",
+            F.when(F.col("_change_type") == "delete", "D").otherwise("U").alias("op"),
+            F.col("_lsn").alias("lsn"),
+        )
+        t2.merge(spark, ch, batch_id=1000 + until)
+
+    def snap(tbl):
+        return {(r["url"], r["val"]) for r in tbl.read(spark).collect()}
+
+    live = {f"u{i}" for i in range(30)}
+    for step in range(14):
+        op = rng.choice(["merge", "merge", "merge", "compact", "rebucket", "poll"])
+        if op == "merge":
+            rows = []
+            for _ in range(rng.randint(1, 4)):
+                if live and rng.random() < 0.3:
+                    u = rng.choice(sorted(live))
+                    rows.append((u, None, "D", lsn))
+                    live.discard(u)
+                else:
+                    u = f"u{rng.randint(0, 40)}"
+                    rows.append((u, f"v{lsn}", "U", lsn))
+                    live.add(u)
+                lsn += 1
+            # one winner per key within the batch (engine precondition)
+            winners = {r[0]: r for r in rows}
+            t.merge(spark, batch(list(winners.values())), batch_id=bid)
+            bid += 1
+        elif op == "compact":
+            t.compact(spark, all_deltas=True)
+        elif op == "rebucket":
+            t.rebucket(spark, 8 if t.manifest()["bucket_count"] == 4 else 4)
+        else:
+            cursor = follow_changes(spark, t, cursor, consume, poll_seconds=0.01,
+                                    stop_at_version=t.current_version())
+            polls += 1
+            assert snap(t2) == snap(t), f"diverged at step {step}"
+    cursor = follow_changes(spark, t, cursor, consume, poll_seconds=0.01,
+                            stop_at_version=t.current_version())
+    assert snap(t2) == snap(t)
+    assert polls >= 1  # the seed actually exercised mid-sequence polls
