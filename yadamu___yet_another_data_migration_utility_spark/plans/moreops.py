@@ -668,3 +668,75 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id", "cluster", (F.col("doc_id") == F.col("cluster")).alias("keep")
     )
+
+
+@_register(
+    "events_funnel",
+    """
+    WITH w1 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ),
+    w2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1
+                       AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+                       AND ts <= t2 + INTERVAL 24 HOUR THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    ),
+    u AS (SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+          FROM w3 GROUP BY user_id)
+    SELECT COUNT(t1) AS n_view,
+           COUNT(t2) AS n_click_after_view,
+           COUNT(t3) AS n_purchase_after_click,
+           ROUND(CAST(COUNT(t2) AS DOUBLE) / COUNT(t1), 6) AS click_rate,
+           ROUND(CAST(COUNT(t3) AS DOUBLE) / COUNT(t2), 6) AS purchase_rate,
+           ROUND(CAST(COUNT(t3) AS DOUBLE) / COUNT(t1), 6) AS overall_rate
+    FROM u
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel analysis: how many users progressed
+    view -> click -> purchase with each step strictly AFTER the
+    previous one (a click before the first view does not count) -- the
+    sequence-matching analytics a MATCH_RECOGNIZE engine sells,
+    expressed as three layered per-user window minima: t1 = first
+    view, t2 = first click within 24 h after t1, t3 = first purchase
+    within 24 h after t2 (the step deadline that separates a funnel
+    from mere eventual co-occurrence).
+
+    Scale: all three windows and the per-user reduce share the SAME
+    partitioning (user_id) -- Catalyst plans ONE Exchange and chains
+    the Window operators over it; the final count is a single-row
+    algebraic agg. No joins, no per-user explode. Rates are int/int
+    double division -- engine-identical."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = W.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = e.withColumn("t1", t1)
+    t2 = F.min(F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1"))
+                      & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS")),
+                      F.col("ts"))).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2"))
+                      & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS")),
+                      F.col("ts"))).over(w)
+    staged = staged.withColumn("t3", t3)
+    u = staged.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3"))
+    n1, n2, n3 = F.count("t1"), F.count("t2"), F.count("t3")
+    return u.agg(
+        n1.alias("n_view"),
+        n2.alias("n_click_after_view"),
+        n3.alias("n_purchase_after_click"),
+        F.round(n2.cast("double") / n1, 6).alias("click_rate"),
+        F.round(n3.cast("double") / n2, 6).alias("purchase_rate"),
+        F.round(n3.cast("double") / n1, 6).alias("overall_rate"),
+    )
