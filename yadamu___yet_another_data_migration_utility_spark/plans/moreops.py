@@ -740,3 +740,64 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n3.cast("double") / n2, 6).alias("purchase_rate"),
         F.round(n3.cast("double") / n1, 6).alias("overall_rate"),
     )
+
+
+@_register(
+    "events_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    cells AS (
+      SELECT f.cohort,
+             CAST(date_diff('day', f.cohort, a.wk) / 7 AS BIGINT) AS week_offset,
+             COUNT(DISTINCT a.user_id) AS n_users
+      FROM active a JOIN first_seen f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT cohort, week_offset, n_users,
+           ROUND(CAST(n_users AS DOUBLE) /
+                 MAX(CASE WHEN week_offset = 0 THEN n_users END)
+                   OVER (PARTITION BY cohort), 6) AS retention_pct
+    FROM cells
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week, one
+    cell per (cohort, week_offset) with the share of the cohort still
+    active -- the other half of the funnel/retention pair every product
+    analytics stack materializes.
+
+    Scale: two algebraic aggs on user_id sharing one shuffle (first
+    week + distinct active weeks), a hash join back on user_id, a
+    (cohort, offset) rollup, and the cohort-size denominator via a
+    window PARTITIONED by cohort (never global). Week truncation is
+    Monday-anchored in both engines; offsets are exact day-diff/7
+    integers."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort"))
+    active = e.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    ).distinct()
+    cells = (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    cohort_size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_users"))
+    ).over(W.partitionBy("cohort"))
+    return cells.select(
+        "cohort", "week_offset", "n_users",
+        F.round(F.col("n_users").cast("double") / cohort_size, 6).alias("retention_pct"),
+    )
