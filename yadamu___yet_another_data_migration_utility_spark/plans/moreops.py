@@ -760,7 +760,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM active a JOIN first_seen f USING (user_id)
       GROUP BY 1, 2
     )
-    SELECT cohort, week_offset, n_users,
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset, n_users,
            ROUND(CAST(n_users AS DOUBLE) /
                  MAX(CASE WHEN week_offset = 0 THEN n_users END)
                    OVER (PARTITION BY cohort), 6) AS retention_pct
@@ -769,7 +769,8 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users bucketed by first-seen week, one
-    cell per (cohort, week_offset) with the share of the cohort still
+    cell per (cohort_week, week_offset) -- the week emitted as a
+    yyyy-MM-dd string so both engines hash identically -- with the share of the cohort still
     active -- the other half of the funnel/retention pair every product
     analytics stack materializes.
 
@@ -798,6 +799,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("week_offset") == 0, F.col("n_users"))
     ).over(W.partitionBy("cohort"))
     return cells.select(
-        "cohort", "week_offset", "n_users",
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset", "n_users",
         F.round(F.col("n_users").cast("double") / cohort_size, 6).alias("retention_pct"),
     )
