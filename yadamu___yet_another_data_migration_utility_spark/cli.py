@@ -45,6 +45,9 @@ stateless per-job; a lake table needs day-2 operations):
     history  the commit audit trail as JSON lines (one per commit)
     describe table status from the manifest: schema, layout, delta
              pressure, applied batches (no Spark session)
+    validate table fsck: manifest chain, file existence, fence ledger;
+             --deep adds the O(table) bucket-placement scan; exit code
+             0 iff healthy
     changes  incremental CDC-out: net per-key changes in a version
              window, written as parquet for a downstream consumer
 
@@ -249,6 +252,14 @@ def cmd_history(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    t = _table(args)
+    spark = _spark(args.cpus) if args.deep else None
+    report = t.validate(spark, deep=args.deep)
+    print(json.dumps(report, sort_keys=True))
+    return 0 if report["ok"] else 1
+
+
 def cmd_describe(args) -> int:
     # manifest-only: no Spark session needed
     t = _table(args)
@@ -449,6 +460,14 @@ def build_parser() -> argparse.ArgumentParser:
                                          "(schema, layout, delta pressure)")
     sp.add_argument("--table-root", required=True)
     sp.set_defaults(fn=cmd_describe, cpus=None)
+
+    sp = sub.add_parser("validate", help="table fsck: manifest chain, file "
+                                         "existence, fence ledger; --deep adds "
+                                         "the bucket-placement scan")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--deep", action="store_true")
+    common(sp)
+    sp.set_defaults(fn=cmd_validate)
 
     sp = sub.add_parser("changes", help="incremental CDC-out window -> parquet")
     sp.add_argument("--table-root", required=True)

@@ -1203,6 +1203,96 @@ class LakeTable:
             raise
         return v
 
+    def validate(self, spark: SparkSession | None = None,
+                 deep: bool = False) -> dict[str, Any]:
+        """Table fsck -- the day-2 health check after crashes, manual
+        surgery or a suspected engine bug (Iceberg analogue: the
+        various metadata validation procedures). Returns
+        ``{"ok": bool, "issues": [str, ...], "checked": {...}}``;
+        never raises for findings, only for an unreadable head.
+
+        Metadata plane (always, driver-side, no Spark):
+        - the manifest parent chain walks back intact over the
+          retained history with strictly decreasing versions;
+        - every referenced base/delta file exists, and no file is
+          claimed twice within one manifest;
+        - every audit batch_id appears in the head fence ledger
+          (a fenced-but-unaudited batch is fine -- skips -- but an
+          audited apply missing its fence would break exactly-once).
+
+        Data plane (``deep=True``, needs ``spark``; O(table) scan):
+        - bucket placement: every row in bucket b satisfies
+          ``pmod(xxhash64(key), bucket_count) == b`` -- the invariant
+          merges prune by (a misplaced row silently escapes updates
+          and deletes: exactly the blast radius of a key-type change);
+        - per-bucket lineage row counts match the files."""
+        issues: list[str] = []
+        head = self.manifest()
+        chain: list[dict[str, Any]] = []
+        v: int | None = head["version"]
+        while v is not None:
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                break  # expired horizon
+            if m["version"] != v:
+                issues.append(f"manifest v{v} claims version {m['version']}")
+            if m.get("format_version") != FORMAT_VERSION:
+                issues.append(f"manifest v{v}: format_version "
+                              f"{m.get('format_version')} != {FORMAT_VERSION}")
+            chain.append(m)
+            parent = m["parent"]
+            if parent is not None and parent >= v:
+                issues.append(f"manifest v{v}: parent {parent} not older")
+                break
+            v = parent
+        n_files = 0
+        for m in chain:
+            seen: set[str] = set()
+            for which in ("buckets", "deltas"):
+                for b, fl in m.get(which, {}).items():
+                    for f in fl:
+                        n_files += 1
+                        if f in seen:
+                            issues.append(
+                                f"v{m['version']}: file {f} referenced twice")
+                        seen.add(f)
+                        if not self.fs.exists(os.path.join(self.root, f)):
+                            issues.append(f"v{m['version']}: missing file {f}")
+        fences = set(head["applied_batches"])
+        for a in self.audit_entries():
+            if a.get("operation") in ("merge", "append") and \
+                    str(a["batch_id"]) not in fences:
+                issues.append(f"audited batch {a['batch_id']} missing from "
+                              "the head fence ledger")
+        checked = {"manifests": len(chain), "files": n_files,
+                   "deep": bool(deep)}
+        if deep:
+            if spark is None:
+                raise ValueError("deep validation needs a SparkSession")
+            key, nb = head["key"], head["bucket_count"]
+            schema = T.StructType.fromJson(head["schema"])
+            for which in ("buckets", "deltas"):
+                for b, fl in head.get(which, {}).items():
+                    if not fl:
+                        continue
+                    paths = [self.fs.spark_path(os.path.join(self.root, f))
+                             for f in fl]
+                    rs = schema
+                    if which == "deltas":
+                        rs = T.StructType(list(schema.fields) +
+                                          [T.StructField(DELETED_COL, T.BooleanType())])
+                    df = spark.read.schema(rs).parquet(*paths)
+                    misplaced = df.filter(
+                        _bucket_expr(key, nb) != F.lit(int(b))).count()
+                    if misplaced:
+                        issues.append(
+                            f"head {which} bucket {b}: {misplaced} row(s) "
+                            f"hash to a different bucket")
+            checked["deep_buckets"] = (
+                len(head["buckets"]) + sum(1 for fl in head.get("deltas", {}).values() if fl))
+        return {"ok": not issues, "issues": issues, "checked": checked}
+
     def drop_column(self, spark: SparkSession, name: str) -> int:
         """Drop a payload column (Iceberg: ALTER TABLE DROP COLUMN) as a
         FULL-REWRITE commit. This format carries no Iceberg field IDs,
