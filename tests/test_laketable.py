@@ -645,6 +645,9 @@ def test_validate_fsck(spark, tmp_table_root, mode):
             batch_id=0)
     t.merge(spark, batch(spark, [("u1", "v2", "U", 100), ("u2", None, "D", 101)]),
             batch_id=1)
+    # an UNFENCED append (batch_id=None) is legal, not a finding
+    t.append(spark, spark.createDataFrame([("extra", "v1")],
+                                          "url string, val string"))
     rep = t.validate(spark, deep=True)
     assert rep["ok"] and rep["issues"] == [], rep
     assert rep["checked"]["manifests"] >= 3 and rep["checked"]["files"] > 0

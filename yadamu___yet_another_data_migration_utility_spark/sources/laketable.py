@@ -1259,10 +1259,16 @@ class LakeTable:
                         seen.add(f)
                         if not self.fs.exists(os.path.join(self.root, f)):
                             issues.append(f"v{m['version']}: missing file {f}")
-        fences = set(head["applied_batches"])
+        # the ledger is CAPPED at 1000 recent ids (_cap) and appends may
+        # run unfenced (batch_id=None) -- only audited applies at or
+        # after the oldest version still in the ledger must have fences
+        fences = head["applied_batches"]
+        horizon = min((e["version"] for e in fences.values()), default=0)
         for a in self.audit_entries():
-            if a.get("operation") in ("merge", "append") and \
-                    str(a["batch_id"]) not in fences:
+            if (a.get("operation") in ("merge", "append")
+                    and a.get("batch_id") is not None
+                    and a["version"] >= horizon
+                    and str(a["batch_id"]) not in fences):
                 issues.append(f"audited batch {a['batch_id']} missing from "
                               "the head fence ledger")
         checked = {"manifests": len(chain), "files": n_files,
