@@ -803,3 +803,58 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_offset", "n_users",
         F.round(F.col("n_users").cast("double") / cohort_size, 6).alias("retention_pct"),
     )
+
+
+@_register(
+    "q10_returned_items",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+             CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(7,4)))), 4)
+                  AS DOUBLE) AS revenue
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rn
+          FROM rev)
+    WHERE rn <= 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost revenue from returned items per customer in
+    one quarter, top 20. Scale: lineitem is the fact side -- the
+    returnflag + quarter filters push to the scan; orders/customer/
+    nation broadcast (dimension sides); deterministic top-20 via a
+    TOTAL order (revenue desc, unique custkey) + limit = Spark's
+    TakeOrderedAndProject, not a global window. Revenue is the repo's
+    DECIMAL-exact money pattern rounded once at the end."""
+    from .catalog import _sum_dbl as sum_dbl, _dec as dec
+
+    cut_lo = F.lit("1997-10-01 00:00:00").cast("timestamp")
+    cut_hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cut_lo) & (F.col("o_orderdate") < cut_hi))
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum_dbl(dec("l_extendedprice")
+                     * (F.lit(1) - dec("l_discount", 7, 4))).alias("revenue"))
+    )
+    return (
+        rev.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
