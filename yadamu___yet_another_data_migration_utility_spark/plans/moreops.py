@@ -858,3 +858,57 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
+
+
+@_register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(15,2))), 4) AS DOUBLE)
+               AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM (
+      SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice, b.total_qty,
+             ROW_NUMBER() OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM big b
+      JOIN orders o   ON b.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rn <= 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers who placed large-volume orders
+    (order quantity > 250), top 100 by order value. Scale: the HAVING
+    aggregate runs map-side-combined on the fact table's natural key
+    (l_orderkey); the qualifying-order set is tiny -> BROADCAST it
+    back against orders/customer instead of shuffling the dimensions;
+    top-100 is a TakeOrderedAndProject on the total order
+    (o_totalprice desc, unique orderkey). Quantity sums in DECIMAL,
+    rounded once."""
+    from .catalog import _dec as dec
+
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("_tq"))
+        .filter(F.col("_tq") > 250)
+        .select("l_orderkey",
+                F.round(F.col("_tq"), 4).cast("double").alias("total_qty"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    joined = (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return (
+        joined.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+    )
