@@ -83,6 +83,13 @@ def test_cli_unload_load_and_compare(spark, tmp_path, src_dir, capsys):
                             "--source", os.path.join(src_dir, "t.parquet"),
                             "--target", drifted])
     assert rc == 1 and not out["ok"]
+    # schema mode: per-table rows, exit 0 iff every table matches
+    rc = main(["compare", "--source", src_dir, "--target", outdir,
+               "--tables", "t"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and json.loads(lines[-1]) == {
+        "table": "t", "source_rows": 4, "target_rows": 4,
+        "missing_rows": 0, "extra_rows": 0, "ok": True}
 
 
 def test_cli_copy_seeds_laketable(spark, tmp_path, capsys):
@@ -166,6 +173,11 @@ def test_cli_table_maintenance(spark, tmp_path, capsys):
     cols = spark.read.parquet(ch).columns
     assert "_change_type" in cols and "_lsn" in cols
 
+    rc = main(["lineage", "--table-root", root])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and lines
+    assert {"bucket", "row_count", "version"} <= set(json.loads(lines[0]))
+
     rc, out = _run(capsys, ["compact", "--table-root", root, "--all-deltas",
                             "--sort-by", "url"])
     assert rc == 0 and out["compacted"] and out["version"] == v_before + 1
@@ -183,6 +195,7 @@ def test_cli_table_maintenance(spark, tmp_path, capsys):
     assert rc == 0 and out["bucket_count"] == 8 and out["merge_mode"] == "mor"
     assert out["schema"]["url"] == "string" and out["delta_files"] == 0
     assert out["last_operation"] == "rebucket" and out["applied_batches"] == 4
+
 
 
 def test_cli_encrypt_decrypt(tmp_path, capsys):

@@ -43,6 +43,8 @@ stateless per-job; a lake table needs day-2 operations):
              field IDs -> a metadata-only drop could resurrect values;
              old snapshots keep the column, expire completes the purge)
     history  the commit audit trail as JSON lines (one per commit)
+    lineage  per-(version, batch, bucket) applied LSN ranges as JSON
+             lines (no Spark session)
     describe table status from the manifest: schema, layout, delta
              pressure, applied batches (no Spark session)
     validate table fsck: manifest chain, file existence, fence ledger;
@@ -252,6 +254,13 @@ def cmd_history(args) -> int:
     return 0
 
 
+def cmd_lineage(args) -> int:
+    # per-(version, batch, bucket) applied LSN ranges -- manifests only
+    for row in _table(args).lineage_entries():
+        print(json.dumps(row, sort_keys=True))
+    return 0
+
+
 def cmd_validate(args) -> int:
     t = _table(args)
     spark = _spark(args.cpus) if args.deep else None
@@ -327,15 +336,36 @@ def cmd_compare(args) -> int:
     from .operators.compare import compare
 
     spark = _spark(args.cpus)
-    res = compare(
-        spark.read.parquet(args.source),
-        spark.read.parquet(args.target),
+    rules = dict(
         timestamp_precision=args.timestamp_precision,
         double_precision=args.double_precision,
         empty_string_is_null=args.empty_string_is_null,
         infinity_is_null=args.infinity_is_null,
         ordered_json=args.ordered_json,
         canonical_xml=args.canonical_xml,
+    )
+    if args.tables:
+        # schema mode (the reference's per-schema TEST run): compare
+        # <dir>/<table>.parquet pairs; exit 0 iff EVERY table matches
+        all_ok = True
+        for t in _tables_arg(args.tables):
+            res = compare(
+                spark.read.parquet(os.path.join(args.source, f"{t}.parquet")),
+                spark.read.parquet(os.path.join(args.target, f"{t}.parquet")),
+                **rules,
+            )
+            all_ok &= res.ok
+            print(json.dumps({
+                "table": t, "source_rows": res.source_rows,
+                "target_rows": res.target_rows,
+                "missing_rows": res.missing_rows, "extra_rows": res.extra_rows,
+                "ok": res.ok,
+            }))
+        return 0 if all_ok else 1
+    res = compare(
+        spark.read.parquet(args.source),
+        spark.read.parquet(args.target),
+        **rules,
     )
     print(json.dumps({
         "source_rows": res.source_rows, "target_rows": res.target_rows,
@@ -456,6 +486,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table-root", required=True)
     sp.set_defaults(fn=cmd_history, cpus=None)
 
+    sp = sub.add_parser("lineage", help="per-(version, batch, bucket) applied "
+                                        "LSN ranges as JSON lines")
+    sp.add_argument("--table-root", required=True)
+    sp.set_defaults(fn=cmd_lineage, cpus=None)
+
     sp = sub.add_parser("describe", help="table status from the manifest "
                                          "(schema, layout, delta pressure)")
     sp.add_argument("--table-root", required=True)
@@ -488,9 +523,13 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--salt", default=None)
         sp.set_defaults(fn=fn, cpus=None)
 
-    sp = sub.add_parser("compare", help="QA acceptance between two parquet tables")
+    sp = sub.add_parser("compare", help="QA acceptance between two parquet tables "
+                                        "(or two directories with --tables)")
     sp.add_argument("--source", required=True)
     sp.add_argument("--target", required=True)
+    sp.add_argument("--tables", default=None,
+                    help="comma-separated names: compare <dir>/<t>.parquet "
+                         "pairs; exit 0 iff every table matches")
     sp.add_argument("--timestamp-precision", type=int, default=None)
     sp.add_argument("--double-precision", type=int, default=None)
     sp.add_argument("--empty-string-is-null", action="store_true")
