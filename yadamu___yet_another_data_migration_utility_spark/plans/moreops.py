@@ -912,3 +912,45 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                 "o_totalprice", "total_qty")
     )
+
+
+@_register(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(ROUND(
+             100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN CAST(l.l_extendedprice AS DECIMAL(15,2))
+                                   * (1 - CAST(l.l_discount AS DECIMAL(7,4)))
+                              ELSE CAST(0 AS DECIMAL(24,6)) END)
+             / SUM(CAST(l.l_extendedprice AS DECIMAL(15,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(7,4)))), 6)
+           AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from PROMO parts.
+    Scale: the shipdate window pushes to the lineitem scan; part is the
+    dimension -> broadcast hash join; one single-row algebraic agg.
+    Both sums stay in DECIMAL and divide once at the end (the repo's
+    exact-money pattern), so the percentage hashes identically across
+    engines."""
+    from .catalog import _dec as dec
+
+    lo = F.lit("1997-09-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-10-01 00:00:00").cast("timestamp")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+    p = load(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 7, 4))
+    zero = F.lit(0).cast("decimal(24,6)")
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(zero)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6)
+            .cast("double").alias("promo_revenue_pct")
+        )
+    )
