@@ -9,6 +9,9 @@ relational aggregations over replicated tables and comparing engines
 pipeline). These queries are that contract exercised across every core
 relational plan shape Spark offers:
 
+- q2  argmin      -> correlated per-part MIN-cost subquery as a
+                     groupBy joined back on exact DECIMAL equality;
+                     deterministic LIMIT via a total sort key.
 - q4  EXISTS      -> broadcast the filtered order window onto the fact
                      scan, distinct-on-key instead of a correlated probe.
 - q6  scan-agg    -> pure predicate-pushdown showcase, zero joins.
@@ -16,6 +19,8 @@ relational plan shape Spark offers:
                      disjunctive nation-pair filter evaluated post-join.
 - q8  mkt share   -> conditional DECIMAL ratio (the q14 exact pattern).
 - q9  profit      -> rev-minus-cost DECIMAL algebra per nation/year.
+- q12 late lines  -> conditional SUM splits priorities in one pass;
+                     2-value group key (linestatus as the 2-mode proxy).
 - q11 threshold   -> share-of-total via broadcast scalar; the comparison
                      is multiplied through (rev * K > total) so it stays
                      in exact DECIMAL -- no cross-engine float drift.
@@ -26,6 +31,8 @@ relational plan shape Spark offers:
 - q17 per-group threshold -> avg rewritten multiplied-through:
                      5 * qty * cnt < sum(qty), all DECIMAL/BIGINT exact.
 - q19 disjunctive OR-of-ANDs pushed to one scan + broadcast part.
+- q20 nested IN   -> two same-scan aggregates, share threshold
+                     multiplied through, LEFT SEMI onto supplier.
 - q21 exists/not-exists -> ONE per-order aggregate (n_suppliers,
                      n_late_suppliers) replaces both correlated
                      self-joins; late = shipped >60 days after order.
@@ -582,6 +589,175 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(10)
         .select("s_name", "numwait")
+    )
+
+
+@_register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(15,2))) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ), elig AS (
+      SELECT ps.l_partkey, ps.cost, s.s_name, s.s_acctbal,
+             n.n_name AS nation
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), minc AS (
+      SELECT l_partkey AS mk, MIN(cost) AS mincost FROM elig GROUP BY 1
+    )
+    SELECT e.s_acctbal, e.s_name, e.nation, p.p_partkey, p.p_name
+    FROM elig e
+    JOIN minc ON minc.mk = e.l_partkey AND e.cost = minc.mincost
+    JOIN part p ON p.p_partkey = e.l_partkey
+    WHERE p.p_type = 'PROMO' AND p.p_size >= 25
+    ORDER BY e.s_acctbal DESC, e.nation, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest EUROPE supplier(s) for each large
+    PROMO part. partsupp's supplycost is re-derived as the per
+    (part, supplier) MIN(l_extendedprice) observed in lineitem -- an
+    exact DECIMAL min, so the correlated 'cost = (SELECT MIN ...)'
+    argmin resolves identically across engines (a derived float unit
+    price would not). The correlated subquery becomes one per-part
+    aggregate joined back on exact DECIMAL equality. Scale: the
+    (part, supplier) reduction and the per-part min shuffle on the same
+    key (exchange reuse under AQE); supplier/nation/region/part all
+    broadcast; top-100 is TakeOrderedAndProject, and the sort key
+    (acctbal, nation, name, partkey) is total because s_name is unique
+    per supplier -- the LIMIT is deterministic."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") >= 25)
+    )
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec("l_extendedprice")).alias("cost"))
+    elig = (
+        ps.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "cost", "s_name", "s_acctbal",
+                F.col("n_name").alias("nation"))
+    )
+    minc = elig.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("cost").alias("mincost"))
+    return (
+        elig.join(minc, (F.col("l_partkey") == F.col("mk"))
+                  & (F.col("cost") == F.col("mincost")))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .orderBy(F.col("s_acctbal").desc(), "nation", "s_name", "p_partkey")
+        .limit(100)
+        .select("s_acctbal", "s_name", "nation", "p_partkey", "p_name")
+    )
+
+
+@_register(
+    "q12_late_lines_by_status",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q12_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: among 1997 lines shipped late (>60 days after
+    the order; this schema has no commit/receipt dates or shipmodes, so
+    lateness is ship-vs-order and the 2-value l_linestatus stands in for
+    the 2-shipmode group). Counts split urgent/high priorities from the
+    rest via conditional SUM -- one pass, no second join. Scale: the
+    year filter prunes the fact scan; one fact-fact shuffle on the order
+    key; the groupBy key has 2 values so the final exchange is trivial
+    after map-side partial agg."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "q20_dominant_suppliers",
+    """
+    WITH w AS (
+      SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(15,2)) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ), pq AS (
+      SELECT l_partkey AS pk, SUM(q) AS tot FROM w GROUP BY 1
+    ), psq AS (
+      SELECT l_partkey, l_suppkey, SUM(q) AS sq FROM w GROUP BY 1, 2
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT psq.l_suppkey
+      FROM psq
+      JOIN pq   ON pq.pk = psq.l_partkey
+      JOIN part p ON p.p_partkey = psq.l_partkey
+      WHERE p.p_name LIKE '%widget%' AND psq.sq * 2 > pq.tot
+    )
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped the majority (>50%) of
+    some 'widget' part's 1997 volume (partsupp availqty is re-derived
+    from shipped quantities, and 'excess stock' becomes 'dominant
+    share'). The nested IN subqueries collapse to: two aggregates over
+    the SAME filtered scan keyed (part) and (part, supplier), the share
+    threshold multiplied through in DECIMAL (sq * 2 > tot), then a LEFT
+    SEMI join onto supplier. Scale: both aggs shuffle on l_partkey
+    (exchange reuse); part is broadcast; the semi-join probe list is
+    tiny and broadcasts."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = load(spark, sf_dir, "supplier")
+    w = l.select("l_partkey", "l_suppkey", _dec("l_quantity").alias("q"))
+    pq = w.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("q").alias("tot"))
+    psq = w.groupBy("l_partkey", "l_suppkey").agg(F.sum("q").alias("sq"))
+    dominant = (
+        psq.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pq, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("sq") * 2 > F.col("tot"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(dominant),
+               F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
     )
 
 
