@@ -143,6 +143,85 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_passages",
+    f"""
+    WITH docs_aug AS ({_DOCS_AUG_SQL}),
+    d AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs_aug),
+    c AS (
+      SELECT doc_id, chunk_idx,
+             array_to_string(w[(chunk_idx-1)*10+1 : (chunk_idx-1)*10+10],
+                             ' ') AS chunk
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, (len(w)+9)//10)) AS chunk_idx
+            FROM d)
+    ),
+    k AS (
+      SELECT doc_id, chunk_idx, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, chunk_idx) = 1 AS kept
+      FROM c
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dup_chunks,
+           md5(COALESCE(array_to_string(list(chunk ORDER BY chunk_idx)
+                                          FILTER (WHERE kept), ' '),
+                        '')) AS kept_md5
+    FROM k GROUP BY 1
+    """,
+)
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (the Lee et al. 'Deduplicating Training
+    Data' substring dedup at fixed passage granularity): split every
+    document into consecutive 10-word chunks, keep only the corpus-FIRST
+    occurrence of each chunk (first = min (doc_id, chunk_idx), a total
+    deterministic order), and re-emit per document the chunk counts plus
+    the md5 of the deduplicated text so the rewrite itself is verified,
+    not just the counts. Exact-copy docs lose every chunk; near-dup
+    docs lose their shared prefix but keep their novel tail -- finer
+    than doc-level dedup, cheaper than suffix arrays.
+
+    Scale: chunking is a narrow projection; the winner election is ONE
+    algebraic groupBy (min-struct, map-side combine) on md5(chunk) --
+    a 32-char uniform key instead of the full 10-word string, so the
+    shuffle carries digests, not text; the join-back hits the same key
+    (AQE exchange reuse); per-doc reassembly shuffles on doc_id once.
+    collect_list order is repaired by array_sort on (chunk_idx, chunk)
+    structs, so the md5 is deterministic under any partitioning."""
+    d = docs_aug(spark, sf_dir).withColumn("w", F.split("text", " "))
+    chunks = F.expr(
+        "transform(sequence(1, (size(w)+9) div 10),"
+        " i -> struct(i AS chunk_idx,"
+        "             concat_ws(' ', slice(w, (i-1)*10+1, 10)) AS chunk))"
+    )
+    c = (
+        d.select("doc_id", F.explode(chunks).alias("s"))
+        .select("doc_id", "s.chunk_idx", "s.chunk")
+        .withColumn("h", F.md5("chunk"))
+    )
+    win = c.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("first"))
+    j = c.join(win, "h").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("chunk_idx") == F.col("first.chunk_idx")),
+    )
+    kept_structs = F.collect_list(
+        F.when(F.col("kept"), F.struct("chunk_idx", "chunk")))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dup_chunks"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(F.array_sort(kept_structs), lambda x: x.chunk),
+            )
+        ).alias("kept_md5"),
+    )
+
+
+@_register(
     "dedup_ngram_jaccard",
     f"""
     WITH docs_aug AS ({_DOCS_AUG_SQL}),
