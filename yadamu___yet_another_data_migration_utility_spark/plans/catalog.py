@@ -559,3 +559,80 @@ def cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_changes(spark, v_since).select(
         "url", "ts", "value", "event_type", "_lsn", "_change_type"
     )
+
+
+@_register(
+    "cdc_incremental_rollup",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn
+      FROM chg
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM last WHERE rn = 1 AND op <> 'D'
+    GROUP BY 1
+    """,
+)
+def cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate maintained INCREMENTALLY from the CDC
+    stream: replay the changelog in 3 fenced mor batches and advance an
+    IncrementalRollup (GROUP BY event_type -> count + exact DECIMAL
+    sum) through three refresh windows -- the middle one spanning a
+    ``compact()`` (snapshot-diff path), the others on the delta fast
+    path. Each refresh costs two bucket-pruned time-travel image reads
+    over the changed keys, never a full recompute. The oracle
+    aggregates the declarative LWW final state directly, so a match
+    proves the maintenance steps across both change-read paths compose
+    to exactly the recomputed aggregate (the TimescaleDB/Materialize
+    continuous-aggregate contract). 3 batches, not the siblings' 5:
+    each refresh adds a fenced commit, and the per-commit ~1 s fixed
+    cost (amortized away at real batch sizes) dominates at sf0.1."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+    from ..streaming.rollup import IncrementalRollup
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_rollup_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(
+        os.path.join(root, "base"), schema, key="url", bucket_count=16,
+        overwrite=True,
+    )
+    ru = IncrementalRollup.create(
+        spark, os.path.join(root, "roll"), table,
+        dims=["event_type"], sums=["value"],
+    )
+    bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    n_batches = 3
+    per = max(1, (hi - lo + 1 + n_batches - 1) // n_batches)
+    for b in range(n_batches):
+        batch = chg.filter(
+            (F.col("lsn") >= lo + b * per) & (F.col("lsn") < lo + (b + 1) * per)
+        )
+        apply_batch(table, batch, batch_id=b, run_extract=False)
+        if b == 1:
+            table.compact(spark)  # window 2 = merge + compact: diff path
+        ru.refresh(spark)
+    return ru.read(spark).select(
+        "event_type", "n_rows", F.col("sum_value").cast("double").alias("sum_value")
+    )
