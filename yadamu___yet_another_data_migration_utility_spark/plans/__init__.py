@@ -9,3 +9,4 @@ from . import temporal  # noqa: F401  (as-of join, sessionization)
 from . import vectorops  # noqa: F401  (IVF ANN)
 from . import migrate_types  # noqa: F401  (interval ISO-8601, spatial recode)
 from . import tpch_more  # noqa: F401  (remaining TPC-H plan shapes)
+from . import olap  # noqa: F401  (grouping sets, pivot, window frames)
