@@ -213,3 +213,55 @@ def test_cli_encrypt_decrypt(tmp_path, capsys):
     # missing passphrase is a clean usage error
     rc, _ = _run(capsys, ["encrypt", "--file", str(plain), "--out-file", enc])
     assert rc == 2
+
+
+def test_cli_rollup_seed_and_incremental_refresh(spark, tmp_path, capsys):
+    import pyspark.sql.types as T
+
+    from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
+        LakeTable,
+    )
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    root = str(tmp_path / "base")
+    rroot = str(tmp_path / "roll")
+    base = LakeTable.create(root, schema, key="url", bucket_count=4,
+                            merge_mode="mor")
+    base.merge(spark, spark.createDataFrame(
+        [("a", "x", 1.0, "I", 1), ("b", "y", 2.0, "I", 2)],
+        "url string, kind string, value double, op string, lsn long",
+    ), batch_id=0)
+
+    # first run without a spec is a clean usage error
+    rc, _ = _run(capsys, ["rollup", "--table-root", root,
+                          "--rollup-root", rroot])
+    assert rc == 2
+
+    rc, out = _run(capsys, ["rollup", "--table-root", root,
+                            "--rollup-root", rroot,
+                            "--dims", "kind", "--sums", "value"])
+    assert rc == 0 and out["created"] and out["groups"] == 2
+    assert out["cursor"] == base.current_version()
+
+    # second run: spec recovered from the rollup schema, incremental
+    base.merge(spark, spark.createDataFrame(
+        [("c", "x", 5.0, "I", 3), ("b", None, None, "D", 4)],
+        "url string, kind string, value double, op string, lsn long",
+    ), batch_id=1)
+    rc, out = _run(capsys, ["rollup", "--table-root", root,
+                            "--rollup-root", rroot])
+    assert rc == 0 and not out["created"]
+    assert out["dims"] == ["kind"] and out["sums"] == ["value"]
+    assert out["groups"] == 1 and out["cursor"] == base.current_version()
+    # the rollup itself holds group x with n_rows 2, sum 6.0
+    from yadamu___yet_another_data_migration_utility_spark.streaming.rollup import (
+        IncrementalRollup,
+    )
+    ru = IncrementalRollup.open(LakeTable(root), rroot)
+    rows = {(r["kind"], r["n_rows"], str(r["sum_value"]))
+            for r in ru.read(spark).collect()}
+    assert rows == {("x", 2, "6.000000")}

@@ -52,6 +52,11 @@ stateless per-job; a lake table needs day-2 operations):
              0 iff healthy
     changes  incremental CDC-out: net per-key changes in a version
              window, written as parquet for a downstream consumer
+    rollup   continuous aggregate maintained from the table's change
+             stream: first run seeds (needs --dims/--sums), every later
+             run advances it incrementally to the base head (spec
+             recovered from the rollup's own schema); exactly-once per
+             window via the merge fence
 
 Every Spark verb builds the standard engine session (session.get_spark)
 and reads/writes plain paths, so s3a:// URIs work where Hadoop is
@@ -308,6 +313,34 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_rollup(args) -> int:
+    from .sources.laketable import LakeTable
+    from .streaming.rollup import IncrementalRollup
+
+    base = _table(args)
+    spark = _spark(args.cpus)
+    created = not LakeTable.exists(args.rollup_root)
+    if created:
+        if not (args.dims and args.sums):
+            print("error: first run needs --dims and --sums to seed",
+                  file=sys.stderr)
+            return 2
+        ru = IncrementalRollup.create(
+            spark, args.rollup_root, base,
+            dims=_tables_arg(args.dims), sums=_tables_arg(args.sums),
+            bucket_count=args.buckets,
+        )
+    else:
+        ru = IncrementalRollup.open(base, args.rollup_root)
+    cursor = ru.refresh(spark)
+    print(json.dumps({
+        "created": created, "cursor": cursor,
+        "dims": ru.dims, "sums": ru.sums,
+        "groups": ru.read(spark).count(),
+    }, sort_keys=True))
+    return 0
+
+
 def cmd_encrypt(args) -> int:
     from .sources.filecrypto import encrypt_file
 
@@ -514,6 +547,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--overwrite", action="store_true")
     common(sp)
     sp.set_defaults(fn=cmd_changes)
+
+    sp = sub.add_parser("rollup", help="continuous aggregate: seed on first "
+                                       "run, incremental refresh after")
+    sp.add_argument("--table-root", required=True, help="the followed base table")
+    sp.add_argument("--rollup-root", required=True)
+    sp.add_argument("--dims", default=None,
+                    help="comma-separated group-by columns (first run only)")
+    sp.add_argument("--sums", default=None,
+                    help="comma-separated columns to sum (first run only)")
+    sp.add_argument("--buckets", type=int, default=8)
+    common(sp)
+    sp.set_defaults(fn=cmd_rollup)
 
     for verb, fn in (("encrypt", cmd_encrypt), ("decrypt", cmd_decrypt)):
         sp = sub.add_parser(verb, help=f"{verb} a file ([IV][AES-256-CBC] envelope)")

@@ -120,6 +120,12 @@ class IncrementalRollup:
         missing = [c for c in list(dims) + list(sums) if c not in base_fields]
         if missing:
             raise ValueError(f"columns not in base schema: {missing}")
+        clash = [d for d in dims
+                 if d in (_KEY_COL, _CNT_COL) or d.startswith("sum_")]
+        if clash:
+            # reserved names would make the schema-derived spec in
+            # open() ambiguous
+            raise ValueError(f"dim names reserved/ambiguous: {clash}")
         fields = [T.StructField(_KEY_COL, T.StringType())]
         fields += [T.StructField(d, base_fields[d].dataType) for d in dims]
         fields.append(T.StructField(_CNT_COL, T.LongType()))
@@ -146,6 +152,24 @@ class IncrementalRollup:
                          "rollup_dims": list(dims)},
         )
         return self
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def open(cls, base: LakeTable, root: str) -> "IncrementalRollup":
+        """Reopen an existing rollup. The group spec is recovered from
+        the rollup table's own schema -- dims are the fields between
+        ``dim_key`` and ``n_rows``, sums are the ``sum_<c>`` fields --
+        so resume needs no side state and no re-declared spec."""
+        table = LakeTable(root)
+        names = [f.name for f in
+                 T.StructType.fromJson(table.manifest()["schema"]).fields]
+        if names[0] != _KEY_COL or _CNT_COL not in names:
+            raise ValueError(f"{root} is not an IncrementalRollup table")
+        cnt_at = names.index(_CNT_COL)
+        dims = names[1:cnt_at]
+        sums = [n[len("sum_"):] for n in names[cnt_at + 1:]
+                if n.startswith("sum_")]
+        return cls(base, table, dims, sums)
 
     # ------------------------------------------------------------------
     def cursor(self) -> int:
