@@ -135,6 +135,35 @@ def test_cli_replay_verb(spark, tmp_path, capsys):
     assert rc == 0 and out["batches"] == 0
     assert out["table_rows"] == rows and out["version"] == ver
 
+    # co-maintained rollup: unseeded root is a clean usage error ...
+    rroot = str(tmp_path / "roll")
+    rc, _ = _run(capsys, ["replay", "--log-path", wal, "--table-root", root,
+                          "--checkpoint-dir", ckpt, "--rollup-root", rroot])
+    assert rc == 2
+    # ... seed it (catches up to the already-replayed table), then a
+    # fresh WAL segment replays WITH the rollup riding in the pipeline
+    rc, out = _run(capsys, ["rollup", "--table-root", root,
+                            "--rollup-root", rroot, "--dims", "lang",
+                            "--sums", ""])
+    assert rc == 0 and out["created"] and out["groups"] > 0
+    wal2 = str(tmp_path / "wal2")
+    write_wal_segments(changelog_df(spark, 200, 50, dup_mod=40), wal2, 1)
+    rc, out = _run(capsys, ["replay", "--log-path", wal2, "--table-root", root,
+                            "--checkpoint-dir", str(tmp_path / "ckpt2"),
+                            "--rollup-root", rroot])
+    assert rc == 0 and out["batches"] == 1
+    from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
+        LakeTable,
+    )
+    from yadamu___yet_another_data_migration_utility_spark.streaming.rollup import (
+        IncrementalRollup,
+    )
+    ru = IncrementalRollup.open(LakeTable(root), rroot)
+    assert ru.cursor() == LakeTable(root).current_version()
+    got = {(r["lang"], r["n_rows"]) for r in ru.read(spark).collect()}
+    exp = {(r["lang"], r["n_rows"]) for r in ru.recompute(spark).collect()}
+    assert got == exp and got
+
 
 def test_cli_table_maintenance(spark, tmp_path, capsys):
     """compact / expire / rebucket / history / changes over a merged table."""

@@ -156,3 +156,34 @@ def test_rollup_rejects_unknown_columns(spark, tmp_path):
         IncrementalRollup.create(
             spark, str(tmp_path / "roll"), base,
             dims=["nope"], sums=["value"])
+
+
+def test_rollup_comaintained_inside_streaming_replay(spark, tmp_path):
+    """The continuous aggregate rides INSIDE the replay pipeline
+    (refresh every 2nd micro-batch + the drain-tail refresh) and must
+    equal a recompute of the final table."""
+    from yadamu___yet_another_data_migration_utility_spark.fixtures.changelog import (
+        PAGE_SCHEMA,
+        changelog_df,
+        write_wal_segments,
+    )
+    from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
+        replay_available,
+    )
+
+    log = changelog_df(spark, 1500, 120, dup_mod=40)
+    wal = str(tmp_path / "wal")
+    write_wal_segments(log, wal, 4)
+    table = LakeTable.create(str(tmp_path / "pages"), PAGE_SCHEMA,
+                             key="url", bucket_count=8)
+    ru = IncrementalRollup.create(
+        spark, str(tmp_path / "roll"), table, dims=["lang"], sums=[])
+    metrics = replay_available(
+        spark, table, wal, str(tmp_path / "ckpt"),
+        rollup=ru, rollup_every=2,
+    )
+    assert len(metrics) == 4
+    assert ru.cursor() == table.current_version()
+    got = {(r["lang"], r["n_rows"]) for r in ru.read(spark).collect()}
+    exp = {(r["lang"], r["n_rows"]) for r in ru.recompute(spark).collect()}
+    assert got == exp and got

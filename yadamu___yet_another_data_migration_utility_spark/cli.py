@@ -191,6 +191,15 @@ def cmd_replay(args) -> int:
         print(f"error: no table at {args.table_root} (pass --create to "
               "create the standard pages table)", file=sys.stderr)
         return 2
+    ru = None
+    if args.rollup_root:
+        from .streaming.rollup import IncrementalRollup
+
+        if not LakeTable.exists(args.rollup_root):
+            print(f"error: no rollup at {args.rollup_root} (seed it first "
+                  "with the rollup verb)", file=sys.stderr)
+            return 2
+        ru = IncrementalRollup.open(table, args.rollup_root)
     metrics: list = []
     q = start_replay(
         spark, table, args.log_path, args.checkpoint_dir,
@@ -199,8 +208,11 @@ def cmd_replay(args) -> int:
         max_errors=args.max_errors, on_error=args.on_error,
         compact_every=args.compact_every,
         on_metrics=metrics.append,
+        rollup=ru, rollup_every=args.rollup_every,
     )
     q.awaitTermination()
+    if ru is not None:
+        ru.refresh(spark)  # drain-tail window
     applied = sum(m.rows_merged_in for m in metrics)
     quarantined = sum(m.rows_quarantined for m in metrics)
     fenced = sum(1 for m in metrics if m.fenced)
@@ -321,13 +333,14 @@ def cmd_rollup(args) -> int:
     spark = _spark(args.cpus)
     created = not LakeTable.exists(args.rollup_root)
     if created:
-        if not (args.dims and args.sums):
-            print("error: first run needs --dims and --sums to seed",
-                  file=sys.stderr)
+        if not args.dims:
+            print("error: first run needs --dims to seed "
+                  "(--sums optional: count-only rollup)", file=sys.stderr)
             return 2
         ru = IncrementalRollup.create(
             spark, args.rollup_root, base,
-            dims=_tables_arg(args.dims), sums=_tables_arg(args.sums),
+            dims=_tables_arg(args.dims),
+            sums=_tables_arg(args.sums or ""),
             bucket_count=args.buckets,
         )
     else:
@@ -483,6 +496,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "(quarantine + continue, no limit)")
     sp.add_argument("--on-error", choices=["abort", "skip"], default="abort")
     sp.add_argument("--compact-every", type=int, default=None)
+    sp.add_argument("--rollup-root", default=None,
+                    help="co-maintain a seeded continuous aggregate "
+                         "(see the rollup verb) inside the pipeline")
+    sp.add_argument("--rollup-every", type=int, default=1,
+                    help="refresh the rollup every k applied batches "
+                         "(windows coalesce; the drain-tail always refreshes)")
     common(sp)
     sp.set_defaults(fn=cmd_replay)
 

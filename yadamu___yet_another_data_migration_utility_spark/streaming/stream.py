@@ -69,6 +69,8 @@ def start_replay(
     compact_max_files: int = 8,
     max_errors: int | None = None,
     on_error: str = "abort",
+    rollup: "IncrementalRollup | None" = None,
+    rollup_every: int = 1,
 ) -> StreamingQuery:
     """Start (not await) the replay query. Returns the StreamingQuery so
     callers can stop it mid-replay (restart/kill tests).
@@ -80,7 +82,16 @@ def start_replay(
     verticaWriter.js:467-484), here an Iceberg
     rewrite_data_files-style compaction commit. Compaction is its own
     atomic snapshot, so a crash between merge and compact loses
-    nothing; a replayed batch still fences."""
+    nothing; a replayed batch still fences.
+
+    ``rollup`` co-maintains a continuous aggregate inside the pipeline:
+    after every ``rollup_every``-th applied batch the
+    ``IncrementalRollup`` advances to the table head (refresh windows
+    coalesce, so any skipped or crashed-before-refresh batches fold
+    into the next window -- the refresh fence makes restarts
+    exactly-once with no extra coordination). Callers should issue one
+    final ``rollup.refresh`` after the stream drains to catch the
+    tail; ``replay_available`` does."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -93,6 +104,8 @@ def start_replay(
                         max_errors=max_errors, on_error=on_error)
         if compact_every and not m.fenced and (batch_id + 1) % compact_every == 0:
             table.compact(batch_df.sparkSession, max_files_per_bucket=compact_max_files)
+        if rollup is not None and (batch_id + 1) % max(1, rollup_every) == 0:
+            rollup.refresh(batch_df.sparkSession)
         if on_metrics is not None:
             on_metrics(m)
 
@@ -332,13 +345,18 @@ def replay_available(
     **kwargs,
 ) -> list[BatchMetrics]:
     """Replay everything currently in the changelog and wait for
-    completion; returns per-batch metrics."""
+    completion; returns per-batch metrics. A co-maintained ``rollup``
+    gets one final refresh after the stream drains (covers batches a
+    ``rollup_every`` stride skipped)."""
     metrics: list[BatchMetrics] = []
     q = start_replay(
         spark, table, changelog_path, checkpoint_dir,
         available_now=True, on_metrics=metrics.append, **kwargs,
     )
     q.awaitTermination()
+    ru = kwargs.get("rollup")
+    if ru is not None:
+        ru.refresh(spark)
     return metrics
 
 
