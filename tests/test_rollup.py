@@ -187,3 +187,27 @@ def test_rollup_comaintained_inside_streaming_replay(spark, tmp_path):
     got = {(r["lang"], r["n_rows"]) for r in ru.read(spark).collect()}
     exp = {(r["lang"], r["n_rows"]) for r in ru.recompute(spark).collect()}
     assert got == exp and got
+
+
+def test_rollup_verify_detects_divergence(spark, tmp_path):
+    """verify() is the fsck: clean state passes; a corrupted group
+    (merged directly into the rollup table, bypassing maintenance) is
+    reported as a symmetric difference."""
+    base = mk_base(str(tmp_path / "base"))
+    ru = IncrementalRollup.create(
+        spark, str(tmp_path / "roll"), base, dims=["kind"], sums=["value"])
+    base.merge(spark, batch(spark, [
+        ("a", "x", 1.0, "I", 1), ("b", "y", 2.0, "I", 2),
+    ]), batch_id=0)
+    ru.refresh(spark)
+    rep = ru.verify(spark)
+    assert rep["ok"] and rep["groups"] == 2 and rep["cursor"] == ru.cursor()
+
+    # corrupt: overwrite group x's totals behind the maintainer's back
+    bogus = spark.createDataFrame(
+        [('{"kind":"x"}', "x", 99, "U", 10**9)],
+        "dim_key string, kind string, n_rows long, op string, lsn long",
+    ).withColumn("sum_value", F.lit(123).cast("decimal(28,6)"))
+    ru.table.merge(spark, bogus, batch_id=10**9)
+    rep = ru.verify(spark)
+    assert not rep["ok"] and rep["extra"] == 1 and rep["missing"] == 1

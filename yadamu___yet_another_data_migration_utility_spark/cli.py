@@ -346,11 +346,17 @@ def cmd_rollup(args) -> int:
     else:
         ru = IncrementalRollup.open(base, args.rollup_root)
     cursor = ru.refresh(spark)
-    print(json.dumps({
+    out = {
         "created": created, "cursor": cursor,
         "dims": ru.dims, "sums": ru.sums,
         "groups": ru.read(spark).count(),
-    }, sort_keys=True))
+    }
+    if args.verify:
+        report = ru.verify(spark)
+        out["verify"] = report
+        print(json.dumps(out, sort_keys=True))
+        return 0 if report["ok"] else 1
+    print(json.dumps(out, sort_keys=True))
     return 0
 
 
@@ -576,6 +582,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--sums", default=None,
                     help="comma-separated columns to sum (first run only)")
     sp.add_argument("--buckets", type=int, default=8)
+    sp.add_argument("--verify", action="store_true",
+                    help="after refreshing, fsck the maintained state "
+                         "against a full recompute at the cursor; exit 1 "
+                         "on divergence")
     common(sp)
     sp.set_defaults(fn=cmd_rollup)
 

@@ -292,3 +292,25 @@ class IncrementalRollup:
         return _contrib(
             self.base.read(spark, version=version), self.dims, self.sums, +1
         )
+
+    def verify(self, spark: SparkSession) -> dict:
+        """Fsck for the maintained state: compare the incremental
+        rollup against a full recompute of the base snapshot at the
+        CURSOR (not the live head -- a writer may have committed past
+        the last refresh; that is lag, not corruption). O(table) by
+        design; run it the way you run any fsck. Returns
+        ``{"ok", "cursor", "groups", "extra", "missing"}`` where
+        extra/missing count symmetric-difference rows."""
+        cur = self.cursor()
+        cols = [*self.dims, _CNT_COL, *[_sum_col(c) for c in self.sums]]
+        got = self.read(spark).select(*cols)
+        exp = self.recompute(spark, version=cur).select(*cols)
+        extra = got.exceptAll(exp).count()
+        missing = exp.exceptAll(got).count()
+        return {
+            "ok": extra == 0 and missing == 0,
+            "cursor": cur,
+            "groups": got.count(),
+            "extra": extra,
+            "missing": missing,
+        }
