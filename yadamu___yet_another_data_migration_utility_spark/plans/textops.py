@@ -1017,6 +1017,58 @@ def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "text_length_quartiles",
+    """
+    WITH r AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source, MAX(n) AS n_docs,
+           MAX(CASE WHEN rn = (n - 1) * 1 // 4 + 1 THEN n_chars END) AS p25,
+           MAX(CASE WHEN rn = (n - 1) * 2 // 4 + 1 THEN n_chars END) AS p50,
+           MAX(CASE WHEN rn = (n - 1) * 3 // 4 + 1 THEN n_chars END) AS p75
+    FROM r GROUP BY 1
+    """,
+)
+def text_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order statistics per source: p25/p50/p75 document lengths
+    by discrete rank (the lower-point value at rank (n-1)*k/4 + 1) --
+    integer arithmetic end to end, so unlike interpolated quantile_cont
+    / approx_percentile there is no float formula to drift across
+    engines, and ties are value-stable under any row order (equal
+    lengths at a rank yield the same length whatever the tie-break).
+    The length-distribution cut is how a training pipeline picks
+    truncation budgets per source. Scale: ONE shuffle on source with an
+    in-partition sort; rank and group count come from the same window
+    partition (one sort serves both), and the final groupBy collapses
+    to 3 rows per source via conditional MAX -- no second pass, no
+    per-quantile job. At extreme per-source row counts you'd swap the
+    row_number for the two-pass histogram/binary-search scheme; the
+    window form is the exact baseline."""
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("n_chars")
+    wc = W.partitionBy("source")
+    r = d.select(
+        "source", "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def pick(k: int):
+        target = ((F.col("n") - 1) * k / 4).cast("long") + 1
+        return F.max(F.when(F.col("rn") == target, F.col("n_chars")))
+
+    return r.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        pick(1).alias("p25"),
+        pick(2).alias("p50"),
+        pick(3).alias("p75"),
+    )
+
+
 # ======================================================================
 # Similarity search
 # ======================================================================
