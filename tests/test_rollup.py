@@ -211,3 +211,37 @@ def test_rollup_verify_detects_divergence(spark, tmp_path):
     ru.table.merge(spark, bogus, batch_id=10**9)
     rep = ru.verify(spark)
     assert not rep["ok"] and rep["extra"] == 1 and rep["missing"] == 1
+
+
+def test_rollup_concurrent_refresh_stale_pin_converges(spark, tmp_path):
+    """TOCTOU race: writer B snapshots its (cursor, rollup version) pin,
+    then writer A refreshes window (c, u1] and commits BEFORE B runs.
+    B then refreshes the overlapping window (c, u2] from its STALE pin.
+    Because B's current-groups read is pinned at the rollup version its
+    cursor came from (not the live head), B's totals are correct for u2
+    on their own; last-writer-wins (lsn = window end) picks them, and
+    the final state equals a recompute -- no double-counted window."""
+    base = mk_base(str(tmp_path / "base"))
+    ru = IncrementalRollup.create(
+        spark, str(tmp_path / "roll"), base, dims=["kind"], sums=["value"])
+    base.merge(spark, batch(spark, [
+        ("a", "x", 1.0, "I", 1), ("b", "x", 2.0, "I", 2),
+    ]), batch_id=0)
+    u1 = base.current_version()
+    base.merge(spark, batch(spark, [("c", "x", 4.0, "I", 3)]), batch_id=1)
+    u2 = base.current_version()
+
+    b_handle = IncrementalRollup.open(LakeTable(base.root), ru.table.root)
+    stale_pin = b_handle._pinned()  # B reads its pin first ...
+
+    a_handle = IncrementalRollup.open(LakeTable(base.root), ru.table.root)
+    assert a_handle.refresh(spark, until_version=u1) == u1  # ... A commits
+
+    b_handle._pinned = lambda: stale_pin  # B proceeds from the stale pin
+    assert b_handle.refresh(spark, until_version=u2) == u2
+
+    ru2 = IncrementalRollup.open(LakeTable(base.root), ru.table.root)
+    assert ru2.cursor() == u2
+    assert_current(spark, ru2)
+    assert canon(ru2.read(spark)) == {("x", "3", "7.000000")}
+    assert ru2.verify(spark)["ok"]

@@ -172,17 +172,37 @@ class IncrementalRollup:
         return cls(base, table, dims, sums)
 
     # ------------------------------------------------------------------
+    def _pinned(self) -> tuple[int, int]:
+        """(cursor, rollup_version) derived from ONE manifest walk, so
+        the two are consistent: ``rollup state @ version == aggregate
+        of base @ cursor`` (the maintenance invariant). refresh() must
+        read the current groups AT this pinned version, not the live
+        head -- a concurrent refresh committing between the cursor read
+        and the group read would otherwise be double-counted (its
+        window's delta applied on top of a state that already contains
+        it). With the pin, concurrent refreshes each compute totals
+        that are correct for their own window end, and last-writer-wins
+        resolution (lsn = window end) converges to the newest one."""
+        v = self.table.current_version()
+        ends: list[int] = []
+        vv: int | None = v
+        while vv is not None:
+            try:
+                m = self.table.manifest(vv)
+            except FileNotFoundError:
+                break  # expired history
+            a = m.get("audit") or {}
+            if a.get("base_until") is not None:
+                ends.append(a["base_until"])
+            vv = m["parent"]
+        return max(ends, default=0), v
+
     def cursor(self) -> int:
         """Base version up to which this rollup is current: the max
         fenced window end in the rollup's own audit chain (0 = nothing
         applied yet). Crash-safe by construction -- the fence and the
         data commit are the same manifest write."""
-        ends = [
-            a.get("base_until")
-            for a in self.table.audit_entries()
-            if a.get("base_until") is not None
-        ]
-        return max(ends, default=0)
+        return self._pinned()[0]
 
     # ------------------------------------------------------------------
     def refresh(self, spark: SparkSession, until_version: int | None = None,
@@ -192,7 +212,7 @@ class IncrementalRollup:
         already current; replaying a window is a fenced no-op."""
         until = (self.base.current_version()
                  if until_version is None else until_version)
-        cur = self.cursor()
+        cur, v_pin = self._pinned()
         if until <= cur:
             return cur
 
@@ -226,8 +246,12 @@ class IncrementalRollup:
                 )
                 .withColumn(_KEY_COL, _dim_key(self.dims))
             )
-            # prune the current rollup to touched groups, then combine
-            cur_groups = self.table.read(spark, public=True).join(
+            # prune the current rollup to touched groups, then combine;
+            # read AT the pinned version (see _pinned: a live-head read
+            # races with concurrent refreshes)
+            cur_groups = self.table.read(
+                spark, version=v_pin, public=True
+            ).join(
                 F.broadcast(delta.select(_KEY_COL)), _KEY_COL, "left_semi"
             )
             d = delta.select(
