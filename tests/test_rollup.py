@@ -245,3 +245,17 @@ def test_rollup_concurrent_refresh_stale_pin_converges(spark, tmp_path):
     assert_current(spark, ru2)
     assert canon(ru2.read(spark)) == {("x", "3", "7.000000")}
     assert ru2.verify(spark)["ok"]
+
+
+def test_rollup_expired_window_is_a_clean_error(spark, tmp_path):
+    """If retention expired the cursor's base snapshot, refresh must
+    surface read_changes' clean re-seed contract, not a file error."""
+    base = mk_base(str(tmp_path / "base"))
+    ru = IncrementalRollup.create(
+        spark, str(tmp_path / "roll"), base, dims=["kind"], sums=["value"])
+    for i in range(4):
+        base.merge(spark, batch(spark, [(f"k{i}", "x", 1.0, "I", i + 1)]),
+                   batch_id=i)
+    base.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="re-seed|not fully retained"):
+        ru.refresh(spark)

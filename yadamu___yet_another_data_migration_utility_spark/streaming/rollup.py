@@ -50,6 +50,12 @@ from pyspark.sql import types as T
 
 from ..sources.laketable import LakeTable, _bucket_expr
 
+#: Measures are COUNT and SUM only -- the self-maintainable aggregates:
+#: both are invertible under deletes (subtract the pre-image), so a
+#: refresh never re-reads a whole group. MIN/MAX are deliberately NOT
+#: offered: deleting the current extremum requires rescanning the
+#: ENTIRE group to find the runner-up -- O(group), not O(changes) --
+#: which silently breaks the cost model; AVG is sum/count at read time.
 #: exact, associative accumulator type for measure sums -- incremental
 #: and recomputed paths must agree bit-for-bit, so never float here.
 _SUM_IN = "decimal(18,6)"
