@@ -72,15 +72,16 @@ def test_no_cartesian_products_in_catalog(spark):
     - hot_domains: the share denominator crossJoin broadcasts a 1-row
       grand-total aggregate.
     - q11_revenue_concentration / q15_top_supplier /
-      q22_dormant_customers: same shape as hot_domains -- the broadcast
-      side is a 1-row global scalar (total revenue / max revenue /
-      positive-balance average); a constant equi-key would not help
-      because Catalyst constant-folds it back to a nested loop.
+      q22_dormant_customers / corpus_mix_weights: same shape as
+      hot_domains -- the broadcast side is a 1-row global scalar
+      (total revenue / max revenue / positive-balance average / token
+      total + weight sum); a constant equi-key would not help because
+      Catalyst constant-folds it back to a nested loop.
     """
     allowed = {
         "ann_cosine_topk", "minhash_lsh_dedup", "ann_ivf", "hot_domains",
         "q11_revenue_concentration", "q15_top_supplier",
-        "q22_dormant_customers",
+        "q22_dormant_customers", "corpus_mix_weights",
     }
     for name, fn in sorted(QUERIES.items()):
         plan = explain_str(fn(spark, SF_DIR))

@@ -1018,6 +1018,67 @@ def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_mix_weights",
+    """
+    WITH t AS (
+      SELECT source,
+             1 + (CAST(substr(source, 4) AS INT) % 4) AS weight,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+             CAST(SUM(weight) AS BIGINT) AS wsum
+      FROM t
+    )
+    SELECT source, weight, tokens,
+           CAST(tot.total * 6 * t.weight // (10 * tot.wsum) AS BIGINT)
+             AS target_tokens,
+           CAST(LEAST(t.tokens,
+                      tot.total * 6 * t.weight // (10 * tot.wsum))
+                AS BIGINT) AS planned_tokens,
+           t.tokens < tot.total * 6 * t.weight // (10 * tot.wsum)
+             AS undersupplied
+    FROM t, tot
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixing plan: given per-source mix weights (derived here
+    from the source index so the fixture is non-uniform) and a token
+    budget of 60% of the corpus, compute each source's target token
+    count, the achievable (supply-capped) plan, and which sources are
+    undersupplied -- the sheet a training run turns into per-source
+    sampling rates. ALL arithmetic is integral (bigint multiply +
+    floor division), so the plan is bit-identical across engines --
+    no float shares to drift. Scale: one groupBy on source (map-side
+    combine over the token counts) + a broadcast 1-row totals scalar
+    (gate-exempt O(1) build side, the q11 pattern)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("tokens")
+    ).withColumn(
+        "weight",
+        (F.lit(1) + F.substring("source", 4, 10).cast("int") % 4),
+    )
+    tot = t.agg(
+        F.sum("tokens").cast("long").alias("total"),
+        F.sum("weight").cast("long").alias("wsum"),
+    )
+    target = F.expr("(total * 6 * weight) DIV (10 * wsum)")
+    return (
+        t.join(F.broadcast(tot))
+        .select(
+            "source",
+            "weight",
+            "tokens",
+            target.cast("long").alias("target_tokens"),
+            F.least(F.col("tokens"), target).cast("long")
+            .alias("planned_tokens"),
+            (F.col("tokens") < target).alias("undersupplied"),
+        )
+    )
+
+
+@_register(
     "text_length_quartiles",
     """
     WITH r AS (

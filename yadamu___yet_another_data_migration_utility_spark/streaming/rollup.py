@@ -142,9 +142,19 @@ class IncrementalRollup:
             bucket_count=bucket_count, overwrite=overwrite,
         )
         self = cls(base, table, dims, sums)
-        v0 = base.current_version()
+        m0 = base.manifest()
+        v0 = m0["version"]
+        base_empty = not any(m0["buckets"].values()) and not any(
+            (m0.get("deltas") or {}).values())
+        if base_empty:
+            # nothing to aggregate: fence the initial cursor without a
+            # Spark job (the common create-both-then-stream order)
+            seed_src = spark.createDataFrame(
+                [], T.StructType.fromJson(base.manifest()["schema"]))
+        else:
+            seed_src = base.read(spark, version=v0)
         seed = (
-            _contrib(base.read(spark), dims, sums, +1)
+            _contrib(seed_src, dims, sums, +1)
             .withColumn(_KEY_COL, _dim_key(dims))
             .select(
                 "*",
