@@ -1,0 +1,165 @@
+"""File-level zone maps: every data-writing commit records per-file
+min/max column stats from the parquet footers it already reads;
+read(ranges=...) must (a) return exactly the filtered rows, (b) skip
+provably-disjoint plain files, (c) prune delta-resolved buckets only
+whole -- never a single delta/tombstone out of a touched bucket -- and
+(d) survive cow/compact rewrites with stale stats swept from the
+manifest."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from yadamu___yet_another_data_migration_utility_spark.sources.laketable import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+JAN = dt.datetime(2020, 1, 15)
+FEB = dt.datetime(2020, 2, 15)
+MAR = dt.datetime(2020, 3, 15)
+FEB_RANGE = (dt.datetime(2020, 2, 1), dt.datetime(2020, 2, 28))
+
+
+def mk(root, mode="mor"):
+    return LakeTable.create(root, SCHEMA, key="url", bucket_count=4,
+                            merge_mode=mode)
+
+
+def rows(spark, month_ts, prefix, n=8, op=None):
+    data = [
+        (f"{prefix}{i}", month_ts, float(i))
+        + ((op, i + 1) if op else ())
+        for i in range(n)
+    ]
+    cols = "url string, ts timestamp, value double"
+    if op:
+        cols += ", op string, lsn long"
+    return spark.createDataFrame(data, cols)
+
+
+def n_files(plan):
+    return len(plan["plain"]) + len(plan["delta_resolved"])
+
+
+def assert_read_equals_filter(spark, t, ranges):
+    got = {tuple(map(str, r)) for r in t.read(spark, ranges=ranges).collect()}
+    lo, hi = ranges["ts"]
+    exp = {
+        tuple(map(str, r))
+        for r in t.read(spark)
+        .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_append_files_prune_by_time_range(spark, tmp_path):
+    t = mk(str(tmp_path / "t"))
+    t.append(spark, rows(spark, JAN, "a"), batch_id=0)
+    t.append(spark, rows(spark, FEB, "b"), batch_id=1)
+    t.append(spark, rows(spark, MAR, "c"), batch_id=2)
+    full = n_files(t.plan_files())
+    feb = t.plan_files(ranges={"ts": FEB_RANGE})
+    assert not feb["delta_resolved"]
+    # only the Feb append's files survive the plan
+    assert 0 < n_files(feb) <= full // 3
+    assert_read_equals_filter(spark, t, {"ts": FEB_RANGE})
+    got = t.read(spark, ranges={"ts": FEB_RANGE})
+    assert got.count() == 8
+    assert {r["url"][0] for r in got.collect()} == {"b"}
+    # open-ended range
+    assert t.read(spark, ranges={"ts": (MAR, None)}).count() == 8
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_merged_data_prunes_and_stays_exact(spark, tmp_path, mode):
+    # the MAR batch carries 2 keys (<= 2 of 4 buckets touched), so the
+    # untouched buckets hold only Jan files and a [MAR, inf) plan can
+    # actually drop them; in mor a touched bucket stays whole
+    t = mk(str(tmp_path / "t"), mode=mode)
+    t.merge(spark, rows(spark, JAN, "a", op="I"), batch_id=0)
+    t.merge(spark, rows(spark, MAR, "c", n=2, op="I"), batch_id=1)
+    full = n_files(t.plan_files())
+    pruned = t.plan_files(ranges={"ts": (MAR, None)})
+    assert 0 < n_files(pruned) < full
+    assert_read_equals_filter(spark, t, {"ts": FEB_RANGE})
+    assert t.read(spark, ranges={"ts": (MAR, None)}).count() == 2
+    assert t.read(spark, ranges={"ts": FEB_RANGE}).count() == 0
+
+
+def test_delta_bucket_prunes_whole_never_partially(spark, tmp_path):
+    """A bucket with deltas is only skipped when EVERY file in it is
+    disjoint; otherwise all its files (incl. out-of-range deltas) stay
+    in the plan so LWW resolution sees the bucket entire."""
+    t = mk(str(tmp_path / "t"))
+    t.merge(spark, rows(spark, JAN, "a", op="I"), batch_id=0)
+    # second merge UPDATES the same keys with Mar timestamps: every
+    # touched bucket now holds both Jan and Mar delta files
+    t.merge(spark, rows(spark, MAR, "a", op="U"), batch_id=1)
+    plan = t.plan_files(ranges={"ts": (MAR, None)})
+    # buckets are touched by both batches -> kept whole (Jan files too)
+    assert plan["delta_resolved"] and n_files(plan) == n_files(t.plan_files())
+    got = t.read(spark, ranges={"ts": (MAR, None)})
+    assert got.count() == 8  # the Mar winners
+    # a Jan-window read must NOT resurrect the superseded Jan rows
+    assert t.read(spark, ranges={"ts": (JAN, dt.datetime(2020, 1, 31))}).count() == 0
+
+
+def test_tombstones_cannot_be_pruned_away(spark, tmp_path):
+    t = mk(str(tmp_path / "t"))
+    t.merge(spark, rows(spark, JAN, "a", op="I"), batch_id=0)
+    # delete half the keys: tombstones carry NULL payload (no ts stats)
+    dels = rows(spark, JAN, "a", n=4, op="D").select(
+        "url", F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("double").alias("value"), "op",
+        (F.col("lsn") + 100).alias("lsn"),
+    )
+    t.merge(spark, dels, batch_id=1)
+    got = t.read(spark, ranges={"ts": (JAN, dt.datetime(2020, 1, 31))})
+    assert {r["url"] for r in got.collect()} == {f"a{i}" for i in range(4, 8)}
+
+
+def test_stats_swept_on_rewrite_and_stay_bounded(spark, tmp_path):
+    t = mk(str(tmp_path / "t"))
+    t.merge(spark, rows(spark, JAN, "a", op="I"), batch_id=0)
+    t.merge(spark, rows(spark, MAR, "c", op="I"), batch_id=1)
+    t.compact(spark, all_deltas=True)
+    m = t.manifest()
+    ref = {f for fl in m["buckets"].values() for f in fl} | {
+        f for fl in m.get("deltas", {}).items() for f in (fl[1] or [])}
+    assert m.get("stats") and set(m["stats"]) <= ref  # no stale entries
+    # pruning still works on the compacted files' fresh stats:
+    # compaction merged Jan+Mar rows per bucket, so a Feb window prunes
+    # to zero only if disjoint -- here every bucket spans Jan..Mar, so
+    # the plan keeps them but the result is still exact
+    assert_read_equals_filter(spark, t, {"ts": FEB_RANGE})
+    # a fully-out-of-range window prunes everything
+    assert n_files(t.plan_files(ranges={"ts": (dt.datetime(2021, 1, 1), None)})) == 0
+    assert t.read(spark, ranges={"ts": (dt.datetime(2021, 1, 1), None)}).count() == 0
+
+
+def test_ranges_on_unknown_column_is_clean_error(spark, tmp_path):
+    t = mk(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.read(spark, ranges={"nope": (1, 2)})
+
+
+def test_numeric_ranges_and_missing_stats_are_safe(spark, tmp_path):
+    t = mk(str(tmp_path / "t"))
+    t.append(spark, rows(spark, JAN, "a"), batch_id=0)
+    # value in [3, 5] -- numeric zone maps
+    got = t.read(spark, ranges={"value": (3.0, 5.0)})
+    assert sorted(r["url"] for r in got.collect()) == ["a3", "a4", "a5"]
+    # a mistyped bound must not crash the planner or wrongly prune
+    plan = t.plan_files(ranges={"value": ("x", None)})
+    assert n_files(plan) == n_files(t.plan_files())

@@ -38,7 +38,13 @@ scratch, Spark-first:
   schema so missing columns surface as NULL (Iceberg: UpdateSchema);
 - **time travel** -- any manifest version remains readable;
 - **per-commit audit + per-bucket lineage** embedded in the manifest
-  and reconstructable as DataFrames.
+  and reconstructable as DataFrames;
+- **file-level zone maps** -- every data-writing commit records per-file
+  min/max for numeric/timestamp/date/bool columns from the parquet
+  footers it already reads for lineage; ``read(ranges=...)`` skips
+  provably-disjoint files (Iceberg min/max file skipping), with
+  delta-resolved buckets pruned only whole (LWW must see a touched
+  bucket entire) and ``plan_files`` exposing the pruned scan plan.
 
 Reference provenance (behavior, not code): the commit-window +
 reconciliation model of /root/reference/src/YADAMU/common/yadamuWriter.js
@@ -86,6 +92,7 @@ write path).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -271,6 +278,18 @@ class LakeTable:
         ``expected_parent`` is redundant under the name-CAS (version
         N's uniqueness implies the parent chain) but kept for error
         clarity."""
+        if manifest.get("stats"):
+            # bound the zone-map section: drop entries for files no
+            # commit references anymore (cow/compact/rebucket rewrote
+            # them) -- one dict filter per commit, O(files)
+            ref = {
+                f for fl in manifest["buckets"].values() for f in fl
+            } | {
+                f for fl in manifest.get("deltas", {}).values() for f in fl
+            }
+            manifest["stats"] = {
+                k: s for k, s in manifest["stats"].items() if k in ref
+            }
         v = manifest["version"]
         try:
             self.fs.put_if_absent(self._manifest_path(v), json.dumps(manifest))
@@ -331,14 +350,40 @@ class LakeTable:
         return T.StructType.fromJson(self.manifest(version)["schema"])
 
     def _files(self, manifest: dict[str, Any], buckets: list[int] | None = None,
-               which: str = "buckets") -> list[str]:
+               which: str = "buckets", strip: bool = False) -> list[str]:
         out: list[str] = []
         for b, files in manifest.get(which, {}).items():
             if buckets is None or int(b) in buckets:
                 out.extend(
-                    self.fs.spark_path(os.path.join(self.root, f)) for f in files
+                    f if strip
+                    else self.fs.spark_path(os.path.join(self.root, f))
+                    for f in files
                 )
         return out
+
+    def _disjoint(self, stats: dict, rel: str, ranges: dict) -> bool:
+        """True iff file ``rel`` PROVABLY contains no row satisfying the
+        range conjunction: some predicate column's zone map lies wholly
+        outside its [lo, hi]. Missing stats / missing column => False
+        (keep the file) -- pruning is never a correctness dependency."""
+        fz = stats.get(rel)
+        if not fz:
+            return False
+        for col, (lo, hi) in ranges.items():
+            z = fz.get(col)
+            if z is None:
+                continue
+            zlo, zhi = z
+            try:
+                if lo is not None and zhi < _enc_stat(lo):
+                    return True
+                if hi is not None and zlo > _enc_stat(hi):
+                    return True
+            except TypeError:
+                # incomparable bound vs stored stat (caller passed a
+                # mistyped bound): never prune on it
+                continue
+        return False
 
     def read(
         self,
@@ -346,8 +391,10 @@ class LakeTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         public: bool = False,
+        ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
-        """Snapshot read (optionally time-traveled / bucket-pruned).
+        """Snapshot read (optionally time-traveled / bucket-pruned /
+        zone-map-pruned).
 
         Reading with the *current* schema makes additive evolution work:
         parquet files written before a column existed yield NULL for it
@@ -358,19 +405,51 @@ class LakeTable:
         row survives; a surviving tombstone removes the key). Buckets
         with no deltas scan plain -- the resolve shuffle only covers
         delta-touched data, which ``compact()`` keeps bounded.
-        """
+
+        ``ranges={"col": (lo, hi)}`` (inclusive; None = open end) both
+        FILTERS the result and PRUNES the scan with the manifest's
+        file-level zone maps (Iceberg's min/max file skipping): plain
+        buckets skip individual disjoint files; a delta bucket is
+        skipped only when EVERY file in it (base and delta alike) is
+        provably disjoint -- LWW resolution must see a touched bucket
+        whole, or a pruned-away delta/tombstone could resurrect or
+        leak an older row. NULL column values never satisfy a range
+        (SQL semantics), so files pruned on non-null stats cannot hide
+        matching rows. Files without stats are always read; the
+        residual predicate makes the result exact either way."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
+        if ranges:
+            known = {f.name for f in schema.fields}
+            bad = [c for c in ranges if c not in known]
+            if bad:
+                raise ValueError(f"ranges on unknown columns: {bad}")
+        stats = m.get("stats", {}) if ranges else {}
         deltas = m.get("deltas", {})
         delta_buckets = [
             int(b) for b, fl in deltas.items()
             if fl and (buckets is None or int(b) in buckets)
         ]
-        plain_files = [
-            self.fs.spark_path(os.path.join(self.root, f))
+        if ranges:
+            delta_buckets = [
+                b for b in delta_buckets
+                if not all(
+                    self._disjoint(stats, f, ranges)
+                    for f in (m["buckets"].get(str(b), [])
+                              + deltas.get(str(b), []))
+                )
+            ]
+        plain_rel = [
+            f
             for b, fl in m["buckets"].items()
             if int(b) not in delta_buckets and (buckets is None or int(b) in buckets)
             for f in fl
+        ]
+        if ranges:
+            plain_rel = [f for f in plain_rel
+                         if not self._disjoint(stats, f, ranges)]
+        plain_files = [
+            self.fs.spark_path(os.path.join(self.root, f)) for f in plain_rel
         ]
         parts: list[DataFrame] = []
         if plain_files:
@@ -386,9 +465,53 @@ class LakeTable:
             df = parts[0]
         else:
             df = parts[0].unionByName(parts[1])
+        if ranges:
+            for col, (lo, hi) in ranges.items():
+                if lo is not None:
+                    df = df.filter(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(col) <= F.lit(hi))
         if public:
             df = df.drop(LSN_COL)
         return df
+
+    def plan_files(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        ranges: dict[str, tuple] | None = None,
+    ) -> dict[str, list[str]]:
+        """The scan plan ``read`` would execute, WITHOUT Spark: relative
+        paths under ``{"plain": [...], "delta_resolved": [...]}``.
+        Exists so zone-map pruning is observable/testable and scans are
+        explainable (`EXPLAIN`-for-files)."""
+        m = self.manifest(version)
+        stats = m.get("stats", {}) if ranges else {}
+        deltas = m.get("deltas", {})
+        delta_buckets = [
+            int(b) for b, fl in deltas.items()
+            if fl and (buckets is None or int(b) in buckets)
+        ]
+        if ranges:
+            delta_buckets = [
+                b for b in delta_buckets
+                if not all(
+                    self._disjoint(stats, f, ranges)
+                    for f in (m["buckets"].get(str(b), [])
+                              + deltas.get(str(b), []))
+                )
+            ]
+        plain = [
+            f
+            for b, fl in m["buckets"].items()
+            if int(b) not in delta_buckets and (buckets is None or int(b) in buckets)
+            for f in fl
+        ]
+        if ranges:
+            plain = [f for f in plain if not self._disjoint(stats, f, ranges)]
+        dfiles = self._files(m, delta_buckets, strip=True) + self._files(
+            m, delta_buckets, "deltas", strip=True)
+        return {"plain": plain, "delta_resolved": dfiles}
 
     CHANGE_COL = "_change_type"
 
@@ -643,6 +766,7 @@ class LakeTable:
         schema = T.StructType.fromJson(m["schema"])
         df = _align(df, schema)
         new_files, n_rows, out_dir = self._write_bucketed(spark, df, m)
+        _, zone = _footer_stats(self.fs, self.root, new_files, schema=schema)
 
         def build(mp: dict[str, Any]) -> dict[str, Any]:
             # rebase: appending base files composes with any intervening
@@ -673,6 +797,7 @@ class LakeTable:
                     "version": v,
                 },
                 "lineage": [],
+                "stats": {**mp.get("stats", {}), **zone},
                 "summary": {"operation": "append", "rows_written": n_rows},
                 "committed_at": _utc_now_iso(),
             }
@@ -776,18 +901,19 @@ class LakeTable:
         key, nb = m["key"], m["bucket_count"]
         obs = Observation(f"merge_mor_{batch_id}")
         out_dir, rel_dir = self._new_commit_dir(m["version"] + 1)
-        (
-            delta.withColumn("_b", _bucket_expr(key, nb))
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col(DELETED_COL).cast("long")).alias("dels"),
-                F.min(LSN_COL).alias("mn"),
-                F.max(LSN_COL).alias("mx"),
+        with _ts_micros(spark):
+            (
+                delta.withColumn("_b", _bucket_expr(key, nb))
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col(DELETED_COL).cast("long")).alias("dels"),
+                    F.min(LSN_COL).alias("mn"),
+                    F.max(LSN_COL).alias("mx"),
+                )
+                .write.partitionBy("_b")
+                .parquet(self.fs.spark_path(out_dir))
             )
-            .write.partitionBy("_b")
-            .parquet(self.fs.spark_path(out_dir))
-        )
         _tick("delta_write")
         got = obs.get
         try:
@@ -800,8 +926,12 @@ class LakeTable:
 
         new_files = _list_bucket_files(self.fs, out_dir, rel_dir)
         lineage: list[dict[str, Any]] = []
+        per_bucket, zone = _footer_stats(
+            self.fs, self.root, new_files,
+            schema=table_schema if collect_lineage else None,
+        )
         if collect_lineage:
-            for b, fstats in _footer_stats(self.fs, self.root, new_files).items():
+            for b, fstats in per_bucket.items():
                 lineage.append({"batch_id": batch_id, "bucket": int(b), **fstats})
         _tick("footers")
 
@@ -845,6 +975,7 @@ class LakeTable:
                 "applied_batches": _cap(applied),
                 "audit": audit,
                 "lineage": lineage,
+                "stats": {**mp.get("stats", {}), **zone},
                 "summary": {"operation": "merge", "mode": "mor", "rows_written": n_in},
                 "committed_at": _utc_now_iso(),
             }
@@ -959,6 +1090,8 @@ class LakeTable:
             new_files, n_out, out_dir = self._write_bucketed(
                 spark, result, {**m, "schema": table_schema.jsonValue()}
             )
+            _, zone = _footer_stats(
+                self.fs, self.root, new_files, schema=table_schema)
         finally:
             src.unpersist()
 
@@ -1022,6 +1155,7 @@ class LakeTable:
                 "applied_batches": _cap(applied),
                 "audit": audit,
                 "lineage": lineage,
+                "stats": {**mp.get("stats", {}), **zone},
                 "summary": {"operation": "merge", "mode": "cow", "rows_written": n_out},
                 "committed_at": _utc_now_iso(),
             }
@@ -1122,6 +1256,9 @@ class LakeTable:
         new_files, _, out_dir = self._write_bucketed(
             spark, df, m, sort_within=sort_within_buckets
         )
+        _, zone = _footer_stats(
+            self.fs, self.root, new_files,
+            schema=T.StructType.fromJson(m["schema"]))
         v = m["version"] + 1
         buckets = dict(m["buckets"])
         new_deltas = {k: list(fl) for k, fl in deltas.items()}
@@ -1136,6 +1273,7 @@ class LakeTable:
             "deltas": new_deltas,
             "audit": None,
             "lineage": [],
+            "stats": {**m.get("stats", {}), **zone},
             "summary": {"operation": "compact", "buckets_rewritten": len(fat)},
             "committed_at": _utc_now_iso(),
         }
@@ -1491,11 +1629,12 @@ class LakeTable:
         out = df.withColumn("_b", _bucket_expr(key, nb))
         if sort_within:
             out = out.sortWithinPartitions("_b", *sort_within)
-        (
-            out.observe(obs, F.count(F.lit(1)).alias("rows"))
-            .write.partitionBy("_b")
-            .parquet(self.fs.spark_path(out_dir))
-        )
+        with _ts_micros(spark):
+            (
+                out.observe(obs, F.count(F.lit(1)).alias("rows"))
+                .write.partitionBy("_b")
+                .parquet(self.fs.spark_path(out_dir))
+            )
         n_rows = obs.get["rows"]
         return _list_bucket_files(self.fs, out_dir, rel), n_rows, out_dir
 
@@ -1594,16 +1733,67 @@ def _list_bucket_files(fs: LocalFS, out_dir: str, rel: str) -> dict[str, list[st
     return files
 
 
+#: Spark types whose parquet footer min/max are collected as file-level
+#: ZONE MAPS (manifest "stats"). Strings are deliberately excluded:
+#: parquet writers may TRUNCATE string min/max, which would make a
+#: "provably disjoint" test unsound; decimals/binary/complex are out of
+#: scope. Missing stats always mean "keep the file" -- pruning is an
+#: optimization, never a correctness dependency.
+_ZONE_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.BooleanType,
+    T.TimestampType, T.TimestampNTZType, T.DateType,
+)
+
+
+@contextlib.contextmanager
+def _ts_micros(spark: SparkSession):
+    """Spark's legacy INT96 parquet timestamps carry NO footer min/max
+    stats, which would blind the zone maps; write TIMESTAMP_MICROS (the
+    modern int64 encoding Iceberg/Delta require) for the duration of a
+    synchronous table write only."""
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(ts_key)
+    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        spark.conf.set(ts_key, prev)
+
+
+def _enc_stat(v: Any) -> Any:
+    """JSON-safe, ORDER-PRESERVING encoding of a footer stat / predicate
+    bound: datetimes as fixed-width '%Y-%m-%dT%H:%M:%S.%f' strings
+    (lexicographic == chronological), dates as ISO, numbers/bools as
+    themselves."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
 def _footer_stats(
-    fs: LocalFS, root: str, new_files: dict[str, list[str]]
-) -> dict[str, dict[str, Any]]:
-    """Per-bucket (row_count, min_lsn, max_lsn) from parquet footers of
-    just-written files -- the lineage stats WITHOUT a Spark job. Footers
-    carry per-row-group column statistics for the flat ``_lsn`` column;
-    driver-side cost is O(files), and the files are page-cache hot."""
+    fs: LocalFS, root: str, new_files: dict[str, list[str]],
+    schema: T.StructType | None = None,
+) -> tuple[dict[str, dict[str, Any]], dict[str, dict[str, list]]]:
+    """Per-bucket (row_count, min_lsn, max_lsn) lineage AND per-file
+    column zone maps from parquet footers of just-written files --
+    WITHOUT a Spark job. Footers carry per-row-group column statistics;
+    driver-side cost is O(files), and the files are page-cache hot.
+    Zone maps cover ``schema``'s :data:`_ZONE_TYPES` columns (pass None
+    to skip); a column with no usable stats (e.g. all-NULL tombstone
+    payloads) is simply absent from that file's entry."""
     import pyarrow.parquet as pq
 
+    zone_cols = {
+        f.name for f in (schema.fields if schema is not None else [])
+        if isinstance(f.dataType, _ZONE_TYPES)
+    }
     out: dict[str, dict[str, Any]] = {}
+    zones: dict[str, dict[str, list]] = {}
     for b, files in new_files.items():
         n = 0
         mn: int | None = None
@@ -1612,20 +1802,26 @@ def _footer_stats(
             with fs.open_read(os.path.join(root, rel)) as fobj:
                 md = pq.ParquetFile(fobj).metadata
             n += md.num_rows
-            idx = None
+            fz: dict[str, list] = {}
             for i in range(md.num_columns):
-                if md.schema.column(i).name == LSN_COL:
-                    idx = i
-                    break
-            if idx is None:
-                continue
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is not None and st.has_min_max:
-                    mn = st.min if mn is None else min(mn, st.min)
-                    mx = st.max if mx is None else max(mx, st.max)
+                name = md.schema.column(i).name
+                if name != LSN_COL and name not in zone_cols:
+                    continue
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(i).statistics
+                    if st is not None and st.has_min_max:
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                if name == LSN_COL:
+                    mn = lo if mn is None else (lo if lo is not None and lo < mn else mn)
+                    mx = hi if mx is None else (hi if hi is not None and hi > mx else mx)
+                if name in zone_cols and lo is not None:
+                    fz[name] = [_enc_stat(lo), _enc_stat(hi)]
+            if fz:
+                zones[rel] = fz
         out[b] = {"row_count": n, "min_lsn": mn, "max_lsn": mx}
-    return out
+    return out, zones
 
 
 def _align(df: DataFrame, schema: T.StructType, keep: list[str] | None = None) -> DataFrame:
