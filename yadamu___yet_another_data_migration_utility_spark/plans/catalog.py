@@ -636,3 +636,82 @@ def cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ru.read(spark).select(
         "event_type", "n_rows", F.col("sum_value").cast("double").alias("sum_value")
     )
+
+
+@_register(
+    "cdc_timeslice_scan",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def cdc_timeslice_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map-pruned time-range scan over an append-only event-table
+    ingest: three fenced APPEND commits land the events fact table in
+    time slices (days 1-10 / 11-20 / 21-30 -- the natural shape of a
+    CDC/log ingest), then ``read(ranges=...)`` answers a "last 10 days"
+    aggregate scanning ONLY the third commit's files via the manifest's
+    per-file min/max stats (Iceberg min/max file skipping). The
+    ``plan_files`` assertion makes the pruning claim self-checking on
+    every driver run; the residual predicate keeps the result exact
+    regardless, so the oracle is a plain filtered aggregate. At 100 TB
+    this is the difference between scanning one day's ingest and the
+    whole table: pruning happens on the DRIVER against O(files)
+    manifest stats, before any Spark job is planned."""
+    import atexit
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    ev = load(spark, sf_dir, "events")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_slice_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(
+        root, schema, key="event_id", bucket_count=8, overwrite=True
+    )
+    cuts = [None, dt.datetime(2024, 1, 11), dt.datetime(2024, 1, 21), None]
+    for b in range(3):
+        part = ev.select([f.name for f in schema.fields])
+        if cuts[b] is not None:
+            part = part.filter(F.col("ts") >= F.lit(cuts[b]))
+        if cuts[b + 1] is not None:
+            part = part.filter(F.col("ts") < F.lit(cuts[b + 1]))
+        table.append(spark, part, batch_id=b)
+    lo = dt.datetime(2024, 1, 21)
+    plan = table.plan_files(ranges={"ts": (lo, None)})
+    full = table.plan_files()
+    n_pruned = len(plan["plain"]) + len(plan["delta_resolved"])
+    n_full = len(full["plain"]) + len(full["delta_resolved"])
+    assert 0 < n_pruned < n_full, (n_pruned, n_full)
+    return (
+        table.read(spark, ranges={"ts": (lo, None)}, public=True)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
