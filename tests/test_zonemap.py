@@ -154,6 +154,58 @@ def test_ranges_on_unknown_column_is_clean_error(spark, tmp_path):
         t.read(spark, ranges={"nope": (1, 2)})
 
 
+def _doctor_head(t, mutate):
+    """Test-only corruption injection: rewrite the head manifest file in
+    place (production manifests are immutable; fsck exists precisely for
+    manual surgery like this)."""
+    import json
+
+    m = t.manifest()
+    mutate(m)
+    with open(t._manifest_path(m["version"]), "w") as fh:
+        json.dump(m, fh)
+
+
+def test_fsck_flags_stale_and_malformed_stats(spark, tmp_path):
+    t = mk(str(tmp_path / "t"))
+    t.append(spark, rows(spark, JAN, "a"), batch_id=0)
+    assert t.validate()["ok"]
+
+    def bad(m):
+        m["stats"]["ghost/file.parquet"] = {"value": [0.0, 1.0]}
+        first = next(iter(f for fl in m["buckets"].values() for f in fl))
+        m["stats"].setdefault(first, {})["nope"] = [0.0, 1.0]
+        m["stats"][first]["value"] = [9.0, 1.0]  # min > max
+
+    _doctor_head(t, bad)
+    r = t.validate()
+    assert not r["ok"]
+    text = "\n".join(r["issues"])
+    assert "unreferenced file" in text
+    assert "unknown column 'nope'" in text
+    assert "min > max" in text
+
+
+def test_deep_fsck_catches_narrowed_zone(spark, tmp_path):
+    """A zone narrower than the file's real footer min/max is the one
+    corruption that turns pruning into silent data loss -- deep fsck
+    must flag it (and a clean table must pass)."""
+    t = mk(str(tmp_path / "t"))
+    t.append(spark, rows(spark, JAN, "a"), batch_id=0)
+    r = t.validate(spark, deep=True)
+    assert r["ok"] and r["checked"]["stats_verified"] > 0
+
+    def narrow(m):
+        rel = next(iter(m["stats"]))
+        lo, hi = m["stats"][rel]["value"]
+        m["stats"][rel]["value"] = [lo + 0.5, hi]
+
+    _doctor_head(t, narrow)
+    r = t.validate(spark, deep=True)
+    assert not r["ok"]
+    assert any("narrower than footer" in i for i in r["issues"])
+
+
 def test_numeric_ranges_and_missing_stats_are_safe(spark, tmp_path):
     t = mk(str(tmp_path / "t"))
     t.append(spark, rows(spark, JAN, "a"), batch_id=0)

@@ -1356,14 +1356,20 @@ class LakeTable:
           claimed twice within one manifest;
         - every audit batch_id appears in the head fence ledger
           (a fenced-but-unaudited batch is fine -- skips -- but an
-          audited apply missing its fence would break exactly-once).
+          audited apply missing its fence would break exactly-once);
+        - zone-map hygiene: every head ``stats`` entry points at a
+          referenced file, names a schema column, and has min <= max.
 
         Data plane (``deep=True``, needs ``spark``; O(table) scan):
         - bucket placement: every row in bucket b satisfies
           ``pmod(xxhash64(key), bucket_count) == b`` -- the invariant
           merges prune by (a misplaced row silently escapes updates
           and deletes: exactly the blast radius of a key-type change);
-        - per-bucket lineage row counts match the files."""
+        - per-bucket lineage row counts match the files;
+        - zone-map soundness: each stored per-file min/max CONTAINS the
+          file's actual footer min/max (a narrower zone would let
+          ``read(ranges=...)`` wrongly prune matching rows -- the one
+          corruption mode where pruning becomes a correctness bug)."""
         issues: list[str] = []
         head = self.manifest()
         chain: list[dict[str, Any]] = []
@@ -1409,8 +1415,32 @@ class LakeTable:
                     and str(a["batch_id"]) not in fences):
                 issues.append(f"audited batch {a['batch_id']} missing from "
                               "the head fence ledger")
+        zstats = head.get("stats", {})
+        head_files = {
+            f for which in ("buckets", "deltas")
+            for fl in head.get(which, {}).values() for f in fl
+        }
+        schema_cols = {
+            f.name for f in T.StructType.fromJson(head["schema"]).fields
+        }
+        for rel, fz in zstats.items():
+            if rel not in head_files:
+                issues.append(f"stats: entry for unreferenced file {rel}")
+                continue
+            for col, z in fz.items():
+                if col not in schema_cols and col != LSN_COL:
+                    issues.append(f"stats {rel}: unknown column {col!r}")
+                elif not (isinstance(z, list) and len(z) == 2):
+                    issues.append(f"stats {rel}.{col}: malformed zone {z!r}")
+                else:
+                    try:
+                        if z[0] > z[1]:
+                            issues.append(f"stats {rel}.{col}: min > max")
+                    except TypeError:
+                        issues.append(
+                            f"stats {rel}.{col}: incomparable bounds")
         checked = {"manifests": len(chain), "files": n_files,
-                   "deep": bool(deep)}
+                   "stats_files": len(zstats), "deep": bool(deep)}
         if deep:
             if spark is None:
                 raise ValueError("deep validation needs a SparkSession")
@@ -1435,6 +1465,38 @@ class LakeTable:
                             f"hash to a different bucket")
             checked["deep_buckets"] = (
                 len(head["buckets"]) + sum(1 for fl in head.get("deltas", {}).values() if fl))
+            # zone-map soundness: recompute each covered file's footer
+            # min/max and require the stored zone to CONTAIN it (wider
+            # is harmless slack; narrower silently drops matching rows
+            # from every range-pruned read). Driver-side O(files).
+            covered = [f for f in zstats if f in head_files]
+            if covered:
+                _, actual = _footer_stats(
+                    self.fs, self.root, {"_fsck": covered},
+                    schema=T.StructType.fromJson(head["schema"]),
+                )
+                for rel in covered:
+                    got = actual.get(rel, {})
+                    for col, z in zstats[rel].items():
+                        if not (isinstance(z, list) and len(z) == 2):
+                            continue  # already reported above
+                        a = got.get(col)
+                        if a is None:
+                            issues.append(
+                                f"stats {rel}.{col}: file footer carries no "
+                                "min/max for this column")
+                        else:
+                            try:
+                                if z[0] > a[0] or z[1] < a[1]:
+                                    issues.append(
+                                        f"stats {rel}.{col}: stored zone "
+                                        f"{z} narrower than footer {a} -- "
+                                        "range reads may wrongly prune")
+                            except TypeError:
+                                issues.append(
+                                    f"stats {rel}.{col}: stored zone type "
+                                    "mismatches footer stat")
+                checked["stats_verified"] = len(covered)
         return {"ok": not issues, "issues": issues, "checked": checked}
 
     def drop_column(self, spark: SparkSession, name: str) -> int:
