@@ -63,9 +63,9 @@ def test_no_cartesian_products_in_catalog(spark):
     - ann_cosine_topk: brute-force scoring IS the declared correctness
       baseline; the broadcast side is the 8-query set, so the 'nested
       loop' is one pass over the corpus per partition.
-    - minhash_lsh_dedup: the k-replication crossJoin broadcasts a
-      6-row constant range (an explode in join clothing), not a pair
-      join.
+    - minhash_lsh_dedup / dedup_incremental: the shared _mh_sig
+      k-replication crossJoin broadcasts a 6-row constant range (an
+      explode in join clothing), not a pair join.
     - ann_ivf: the quantizer crossJoin broadcasts the K=10-row centroid
       table (IVF's standard assign step -- O(K) per row, K is a
       constant, not a data-sized side).
@@ -79,7 +79,8 @@ def test_no_cartesian_products_in_catalog(spark):
       Catalyst constant-folds it back to a nested loop.
     """
     allowed = {
-        "ann_cosine_topk", "minhash_lsh_dedup", "ann_ivf", "hot_domains",
+        "ann_cosine_topk", "minhash_lsh_dedup", "dedup_incremental",
+        "ann_ivf", "hot_domains",
         "q11_revenue_concentration", "q15_top_supplier",
         "q22_dormant_customers", "corpus_mix_weights",
     }

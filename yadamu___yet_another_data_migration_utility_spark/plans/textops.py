@@ -355,6 +355,27 @@ _MINHASH_SQL = f"""
 """
 
 
+def _mh_sig(spark: SparkSession, sh: DataFrame) -> DataFrame:
+    """K=:data:`_MINHASH_K` md5-derived minhashes over a shingle set,
+    folded into bands of 2 -> ``(doc_id, band, h0, h1)``. ONE definition
+    of the signature contract shared by the self-join dedup and the
+    incremental batch-vs-corpus variant (and mirrored term-for-term by
+    their oracles)."""
+    ks = spark.range(_MINHASH_K).select(F.col("id").cast("int").alias("k"))
+    hashes = (
+        sh.crossJoin(F.broadcast(ks))
+        .groupBy("doc_id", "k")
+        .agg(F.min(_md5_long(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("shingle")))).alias("mh"))
+    )
+    return (
+        hashes.groupBy("doc_id", (F.col("k") / 2).cast("int").alias("band"))
+        .agg(
+            F.min(F.when(F.col("k") % 2 == 0, F.col("mh"))).alias("h0"),
+            F.min(F.when(F.col("k") % 2 == 1, F.col("mh"))).alias("h1"),
+        )
+    )
+
+
 @_register("minhash_lsh_dedup", _MINHASH_SQL)
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection -- the 100 TB dedup path:
@@ -364,19 +385,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band join on uniform 120-bit keys -- no skew), the quadratic
     verify touches only same-bucket pairs."""
     sh = shingles(docs_aug(spark, sf_dir))
-    ks = spark.range(_MINHASH_K).select(F.col("id").cast("int").alias("k"))
-    hashes = (
-        sh.crossJoin(F.broadcast(ks))
-        .groupBy("doc_id", "k")
-        .agg(F.min(_md5_long(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("shingle")))).alias("mh"))
-    )
-    sig = (
-        hashes.groupBy("doc_id", (F.col("k") / 2).cast("int").alias("band"))
-        .agg(
-            F.min(F.when(F.col("k") % 2 == 0, F.col("mh"))).alias("h0"),
-            F.min(F.when(F.col("k") % 2 == 1, F.col("mh"))).alias("h1"),
-        )
-    )
+    sig = _mh_sig(spark, sh)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.h0") == F.col("b.h0"))
@@ -399,6 +408,143 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s2), F.col("doc2") == F.col("s2.doc_id"))
         .filter(jac >= 0.5)
         .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_CORPUS_PRED = "doc_id < 100000 AND doc_id % 10 != 3"
+_BATCH_PRED = "doc_id >= 100000 OR doc_id % 10 = 3"
+
+_INCR_DEDUP_SQL = f"""
+    WITH docs_aug AS ({_DOCS_AUG_SQL}),
+    corpus AS (SELECT * FROM docs_aug WHERE {_CORPUS_PRED}),
+    batch AS (SELECT * FROM docs_aug WHERE {_BATCH_PRED}),
+    shc AS ({_shingles_sql("corpus")}),
+    shb AS ({_shingles_sql("batch")}),
+    ks AS (SELECT unnest(generate_series(0, {_MINHASH_K - 1})) AS k),
+    hc AS (
+      SELECT doc_id, k,
+             MIN({_MD5_LONG_SQL.format(x="concat(CAST(k AS VARCHAR), ':', shingle)")}) AS mh
+      FROM shc, ks GROUP BY doc_id, k
+    ),
+    hb AS (
+      SELECT doc_id, k,
+             MIN({_MD5_LONG_SQL.format(x="concat(CAST(k AS VARCHAR), ':', shingle)")}) AS mh
+      FROM shb, ks GROUP BY doc_id, k
+    ),
+    sigc AS (
+      SELECT doc_id, k // 2 AS band,
+             MIN(CASE WHEN k % 2 = 0 THEN mh END) AS h0,
+             MIN(CASE WHEN k % 2 = 1 THEN mh END) AS h1
+      FROM hc GROUP BY doc_id, k // 2
+    ),
+    sigb AS (
+      SELECT doc_id, k // 2 AS band,
+             MIN(CASE WHEN k % 2 = 0 THEN mh END) AS h0,
+             MIN(CASE WHEN k % 2 = 1 THEN mh END) AS h1
+      FROM hb GROUP BY doc_id, k // 2
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS bdoc, c.doc_id AS cdoc
+      FROM sigb b JOIN sigc c
+        ON b.band = c.band AND b.h0 = c.h0 AND b.h1 = c.h1
+    ),
+    sizes_b AS (SELECT doc_id, COUNT(*) AS n FROM shb GROUP BY doc_id),
+    sizes_c AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT x.bdoc, x.cdoc, COUNT(*) AS n_inter
+      FROM cand x
+      JOIN shb a ON a.doc_id = x.bdoc
+      JOIN shc b ON b.doc_id = x.cdoc AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT i.bdoc, i.cdoc,
+             CAST(n_inter AS DOUBLE) / (sb.n + sc.n - n_inter) AS jac
+      FROM inter i
+      JOIN sizes_b sb ON sb.doc_id = i.bdoc
+      JOIN sizes_c sc ON sc.doc_id = i.cdoc
+      WHERE CAST(n_inter AS DOUBLE) / (sb.n + sc.n - n_inter) >= 0.5
+    )
+    SELECT bt.doc_id,
+           COALESCE(v.n_matches, 0) AS n_matches,
+           COALESCE(v.dup_of, -1) AS dup_of,
+           COALESCE(v.max_jaccard, 0.0) AS max_jaccard
+    FROM (SELECT doc_id FROM batch) bt
+    LEFT JOIN (
+      SELECT bdoc, COUNT(*) AS n_matches, MIN(cdoc) AS dup_of,
+             ROUND(MAX(jac), 6) AS max_jaccard
+      FROM ver GROUP BY bdoc
+    ) v ON bt.doc_id = v.bdoc
+"""
+
+
+@_register("dedup_incremental", _INCR_DEDUP_SQL)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dedup -- the shape a continuous-ingest pipeline
+    actually runs: an incoming BATCH of documents is checked against a
+    standing CORPUS (not against itself) via the shared MinHash band
+    signatures (:func:`_mh_sig`), band equi-join batch->corpus for
+    candidates, exact-Jaccard verify (>= 0.5) on candidates only, then
+    every batch doc gets a verdict row (``n_matches``, deterministic
+    ``dup_of`` = min matching corpus doc_id, ``max_jaccard``; -1/0.0
+    when novel). Scale: per-batch cost is O(batch) -- the corpus band
+    index is computed once and, in production, persisted bucketed by
+    (band, h0, h1) so each micro-batch joins against it without
+    recomputation (the LakeTable merge-on-read pattern applied to a
+    dedup index); the verify join touches only candidate pairs'
+    shingles. The batch side of every join is the small side and
+    broadcasts; nothing quadratic ever materializes."""
+    aug = docs_aug(spark, sf_dir)
+    corpus = aug.filter(F.expr(_CORPUS_PRED))
+    batch = aug.filter(F.expr(_BATCH_PRED))
+    shc, shb = shingles(corpus), shingles(batch)
+    sigc = _mh_sig(spark, shc)
+    sigb = _mh_sig(spark, shb).alias("b")
+    cand = (
+        sigb.join(
+            sigc.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.h0") == F.col("c.h0"))
+            & (F.col("b.h1") == F.col("c.h1")),
+        )
+        .select(F.col("b.doc_id").alias("bdoc"), F.col("c.doc_id").alias("cdoc"))
+        .distinct()
+    )
+    sizes_b = shb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes_c = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(shb.alias("sa"), F.col("sa.doc_id") == F.col("bdoc"))
+        .join(
+            shc.alias("sc"),
+            (F.col("sc.doc_id") == F.col("cdoc"))
+            & (F.col("sc.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("bdoc", "cdoc")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sb.n") + F.col("sc2.n") - F.col("n_inter")
+    )
+    ver = (
+        inter.join(F.broadcast(sizes_b.alias("sb")), F.col("bdoc") == F.col("sb.doc_id"))
+        .join(sizes_c.alias("sc2"), F.col("cdoc") == F.col("sc2.doc_id"))
+        .filter(jac >= 0.5)
+        .select("bdoc", "cdoc", jac.alias("jac"))
+    )
+    verdicts = ver.groupBy("bdoc").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("cdoc").alias("dup_of"),
+        F.round(F.max("jac"), 6).alias("max_jaccard"),
+    )
+    return (
+        batch.select("doc_id")
+        .join(verdicts, F.col("doc_id") == F.col("bdoc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"),
+            F.coalesce(F.col("max_jaccard"), F.lit(0.0)).alias("max_jaccard"),
+        )
     )
 
 
