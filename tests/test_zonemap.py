@@ -154,6 +154,77 @@ def test_ranges_on_unknown_column_is_clean_error(spark, tmp_path):
         t.read(spark, ranges={"nope": (1, 2)})
 
 
+# ---------------------------------------------------------------------
+# Property: for ANY batch sequence (append/merge/delete, any value
+# distribution) and ANY range, the pruned read equals filter-after-read.
+# Deterministic tests pin the known layouts; this pins the space between
+# them (esp. zones interacting with tombstones and delta buckets).
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+BATCHES = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "merge"]),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),   # key idx
+                st.integers(min_value=0, max_value=50),  # value
+                st.sampled_from("IID"),                  # op (merge only)
+            ),
+            min_size=1, max_size=6,
+        ),
+    ),
+    min_size=1, max_size=4,
+)
+RANGE = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=50)),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=50)),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=BATCHES, rng=RANGE)
+def test_pruned_read_equals_filtered_read(spark, tmp_path_factory, batches, rng):
+    num_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    root = str(tmp_path_factory.mktemp("zprop") / "t")
+    t = LakeTable.create(root, num_schema, key="url", bucket_count=4)
+    lsn = 0
+    for b, (kind, events) in enumerate(batches):
+        if kind == "append":
+            rows_ = [(f"k{k}", v) for k, v, _ in events]
+            t.append(spark, spark.createDataFrame(rows_, "url string, v long"),
+                     batch_id=b)
+        else:
+            rows_ = []
+            for k, v, op in events:
+                lsn += 1
+                rows_.append(
+                    (f"k{k}", None if op == "D" else v, op, lsn))
+            t.merge(
+                spark,
+                spark.createDataFrame(rows_, "url string, v long, op string, lsn long"),
+                batch_id=b,
+            )
+    lo, hi = rng
+    got = sorted(
+        map(tuple, t.read(spark, ranges={"v": (lo, hi)}).collect()))
+    base = t.read(spark)
+    if lo is not None:
+        base = base.filter(F.col("v") >= lo)
+    if hi is not None:
+        base = base.filter(F.col("v") <= hi)
+    assert got == sorted(map(tuple, base.collect()))
+
+
 def _doctor_head(t, mutate):
     """Test-only corruption injection: rewrite the head manifest file in
     place (production manifests are immutable; fsck exists precisely for
