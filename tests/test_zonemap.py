@@ -148,6 +148,28 @@ def test_stats_swept_on_rewrite_and_stay_bounded(spark, tmp_path):
     assert t.read(spark, ranges={"ts": (dt.datetime(2021, 1, 1), None)}).count() == 0
 
 
+def test_append_sort_within_clusters_rows_in_files(spark, tmp_path):
+    """append(sort_within=['ts']) must leave each bucket file internally
+    ts-sorted so pushed-down range predicates can skip row groups inside
+    files the zone maps keep."""
+    import pyarrow.parquet as pq
+
+    t = mk(str(tmp_path / "t"))
+    mixed = (
+        rows(spark, JAN, "a").unionByName(rows(spark, MAR, "c"))
+        .unionByName(rows(spark, FEB, "b"))
+    )
+    t.append(spark, mixed, batch_id=0, sort_within=["ts"])
+    plan = t.plan_files()
+    assert plan["plain"] and not plan["delta_resolved"]
+    for rel in plan["plain"]:
+        ts = pq.read_table(str(tmp_path / "t" / rel), columns=["ts"])["ts"].to_pylist()
+        assert ts == sorted(ts), rel
+    # result unaffected by the physical clustering
+    assert t.read(spark).count() == 24
+    assert_read_equals_filter(spark, t, {"ts": FEB_RANGE})
+
+
 def test_ranges_on_unknown_column_is_clean_error(spark, tmp_path):
     t = mk(str(tmp_path / "t"))
     with pytest.raises(ValueError, match="unknown columns"):

@@ -755,17 +755,26 @@ class LakeTable:
     # ------------------------------------------------------------------
     # write paths
     # ------------------------------------------------------------------
-    def append(self, spark: SparkSession, df: DataFrame, batch_id: int | None = None) -> int:
+    def append(self, spark: SparkSession, df: DataFrame, batch_id: int | None = None,
+               sort_within: list[str] | None = None) -> int:
         """Bulk snapshot path (initial seed): plain bucketed append, no
         merge -- the analogue of the reference's staged-COPY fast path
         (/root/reference/src/YADAMU/common/yadamu.js:872-884: choose
-        bulk load over row pipeline when possible)."""
+        bulk load over row pipeline when possible).
+
+        ``sort_within`` clusters rows inside each bucket file (e.g. by
+        an event-time column) so the parquet row-group stats inside a
+        file stay tight -- the zone maps skip whole files; the sort
+        lets the pushed-down residual range predicate skip ROW GROUPS
+        inside the files that survive (Iceberg's write-order story).
+        A sortWithinPartitions, not a shuffle."""
         m = self.manifest()
         if batch_id is not None and str(batch_id) in m["applied_batches"]:
             return -1
         schema = T.StructType.fromJson(m["schema"])
         df = _align(df, schema)
-        new_files, n_rows, out_dir = self._write_bucketed(spark, df, m)
+        new_files, n_rows, out_dir = self._write_bucketed(
+            spark, df, m, sort_within=sort_within)
         _, zone = _footer_stats(self.fs, self.root, new_files, schema=schema)
 
         def build(mp: dict[str, Any]) -> dict[str, Any]:
