@@ -176,6 +176,82 @@ def test_ranges_on_unknown_column_is_clean_error(spark, tmp_path):
         t.read(spark, ranges={"nope": (1, 2)})
 
 
+def test_nan_rows_survive_open_ended_float_range(spark, tmp_path):
+    """Parquet min/max EXCLUDE NaN and Spark orders NaN above every
+    double, so a file pruned on max < lo could hide NaN rows that
+    satisfy col >= lo. The planner must keep such files for open-ended
+    upper bounds (and the zone itself is withheld when the writer
+    suppressed a chunk's stats)."""
+    t = mk(str(tmp_path / "t"))
+    data = [("a0", JAN, 1.0), ("a1", JAN, 2.0), ("a2", JAN, float("nan"))]
+    t.append(spark, spark.createDataFrame(
+        data, "url string, ts timestamp, value double"), batch_id=0)
+    got = t.read(spark, ranges={"value": (50.0, None)}).collect()
+    # Spark: NaN >= 50.0 is true (NaN sorts above all doubles)
+    assert [r["url"] for r in got] == ["a2"]
+    # with BOTH bounds the NaN fails <= hi, so pruning to zero is sound
+    assert t.read(spark, ranges={"value": (50.0, 60.0)}).count() == 0
+
+
+def test_datetime_bound_on_date_column_never_prunes_boundary(spark, tmp_path):
+    """A datetime bound on a DATE column must not string-compare against
+    ISO date zones ('2020-01-16' < '2020-01-16T00:00:00' would prune the
+    boundary day). Type-mismatched bounds never prune; the residual
+    filter still applies them via Spark's own cast semantics."""
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("d", T.DateType())]
+    )
+    t = LakeTable.create(str(tmp_path / "t"), schema, key="url", bucket_count=2)
+    t.append(spark, spark.createDataFrame(
+        [("a", dt.date(2020, 1, 15)), ("b", dt.date(2020, 1, 16))],
+        schema), batch_id=0)
+    got = t.read(spark, ranges={"d": (dt.datetime(2020, 1, 16), None)})
+    assert [r["url"] for r in got.collect()] == ["b"]
+    # a true date bound does prune
+    plan = t.plan_files(ranges={"d": (dt.date(2021, 1, 1), None)})
+    assert n_files(plan) == 0
+
+
+def test_year_999_timestamp_does_not_poison_zone(spark, tmp_path):
+    """strftime('%Y') would print year 999 unpadded ('999-...'), which
+    sorts AFTER '2024-...' and would flip the file's zone: a window
+    below 2024 would then prune the file and lose its 2024 rows."""
+    t = mk(str(tmp_path / "t"))
+    t.append(spark, spark.createDataFrame(
+        [("bad", dt.datetime(999, 1, 1), 0.0), ("good", MAR, 1.0)],
+        "url string, ts timestamp, value double"), batch_id=0)
+    got = t.read(spark, ranges={"ts": (FEB, dt.datetime(2020, 6, 1))})
+    assert [r["url"] for r in got.collect()] == ["good"]
+
+
+def test_ts_pruning_respects_session_timezone(spark, tmp_path):
+    """Naive datetime bounds are session-timezone values while footer
+    stats are UTC wall-clock; the planner must convert the bound, or a
+    non-UTC session would prune files holding in-range rows."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        t = mk(str(tmp_path / "t"))
+        # local 2020-01-20 20:00 EST == 2020-01-21 01:00 UTC in stats
+        t.append(spark, spark.createDataFrame(
+            [("a", dt.datetime(2020, 1, 20, 20, 0), 1.0)],
+            "url string, ts timestamp, value double"), batch_id=0)
+        rng = {"ts": (None, dt.datetime(2020, 1, 20, 23, 59))}
+        assert n_files(t.plan_files(ranges=rng)) == 1  # NOT pruned
+        assert t.read(spark, ranges=rng).count() == 1
+        # and a genuinely-disjoint local window still prunes
+        assert n_files(
+            t.plan_files(ranges={"ts": (dt.datetime(2020, 2, 1), None)})) == 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_plan_files_validates_columns_like_read(spark, tmp_path):
+    t = mk(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.plan_files(ranges={"nope": (1, 2)})
+
+
 # ---------------------------------------------------------------------
 # Property: for ANY batch sequence (append/merge/delete, any value
 # distribution) and ANY range, the pruned read equals filter-after-read.

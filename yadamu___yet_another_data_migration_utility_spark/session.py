@@ -66,6 +66,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # int64 micros (Iceberg/Delta's encoding): legacy INT96 carries
+        # no footer min/max, which would blind LakeTable's zone maps
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", mem)
         # fixed pre-touched heap: G1 heap growth under many concurrent
         # tasks stalls this sandbox's VM for tens of seconds (measured

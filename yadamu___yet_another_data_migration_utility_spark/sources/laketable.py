@@ -361,29 +361,55 @@ class LakeTable:
                 )
         return out
 
-    def _disjoint(self, stats: dict, rel: str, ranges: dict) -> bool:
-        """True iff file ``rel`` PROVABLY contains no row satisfying the
-        range conjunction: some predicate column's zone map lies wholly
-        outside its [lo, hi]. Missing stats / missing column => False
-        (keep the file) -- pruning is never a correctness dependency."""
-        fz = stats.get(rel)
-        if not fz:
-            return False
-        for col, (lo, hi) in ranges.items():
-            z = fz.get(col)
-            if z is None:
-                continue
-            zlo, zhi = z
-            try:
-                if lo is not None and zhi < _enc_stat(lo):
-                    return True
-                if hi is not None and zlo > _enc_stat(hi):
-                    return True
-            except TypeError:
-                # incomparable bound vs stored stat (caller passed a
-                # mistyped bound): never prune on it
-                continue
-        return False
+    def _plan_scan(
+        self,
+        m: dict[str, Any],
+        buckets: list[int] | None,
+        ranges: dict[str, tuple] | None,
+    ) -> tuple[list[str], list[int]]:
+        """ONE planner for ``read`` and ``plan_files`` (they must never
+        drift: plan_files IS the explanation of what read scans):
+        returns ``(plain_rel_paths, delta_bucket_ids)`` after bucket
+        pruning and zone-map file skipping. A delta-touched bucket is
+        dropped only when EVERY file in it is provably disjoint."""
+        schema = T.StructType.fromJson(m["schema"])
+        enc: dict[str, tuple] = {}
+        if ranges:
+            kinds = {f.name: _zone_kind(f.dataType) for f in schema.fields}
+            bad = [c for c in ranges if c not in kinds]
+            if bad:
+                raise ValueError(f"ranges on unknown columns: {bad}")
+            # encode each bound ONCE, type-checked against the column
+            # (a bound whose type doesn't match the column never prunes
+            # -- the residual filter still applies it exactly)
+            for col, (lo, hi) in ranges.items():
+                k = kinds[col]
+                enc[col] = (_enc_bound(lo, k), _enc_bound(hi, k), k,
+                            hi is not None)
+        stats = m.get("stats", {}) if enc else {}
+        deltas = m.get("deltas", {})
+        delta_buckets = [
+            int(b) for b, fl in deltas.items()
+            if fl and (buckets is None or int(b) in buckets)
+        ]
+        if enc:
+            delta_buckets = [
+                b for b in delta_buckets
+                if not all(
+                    _disjoint(stats.get(f), enc)
+                    for f in (m["buckets"].get(str(b), [])
+                              + deltas.get(str(b), []))
+                )
+            ]
+        plain = [
+            f
+            for b, fl in m["buckets"].items()
+            if int(b) not in delta_buckets and (buckets is None or int(b) in buckets)
+            for f in fl
+        ]
+        if enc:
+            plain = [f for f in plain if not _disjoint(stats.get(f), enc)]
+        return plain, delta_buckets
 
     def read(
         self,
@@ -416,38 +442,15 @@ class LakeTable:
         leak an older row. NULL column values never satisfy a range
         (SQL semantics), so files pruned on non-null stats cannot hide
         matching rows. Files without stats are always read; the
-        residual predicate makes the result exact either way."""
+        residual predicate makes the result exact either way. Bounds
+        prune only when their Python type matches the column (datetime
+        for timestamp, date for date, int/float for numerics) --
+        anything else is applied by the residual filter alone.
+        Timestamp pruning interprets naive datetime bounds in the
+        session timezone (engine sessions pin UTC)."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
-        if ranges:
-            known = {f.name for f in schema.fields}
-            bad = [c for c in ranges if c not in known]
-            if bad:
-                raise ValueError(f"ranges on unknown columns: {bad}")
-        stats = m.get("stats", {}) if ranges else {}
-        deltas = m.get("deltas", {})
-        delta_buckets = [
-            int(b) for b, fl in deltas.items()
-            if fl and (buckets is None or int(b) in buckets)
-        ]
-        if ranges:
-            delta_buckets = [
-                b for b in delta_buckets
-                if not all(
-                    self._disjoint(stats, f, ranges)
-                    for f in (m["buckets"].get(str(b), [])
-                              + deltas.get(str(b), []))
-                )
-            ]
-        plain_rel = [
-            f
-            for b, fl in m["buckets"].items()
-            if int(b) not in delta_buckets and (buckets is None or int(b) in buckets)
-            for f in fl
-        ]
-        if ranges:
-            plain_rel = [f for f in plain_rel
-                         if not self._disjoint(stats, f, ranges)]
+        plain_rel, delta_buckets = self._plan_scan(m, buckets, ranges)
         plain_files = [
             self.fs.spark_path(os.path.join(self.root, f)) for f in plain_rel
         ]
@@ -484,31 +487,11 @@ class LakeTable:
         """The scan plan ``read`` would execute, WITHOUT Spark: relative
         paths under ``{"plain": [...], "delta_resolved": [...]}``.
         Exists so zone-map pruning is observable/testable and scans are
-        explainable (`EXPLAIN`-for-files)."""
+        explainable (`EXPLAIN`-for-files) -- it shares ``_plan_scan``
+        with ``read``, so it cannot drift from what read scans (same
+        validation too: unknown range columns raise)."""
         m = self.manifest(version)
-        stats = m.get("stats", {}) if ranges else {}
-        deltas = m.get("deltas", {})
-        delta_buckets = [
-            int(b) for b, fl in deltas.items()
-            if fl and (buckets is None or int(b) in buckets)
-        ]
-        if ranges:
-            delta_buckets = [
-                b for b in delta_buckets
-                if not all(
-                    self._disjoint(stats, f, ranges)
-                    for f in (m["buckets"].get(str(b), [])
-                              + deltas.get(str(b), []))
-                )
-            ]
-        plain = [
-            f
-            for b, fl in m["buckets"].items()
-            if int(b) not in delta_buckets and (buckets is None or int(b) in buckets)
-            for f in fl
-        ]
-        if ranges:
-            plain = [f for f in plain if not self._disjoint(stats, f, ranges)]
+        plain, delta_buckets = self._plan_scan(m, buckets, ranges)
         dfiles = self._files(m, delta_buckets, strip=True) + self._files(
             m, delta_buckets, "deltas", strip=True)
         return {"plain": plain, "delta_resolved": dfiles}
@@ -935,9 +918,11 @@ class LakeTable:
 
         new_files = _list_bucket_files(self.fs, out_dir, rel_dir)
         lineage: list[dict[str, Any]] = []
+        # zone maps are collected UNCONDITIONALLY (the footers are open
+        # anyway); collect_lineage gates only the lineage rows -- the
+        # two features are independent
         per_bucket, zone = _footer_stats(
-            self.fs, self.root, new_files,
-            schema=table_schema if collect_lineage else None,
+            self.fs, self.root, new_files, schema=table_schema,
         )
         if collect_lineage:
             for b, fstats in per_bucket.items():
@@ -1817,33 +1802,154 @@ _ZONE_TYPES = (
 )
 
 
+_TS_KEY = "spark.sql.parquet.outputTimestampType"
+_TSW_LOCK = __import__("threading").Lock()
+_TSW_STATE: dict[int, list] = {}  # id(spark) -> [depth, saved_value]
+
+
 @contextlib.contextmanager
 def _ts_micros(spark: SparkSession):
     """Spark's legacy INT96 parquet timestamps carry NO footer min/max
     stats, which would blind the zone maps; write TIMESTAMP_MICROS (the
     modern int64 encoding Iceberg/Delta require) for the duration of a
-    synchronous table write only."""
-    ts_key = "spark.sql.parquet.outputTimestampType"
-    prev = spark.conf.get(ts_key)
-    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+    synchronous table write. The conf is SESSION-global and Spark has
+    no per-write override (verified: the DataFrameWriter option is
+    ignored), so the guard is REFCOUNTED per session: concurrent
+    LakeTable writers in one SparkSession nest safely -- the saved
+    value is restored only when the last writer exits."""
+    sid = id(spark)
+    with _TSW_LOCK:
+        st = _TSW_STATE.get(sid)
+        if st is None:
+            st = _TSW_STATE[sid] = [0, spark.conf.get(_TS_KEY)]
+            spark.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+        st[0] += 1
     try:
         yield
     finally:
-        spark.conf.set(ts_key, prev)
+        with _TSW_LOCK:
+            st = _TSW_STATE[sid]
+            st[0] -= 1
+            if st[0] == 0:
+                spark.conf.set(_TS_KEY, st[1])
+                del _TSW_STATE[sid]
 
 
 def _enc_stat(v: Any) -> Any:
-    """JSON-safe, ORDER-PRESERVING encoding of a footer stat / predicate
-    bound: datetimes as fixed-width '%Y-%m-%dT%H:%M:%S.%f' strings
-    (lexicographic == chronological), dates as ISO, numbers/bools as
-    themselves."""
+    """JSON-safe, ORDER-PRESERVING encoding of a footer stat: datetimes
+    as fixed-width zero-padded 'YYYY-MM-DDTHH:MM:SS.ffffff' strings
+    (lexicographic == chronological -- strftime's %Y would NOT pad a
+    year-999 mistyped date, which would sort after 2024 and poison the
+    zone), dates as ISO (isoformat pads), numbers/bools as themselves.
+    Timestamp stats arrive from pyarrow as UTC wall-clock."""
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
-        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        return (f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
+                f"T{v.hour:02d}:{v.minute:02d}:{v.second:02d}"
+                f".{v.microsecond:06d}")
     if isinstance(v, _dt.date):
         return v.isoformat()
     return v
+
+
+def _zone_kind(dt: T.DataType) -> str | None:
+    """Coarse type class a range bound must match for PRUNING to be
+    allowed on the column (the residual filter handles everything else
+    exactly): 'num', 'float' (num that can hold NaN), 'ts' (session-tz
+    timestamps), 'ntz', 'date', 'bool'."""
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "num"
+    if isinstance(dt, T.TimestampType):
+        return "ts"
+    if isinstance(dt, T.TimestampNTZType):
+        return "ntz"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    return None
+
+
+def _session_tz() -> str:
+    try:
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            return s.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        pass
+    return "UTC"
+
+
+def _enc_bound(v: Any, kind: str | None) -> Any:
+    """Encode a predicate bound for comparison against stored zone
+    strings/numbers -- or None when the bound is absent OR its Python
+    type does not match the column's ``kind`` (then the file is never
+    pruned on it; the residual filter still applies the bound exactly).
+    Type matching is strict because cross-type string comparison is
+    ordered but WRONG (a datetime bound vs a date zone prunes boundary
+    days; Spark's own cast semantics differ from lexicographic).
+    Naive 'ts' bounds are interpreted in the session timezone and
+    converted to UTC -- the clock the footer stats are stored in."""
+    import datetime as _dt
+
+    if v is None or kind is None:
+        return None
+    if kind == "ts":
+        if not isinstance(v, _dt.datetime):
+            return None
+        if v.tzinfo is None:
+            from zoneinfo import ZoneInfo
+
+            v = v.replace(tzinfo=ZoneInfo(_session_tz()))
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return _enc_stat(v)
+    if kind == "ntz":
+        if not isinstance(v, _dt.datetime) or v.tzinfo is not None:
+            return None
+        return _enc_stat(v)
+    if kind == "date":
+        if isinstance(v, _dt.datetime) or not isinstance(v, _dt.date):
+            return None
+        return v.isoformat()
+    if kind in ("num", "float"):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None
+        return v
+    if kind == "bool":
+        return v if isinstance(v, bool) else None
+    return None
+
+
+def _disjoint(fz: dict | None, enc: dict[str, tuple]) -> bool:
+    """True iff a file with zone maps ``fz`` PROVABLY contains no row
+    satisfying the pre-encoded range conjunction. Missing stats /
+    missing column / type-mismatched bound => False (keep the file) --
+    pruning is never a correctness dependency.
+
+    NaN guard: parquet min/max EXCLUDE NaN, and Spark orders NaN above
+    every double, so a float file pruned by ``max < lo`` could still
+    hold NaN rows that satisfy ``col >= lo``. That prune is therefore
+    allowed only when an upper bound also exists (NaN fails
+    ``col <= hi`` for every real hi); the ``min > hi`` prune is always
+    sound for the same reason."""
+    if not fz:
+        return False
+    for col, (lo, hi, kind, has_hi) in enc.items():
+        z = fz.get(col)
+        if z is None:
+            continue
+        zlo, zhi = z
+        try:
+            if lo is not None and zhi < lo and (kind != "float" or has_hi):
+                return True
+            if hi is not None and zlo > hi:
+                return True
+        except TypeError:  # stored stat shape unexpected: never prune
+            continue
+    return False
 
 
 def _footer_stats(
@@ -1879,15 +1985,27 @@ def _footer_stats(
                 if name != LSN_COL and name not in zone_cols:
                     continue
                 lo = hi = None
+                complete = True
                 for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(i).statistics
+                    cc = md.row_group(rg).column(i)
+                    st = cc.statistics
                     if st is not None and st.has_min_max:
                         lo = st.min if lo is None else min(lo, st.min)
                         hi = st.max if hi is None else max(hi, st.max)
+                    elif not (st is not None and st.has_null_count
+                              and st.null_count == cc.num_values):
+                        # this row group holds (or may hold) non-null
+                        # values the writer left un-summarized -- e.g.
+                        # parquet suppresses float min/max when a chunk
+                        # contains NaN. A zone built from the OTHER row
+                        # groups would be narrower than the data and
+                        # pruning would silently drop rows: withhold
+                        # the column's zone for this file entirely.
+                        complete = False
                 if name == LSN_COL:
                     mn = lo if mn is None else (lo if lo is not None and lo < mn else mn)
                     mx = hi if mx is None else (hi if hi is not None and hi > mx else mx)
-                if name in zone_cols and lo is not None:
+                if name in zone_cols and lo is not None and complete:
                     fz[name] = [_enc_stat(lo), _enc_stat(hi)]
             if fz:
                 zones[rel] = fz
