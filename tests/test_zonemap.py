@@ -170,6 +170,26 @@ def test_append_sort_within_clusters_rows_in_files(spark, tmp_path):
     assert_read_equals_filter(spark, t, {"ts": FEB_RANGE})
 
 
+def test_rebucket_and_drop_column_keep_zone_coverage(spark, tmp_path):
+    """Full-rewrite maintenance ops must re-harvest zone maps for the
+    files they write, or one rebucket/drop_column would permanently
+    blind every future range-pruned read."""
+    t = mk(str(tmp_path / "t"))
+    t.append(spark, rows(spark, JAN, "a"), batch_id=0)
+    t.rebucket(spark, 2)
+    m = t.manifest()
+    allf = {f for fl in m["buckets"].values() for f in fl}
+    assert allf and set(m["stats"]) == allf
+    assert n_files(t.plan_files(ranges={"ts": (MAR, None)})) == 0
+    t2 = LakeTable.load(str(tmp_path / "t"))
+    t2.drop_column(spark, "value")
+    m = t2.manifest()
+    allf = {f for fl in m["buckets"].values() for f in fl}
+    assert allf and set(m["stats"]) == allf
+    assert n_files(t2.plan_files(ranges={"ts": (MAR, None)})) == 0
+    assert t2.read(spark, ranges={"ts": (JAN, FEB)}).count() == 8
+
+
 def test_ranges_on_unknown_column_is_clean_error(spark, tmp_path):
     t = mk(str(tmp_path / "t"))
     with pytest.raises(ValueError, match="unknown columns"):

@@ -301,6 +301,9 @@ def cmd_describe(args) -> int:
         "delta_files": sum(len(v) for v in deltas.values()),
         "buckets_with_deltas": sum(1 for v in deltas.values() if v),
         "applied_batches": len(m["applied_batches"]),
+        # zone-map coverage: how many referenced files carry min/max
+        # stats (files without them are never range-pruned)
+        "stats_files": len(m.get("stats", {})),
         "last_operation": (m.get("summary") or {}).get("operation")
         or (m.get("audit") or {}).get("operation"),
         "committed_at": m.get("committed_at"),

@@ -1309,6 +1309,9 @@ class LakeTable:
         )
         m_new = {**m, "bucket_count": nb}
         new_files, n_rows, out_dir = self._write_bucketed(spark, df, m_new)
+        _, zone = _footer_stats(
+            self.fs, self.root, new_files,
+            schema=T.StructType.fromJson(m["schema"]))
         v = m["version"] + 1
         manifest = {
             **m,
@@ -1319,6 +1322,7 @@ class LakeTable:
             "deltas": {},
             "audit": None,
             "lineage": [],
+            "stats": zone,
             "summary": {
                 "operation": "rebucket",
                 "from_bucket_count": m["bucket_count"],
@@ -1522,6 +1526,7 @@ class LakeTable:
         new_schema = T.StructType([f for f in schema.fields if f.name != name])
         df = self.read(spark).drop(name)
         new_files, n_rows, out_dir = self._write_bucketed(spark, df, m)
+        _, zone = _footer_stats(self.fs, self.root, new_files, schema=new_schema)
         manifest = {
             **m,
             "version": m["version"] + 1,
@@ -1531,6 +1536,7 @@ class LakeTable:
             "deltas": {},
             "audit": None,
             "lineage": [],
+            "stats": zone,
             "summary": {
                 "operation": "drop_column",
                 "column": name,
