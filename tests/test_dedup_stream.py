@@ -1,0 +1,106 @@
+"""Streaming dedup-on-ingest: every micro-batch is near-dup-filtered
+against a persisted MinHash band index (a LakeTable) before landing;
+both the docs append and the index append fence on the micro-batch id,
+so restarts are exactly-once. Twin of the batch ``dedup_incremental``
+operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.types as T
+
+from yadamu___yet_another_data_migration_utility_spark.sources.laketable import LakeTable
+from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
+    DOC_SCHEMA,
+    start_dedup_ingest,
+)
+
+INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("sig_key", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("h0", T.LongType()),
+        T.StructField("h1", T.LongType()),
+    ]
+)
+
+TS = dt.datetime(2024, 1, 5)
+TEXT_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+TEXT_B = "one two three four five six seven eight nine ten eleven"
+TEXT_C = "red orange yellow green blue indigo violet cyan magenta white"
+
+
+def _setup(tmp_path):
+    docs = LakeTable.create(
+        str(tmp_path / "docs"), DOC_SCHEMA, key="doc_id", bucket_count=4
+    )
+    index = LakeTable.create(
+        str(tmp_path / "index"), INDEX_SCHEMA, key="sig_key", bucket_count=4
+    )
+    return docs, index
+
+
+def _segment(spark, path, rows):
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run(spark, docs, index, wal, ckpt, metrics):
+    q = start_dedup_ingest(
+        spark, docs, index, wal, ckpt, on_metrics=metrics.append
+    )
+    q.awaitTermination()
+
+
+def test_dedup_ingest_filters_corpus_and_inbatch_dups(spark, tmp_path):
+    docs, index = _setup(tmp_path)
+    wal, ckpt = str(tmp_path / "wal"), str(tmp_path / "ckpt")
+    metrics: list[dict] = []
+
+    # batch 0: two novel docs
+    _segment(spark, wal, [(1, "u1", TS, TEXT_A), (2, "u2", TS, TEXT_B)])
+    _run(spark, docs, index, wal, ckpt, metrics)
+    assert metrics[-1] == {"batch_id": 0, "n_in": 2, "n_kept": 2, "n_dups": 0}
+    assert {r["doc_id"] for r in docs.read(spark).collect()} == {1, 2}
+    # 3 band rows per indexed doc
+    assert index.read(spark).count() == 6
+
+    # batch 1: doc 3 = exact copy of doc 1 (corpus dup), doc 4 novel,
+    # doc 5 = exact copy of doc 4 (IN-BATCH dup; smaller doc_id wins)
+    _segment(spark, wal, [
+        (3, "u3", TS, TEXT_A), (4, "u4", TS, TEXT_C), (5, "u5", TS, TEXT_C),
+    ])
+    _run(spark, docs, index, wal, ckpt, metrics)
+    assert metrics[-1] == {"batch_id": 1, "n_in": 3, "n_kept": 1, "n_dups": 2}
+    assert {r["doc_id"] for r in docs.read(spark).collect()} == {1, 2, 4}
+    assert index.read(spark).count() == 9
+
+    # short doc (no shingle possible) is always kept, never indexed
+    _segment(spark, wal, [(6, "u6", TS, "too short")])
+    _run(spark, docs, index, wal, ckpt, metrics)
+    assert metrics[-1]["n_kept"] == 1
+    assert {r["doc_id"] for r in docs.read(spark).collect()} == {1, 2, 4, 6}
+    assert index.read(spark).count() == 9
+
+
+def test_dedup_ingest_restart_is_exactly_once(spark, tmp_path):
+    """Replaying an already-applied batch (fresh checkpoint, same WAL)
+    must fence on both tables: no duplicate docs, no duplicate index
+    rows, and the dup decision is reproducible because a batch's own
+    signatures are never in the index when it is evaluated."""
+    docs, index = _setup(tmp_path)
+    wal = str(tmp_path / "wal")
+    metrics: list[dict] = []
+    _segment(spark, wal, [(1, "u1", TS, TEXT_A), (2, "u2", TS, TEXT_B)])
+    _run(spark, docs, index, wal, str(tmp_path / "ck1"), metrics)
+    v_docs, v_idx = docs.current_version(), index.current_version()
+    # a FRESH checkpoint re-delivers batch 0 from scratch -- the fences
+    # must absorb it (same batch_id), leaving both tables untouched
+    _run(spark, docs, index, wal, str(tmp_path / "ck2"), metrics)
+    assert docs.read(spark).count() == 2
+    assert index.read(spark).count() == 6
+    assert docs.current_version() == v_docs
+    assert index.current_version() == v_idx

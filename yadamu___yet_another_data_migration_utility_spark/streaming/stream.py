@@ -425,3 +425,127 @@ def follow_changes(
         if max_polls is not None and polls >= max_polls:
             return cursor
         time.sleep(poll_seconds)
+
+
+#: document-ingest wire schema for the dedup-on-ingest stream
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def start_dedup_ingest(
+    spark: SparkSession,
+    docs_table: LakeTable,
+    index_table: LakeTable,
+    source_path: str,
+    checkpoint_dir: str,
+    min_band_matches: int = 2,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    on_metrics: Callable[[dict], None] | None = None,
+) -> StreamingQuery:
+    """Continuous ingest with INLINE near-dup filtering -- the streaming
+    twin of the ``dedup_incremental`` batch operator, and the shape a
+    crawl pipeline actually runs: every micro-batch of documents is
+    checked against a PERSISTED MinHash band index (itself a LakeTable)
+    before landing, so duplicates are dropped at the door instead of by
+    a nightly sweep.
+
+    Per micro-batch (foreachBatch):
+
+    1. band signatures for the batch via the shared ``_mh_sig``
+       contract (plans.textops) -- 3 bands of 2 md5-minhashes;
+    2. candidates = batch bands equi-joined against the index AND
+       against earlier docs in the same batch (smaller doc_id wins, so
+       in-batch duplicates resolve deterministically); a doc is a DUP
+       when >= ``min_band_matches`` of its 3 bands collide with the
+       same prior doc (exact copies collide on all 3);
+    3. survivors are APPENDED to ``docs_table`` and their signatures to
+       ``index_table`` -- both appends fence on the micro-batch id, so
+       a crash between the two (or a restart replay of the whole batch)
+       re-applies only the half that never committed: exactly-once with
+       no cross-table coordination. The dup decision is reproducible on
+       replay because the batch's own signatures are never in the index
+       when it is (re)evaluated.
+
+    Docs shorter than one 3-word shingle produce no signature: they are
+    always kept and never indexed (nothing to collide on).
+
+    ``index_table`` schema: (sig_key string KEY = 'doc_id:band',
+    doc_id long, band int, h0 long, h1 long). Scale: the index is
+    bucket-hashed on sig_key like any LakeTable; the per-batch join is
+    O(batch) against band-bucketed uniform 120-bit keys, and the index
+    grows O(corpus) rows (3 per doc) -- the same layout the batch
+    operator's docstring prescribes for production."""
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+
+    def _sink(batch_df, batch_id: int) -> None:
+        from ..plans.textops import _mh_sig, shingles
+
+        s = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)  # stable across reuse
+        sig = _mh_sig(s, shingles(batch_df)).localCheckpoint(eager=True)
+        idx = index_table.read(s, public=True).select(
+            "doc_id", "band", "h0", "h1")
+        b = sig.alias("b")
+        prior = idx.alias("c")
+        cand_corpus = b.join(
+            prior,
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.h0") == F.col("c.h0"))
+            & (F.col("b.h1") == F.col("c.h1")),
+        ).select(F.col("b.doc_id").alias("bdoc"), F.col("b.band").alias("band"),
+                 F.col("c.doc_id").alias("cdoc"))
+        earlier = sig.alias("e")
+        cand_self = b.join(
+            earlier,
+            (F.col("b.band") == F.col("e.band"))
+            & (F.col("b.h0") == F.col("e.h0"))
+            & (F.col("b.h1") == F.col("e.h1"))
+            & (F.col("e.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("b.doc_id").alias("bdoc"), F.col("b.band").alias("band"),
+                 F.col("e.doc_id").alias("cdoc"))
+        dups = (
+            cand_corpus.unionByName(cand_self)
+            .distinct()  # one vote per (pair, band)
+            .groupBy("bdoc", "cdoc")
+            .agg(F.count(F.lit(1)).alias("bands"))
+            .filter(F.col("bands") >= min_band_matches)
+            .select(F.col("bdoc").alias("doc_id"))
+            .distinct()
+        )
+        survivors = batch_df.join(dups, "doc_id", "left_anti")
+        n_in = batch_df.count()
+        n_kept = survivors.count()
+        docs_table.append(s, survivors, batch_id=batch_id)
+        surv_sig = (
+            sig.join(survivors.select("doc_id"), "doc_id")
+            .select(
+                F.concat_ws(":", F.col("doc_id"), F.col("band")).alias("sig_key"),
+                "doc_id", "band", "h0", "h1",
+            )
+        )
+        index_table.append(s, surv_sig, batch_id=batch_id)
+        if on_metrics is not None:
+            on_metrics({"batch_id": batch_id, "n_in": n_in,
+                        "n_kept": n_kept, "n_dups": n_in - n_kept})
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("dedup_ingest")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
