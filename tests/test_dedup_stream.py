@@ -8,22 +8,11 @@ from __future__ import annotations
 
 import datetime as dt
 
-import pyspark.sql.types as T
-
 from yadamu___yet_another_data_migration_utility_spark.sources.laketable import LakeTable
 from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
     DOC_SCHEMA,
+    SIG_INDEX_SCHEMA as INDEX_SCHEMA,
     start_dedup_ingest,
-)
-
-INDEX_SCHEMA = T.StructType(
-    [
-        T.StructField("sig_key", T.StringType()),
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("band", T.IntegerType()),
-        T.StructField("h0", T.LongType()),
-        T.StructField("h1", T.LongType()),
-    ]
 )
 
 TS = dt.datetime(2024, 1, 5)
@@ -84,6 +73,30 @@ def test_dedup_ingest_filters_corpus_and_inbatch_dups(spark, tmp_path):
     assert metrics[-1]["n_kept"] == 1
     assert {r["doc_id"] for r in docs.read(spark).collect()} == {1, 2, 4, 6}
     assert index.read(spark).count() == 9
+
+
+def test_cli_dedup_ingest_e2e(spark, tmp_path, capsys):
+    """The dedup-ingest verb: create both tables, drain the source, drop
+    the duplicate, report the split."""
+    import json
+
+    from yadamu___yet_another_data_migration_utility_spark.cli import main
+
+    wal = str(tmp_path / "wal")
+    _segment(spark, wal, [
+        (1, "u1", TS, TEXT_A), (2, "u2", TS, TEXT_A), (3, "u3", TS, TEXT_B),
+    ])
+    rc = main([
+        "dedup-ingest", "--source-path", wal,
+        "--table-root", str(tmp_path / "docs"),
+        "--index-root", str(tmp_path / "index"),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--create", "--buckets", "4", "--cpus", "4",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out == {"batches": 1, "docs_in": 3, "docs_kept": 2,
+                   "dups_dropped": 1, "table_rows": 2, "index_rows": 6}
 
 
 def test_dedup_ingest_restart_is_exactly_once(spark, tmp_path):

@@ -225,6 +225,44 @@ def cmd_replay(args) -> int:
     return 0
 
 
+def cmd_dedup_ingest(args) -> int:
+    from .sources.laketable import LakeTable
+    from .streaming.stream import DOC_SCHEMA, SIG_INDEX_SCHEMA, start_dedup_ingest
+
+    spark = _spark(args.cpus)
+
+    def _load_or_create(root, schema, key):
+        if LakeTable.exists(root):
+            return LakeTable.load(root)
+        if args.create:
+            return LakeTable.create(root, schema, key=key,
+                                    bucket_count=args.buckets)
+        print(f"error: no table at {root} (pass --create)", file=sys.stderr)
+        return None
+
+    docs = _load_or_create(args.table_root, DOC_SCHEMA, "doc_id")
+    index = _load_or_create(args.index_root, SIG_INDEX_SCHEMA, "sig_key")
+    if docs is None or index is None:
+        return 2
+    metrics: list[dict] = []
+    q = start_dedup_ingest(
+        spark, docs, index, args.source_path, args.checkpoint_dir,
+        min_band_matches=args.min_band_matches,
+        max_files_per_trigger=args.max_files_per_trigger,
+        on_metrics=metrics.append,
+    )
+    q.awaitTermination()
+    print(json.dumps({
+        "batches": len(metrics),
+        "docs_in": sum(m["n_in"] for m in metrics),
+        "docs_kept": sum(m["n_kept"] for m in metrics),
+        "dups_dropped": sum(m["n_dups"] for m in metrics),
+        "table_rows": docs.read(spark).count(),
+        "index_rows": index.read(spark).count(),
+    }))
+    return 0
+
+
 def _table(args):
     from .sources.laketable import LakeTable
 
@@ -513,6 +551,25 @@ def build_parser() -> argparse.ArgumentParser:
                          "(windows coalesce; the drain-tail always refreshes)")
     common(sp)
     sp.set_defaults(fn=cmd_replay)
+
+    sp = sub.add_parser(
+        "dedup-ingest",
+        help="stream documents into a lake table with inline near-dup "
+             "filtering against a persisted MinHash signature index",
+    )
+    sp.add_argument("--source-path", required=True, help="parquet docs dir "
+                    "(doc_id, url, warc_ts, text)")
+    sp.add_argument("--table-root", required=True, help="docs lake table")
+    sp.add_argument("--index-root", required=True, help="signature index lake table")
+    sp.add_argument("--checkpoint-dir", required=True)
+    sp.add_argument("--create", action="store_true",
+                    help="create docs + index tables if absent")
+    sp.add_argument("--buckets", type=int, default=32)
+    sp.add_argument("--min-band-matches", type=int, default=2,
+                    help="bands (of 3) that must collide with one prior doc")
+    sp.add_argument("--max-files-per-trigger", type=int, default=1)
+    common(sp)
+    sp.set_defaults(fn=cmd_dedup_ingest)
 
     sp = sub.add_parser("compact", help="fold MoR deltas / rewrite fragmented buckets")
     sp.add_argument("--table-root", required=True)

@@ -438,6 +438,19 @@ DOC_SCHEMA = T.StructType(
 )
 
 
+#: persisted MinHash band-signature index layout (one LakeTable row per
+#: (doc, band); sig_key = 'doc_id:band' is the merge/bucket key)
+SIG_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("sig_key", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("h0", T.LongType()),
+        T.StructField("h1", T.LongType()),
+    ]
+)
+
+
 def start_dedup_ingest(
     spark: SparkSession,
     docs_table: LakeTable,
