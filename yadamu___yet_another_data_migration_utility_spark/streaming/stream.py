@@ -490,11 +490,15 @@ def start_dedup_ingest(
     always kept and never indexed (nothing to collide on).
 
     ``index_table`` schema: (sig_key string KEY = 'doc_id:band',
-    doc_id long, band int, h0 long, h1 long). Scale: the index is
-    bucket-hashed on sig_key like any LakeTable; the per-batch join is
-    O(batch) against band-bucketed uniform 120-bit keys, and the index
-    grows O(corpus) rows (3 per doc) -- the same layout the batch
-    operator's docstring prescribes for production."""
+    doc_id long, band int, h0 long, h1 long); it grows O(corpus) rows
+    (3 per doc). Scale, honestly: each micro-batch costs one SCAN of
+    the index -- but no index shuffle: the batch's signatures are the
+    small side of the band equi-join, so Spark broadcasts them and the
+    index streams through a hash probe map-side. Signature compute is
+    O(batch). Trimming the scan itself needs a band-keyed physical
+    layout (key the index by '{h0}:{h1}:{band}' and prune buckets by
+    the batch's band keys) -- worthwhile once the index outgrows scan
+    bandwidth, unnecessary before."""
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
