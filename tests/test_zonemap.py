@@ -266,6 +266,29 @@ def test_ts_pruning_respects_session_timezone(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", prev)
 
 
+def test_cli_plan_verb_explains_pruning(spark, tmp_path, capsys):
+    """`plan --range ts:...` parses bounds to the column's type from the
+    manifest schema and reports scanned vs pruned file counts --
+    manifest-only, no Spark session."""
+    import json
+
+    from yadamu___yet_another_data_migration_utility_spark.cli import main
+
+    t = mk(str(tmp_path / "t"))
+    t.append(spark, rows(spark, JAN, "a"), batch_id=0)
+    t.append(spark, rows(spark, MAR, "c"), batch_id=1)
+    rc = main(["plan", "--table-root", str(tmp_path / "t"),
+               "--range", "ts:2020-03-01:"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["files_pruned"] > 0
+    assert out["files_scanned"] + out["files_pruned"] == out["files_total"]
+    assert out["files_scanned"] == len(out["plain"])
+    rc = main(["plan", "--table-root", str(tmp_path / "t"),
+               "--range", "nope:1:2"])
+    assert rc == 2
+
+
 def test_plan_files_validates_columns_like_read(spark, tmp_path):
     t = mk(str(tmp_path / "t"))
     with pytest.raises(ValueError, match="unknown columns"):

@@ -324,6 +324,59 @@ def cmd_validate(args) -> int:
     return 0 if report["ok"] else 1
 
 
+def cmd_plan(args) -> int:
+    """EXPLAIN-for-files: print the exact file set a ``read`` would
+    scan under the given ranges, next to the unpruned plan -- the
+    operator's answer to "why didn't my range scan prune". Bounds are
+    parsed to the COLUMN's type from the manifest schema (ISO
+    timestamps/dates, numerics, booleans), matching the typed-bound
+    rule the planner itself enforces. Manifest-only: no Spark session."""
+    import datetime as dt
+
+    t = _table(args)
+    m = t.manifest(args.version)
+    types = {f["name"]: f["type"] for f in m["schema"]["fields"]}
+
+    def parse(col: str, s: str):
+        if s == "":
+            return None
+        ty = types.get(col)
+        if ty == "timestamp":
+            return dt.datetime.fromisoformat(s)
+        if ty == "date":
+            return dt.date.fromisoformat(s)
+        if ty == "boolean":
+            return s.lower() in ("1", "true", "t", "yes")
+        if ty in ("double", "float"):
+            return float(s)
+        return int(s)
+
+    ranges = {}
+    for spec in args.range:
+        try:
+            col, lo, hi = spec.split(":", 2)
+        except ValueError:
+            print(f"error: bad --range {spec!r} (want COL:LO:HI)",
+                  file=sys.stderr)
+            return 2
+        if col not in types:
+            print(f"error: unknown column {col!r}", file=sys.stderr)
+            return 2
+        ranges[col] = (parse(col, lo), parse(col, hi))
+    full = t.plan_files(version=args.version)
+    pruned = t.plan_files(version=args.version, ranges=ranges or None)
+    n = lambda p: len(p["plain"]) + len(p["delta_resolved"])  # noqa: E731
+    print(json.dumps({
+        "version": m["version"],
+        "files_total": n(full),
+        "files_scanned": n(pruned),
+        "files_pruned": n(full) - n(pruned),
+        "plain": pruned["plain"],
+        "delta_resolved": pruned["delta_resolved"],
+    }, sort_keys=True))
+    return 0
+
+
 def cmd_describe(args) -> int:
     # manifest-only: no Spark session needed
     t = _table(args)
@@ -613,6 +666,20 @@ def build_parser() -> argparse.ArgumentParser:
                                          "(schema, layout, delta pressure)")
     sp.add_argument("--table-root", required=True)
     sp.set_defaults(fn=cmd_describe, cpus=None)
+
+    sp = sub.add_parser(
+        "plan",
+        help="EXPLAIN-for-files: the exact file set a read would scan, "
+             "with zone-map range pruning -- manifest-only, no Spark",
+    )
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--version", type=int, default=None)
+    sp.add_argument(
+        "--range", action="append", default=[], metavar="COL:LO:HI",
+        help="inclusive range on a column (repeatable); leave LO or HI "
+             "empty for an open end; timestamps/dates in ISO format",
+    )
+    sp.set_defaults(fn=cmd_plan, cpus=None)
 
     sp = sub.add_parser("validate", help="table fsck: manifest chain, file "
                                          "existence, fence ledger; --deep adds "
