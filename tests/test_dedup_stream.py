@@ -117,3 +117,9 @@ def test_dedup_ingest_restart_is_exactly_once(spark, tmp_path):
     assert index.read(spark).count() == 6
     assert docs.current_version() == v_docs
     assert index.current_version() == v_idx
+    # and the REPLAYED decision must be stable: the batch's own
+    # signatures are now in the index, so without the self-match guard
+    # every kept doc would collide with itself and the replayed metrics
+    # would falsely report n_kept=0
+    assert metrics[-1] == {"batch_id": 0, "n_in": 2, "n_kept": 2,
+                           "n_dups": 0}

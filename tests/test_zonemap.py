@@ -278,15 +278,56 @@ def test_cli_plan_verb_explains_pruning(spark, tmp_path, capsys):
     t.append(spark, rows(spark, JAN, "a"), batch_id=0)
     t.append(spark, rows(spark, MAR, "c"), batch_id=1)
     rc = main(["plan", "--table-root", str(tmp_path / "t"),
-               "--range", "ts:2020-03-01:"])
+               "--range", "ts:2020-03-01.."])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0
     assert out["files_pruned"] > 0
     assert out["files_scanned"] + out["files_pruned"] == out["files_total"]
     assert out["files_scanned"] == len(out["plain"])
+    # a bound with a time-of-day (':' inside LO) must parse intact
     rc = main(["plan", "--table-root", str(tmp_path / "t"),
-               "--range", "nope:1:2"])
+               "--range", "ts:2020-03-01T12:30:00..2020-04-01"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["files_pruned"] > 0
+    rc = main(["plan", "--table-root", str(tmp_path / "t"),
+               "--range", "nope:1..2"])
     assert rc == 2
+    # malformed bound and string-column bound: clean exit, no traceback
+    rc = main(["plan", "--table-root", str(tmp_path / "t"),
+               "--range", "ts:garbage.."])
+    assert rc == 2
+    rc = main(["plan", "--table-root", str(tmp_path / "t"),
+               "--range", "url:a..z"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["files_pruned"] == 0  # strings never prune
+
+
+def test_stale_stats_format_is_quarantined(spark, tmp_path):
+    """Zones stamped with an older stats_format must never be trusted by
+    the planner (the pre-fix harvester could write unsound zones), and
+    a rebase must not launder them into a freshly stamped manifest."""
+    t = mk(str(tmp_path / "t"))
+    t.append(spark, rows(spark, JAN, "a"), batch_id=0)
+    assert n_files(t.plan_files(ranges={"ts": (MAR, None)})) == 0
+
+    def downgrade(m):
+        m["stats_format"] = 1
+
+    _doctor_head(t, downgrade)
+    # stale format: planner ignores the zones entirely -> no pruning
+    assert n_files(t.plan_files(ranges={"ts": (MAR, None)})) == n_files(
+        t.plan_files())
+    # a new commit re-stamps but must NOT inherit the stale entries
+    t.append(spark, rows(spark, MAR, "c"), batch_id=1)
+    m = t.manifest()
+    assert m["stats_format"] == 2
+    jan_files = {
+        f for fl in t.manifest(m["version"] - 1)["buckets"].values() for f in fl
+    }
+    assert not (set(m["stats"]) & jan_files)  # stale zones dropped
+    # pruning works again for the freshly harvested files only
+    plan = t.plan_files(ranges={"ts": (None, FEB)})
+    assert all(f in jan_files for f in plan["plain"])
 
 
 def test_plan_files_validates_columns_like_read(spark, tmp_path):

@@ -349,20 +349,31 @@ def cmd_plan(args) -> int:
             return s.lower() in ("1", "true", "t", "yes")
         if ty in ("double", "float"):
             return float(s)
-        return int(s)
+        if ty in ("byte", "short", "integer", "long"):
+            return int(s)
+        # string/binary/decimal/...: zone maps never prune these, so
+        # pass the raw text through -- the plan is unpruned but valid
+        return s
 
     ranges = {}
     for spec in args.range:
-        try:
-            col, lo, hi = spec.split(":", 2)
-        except ValueError:
-            print(f"error: bad --range {spec!r} (want COL:LO:HI)",
-                  file=sys.stderr)
+        # 'COL:LO..HI' -- ':' cannot delimit bounds because ISO
+        # timestamps contain it ('ts:2020-03-01T12:30:00..2020-04-01')
+        col, sep, rest = spec.partition(":")
+        lo, sep2, hi = rest.partition("..")
+        if not sep or not sep2:
+            print(f"error: bad --range {spec!r} (want COL:LO..HI; "
+                  "leave LO or HI empty for an open end)", file=sys.stderr)
             return 2
         if col not in types:
             print(f"error: unknown column {col!r}", file=sys.stderr)
             return 2
-        ranges[col] = (parse(col, lo), parse(col, hi))
+        try:
+            ranges[col] = (parse(col, lo), parse(col, hi))
+        except ValueError as e:
+            print(f"error: bad bound in --range {spec!r} for "
+                  f"{types[col]} column {col!r}: {e}", file=sys.stderr)
+            return 2
     full = t.plan_files(version=args.version)
     pruned = t.plan_files(version=args.version, ranges=ranges or None)
     n = lambda p: len(p["plain"]) + len(p["delta_resolved"])  # noqa: E731
@@ -675,9 +686,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table-root", required=True)
     sp.add_argument("--version", type=int, default=None)
     sp.add_argument(
-        "--range", action="append", default=[], metavar="COL:LO:HI",
+        "--range", action="append", default=[], metavar="COL:LO..HI",
         help="inclusive range on a column (repeatable); leave LO or HI "
-             "empty for an open end; timestamps/dates in ISO format",
+             "empty for an open end; timestamps/dates in ISO format "
+             "(e.g. ts:2020-03-01T12:30:00..2020-04-01)",
     )
     sp.set_defaults(fn=cmd_plan, cpus=None)
 

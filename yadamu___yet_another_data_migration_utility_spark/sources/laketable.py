@@ -121,6 +121,14 @@ CURRENT = "_current"
 LSN_COL = "_lsn"  # last applied LSN per key -> LSN-monotonic idempotent merge
 DELETED_COL = "_deleted"  # mor tombstone marker (delta files only)
 
+#: zone-map stats encoding version. Bump whenever the harvester's
+#: soundness rules change (v2: row-group completeness requirement +
+#: zero-padded year encoding). The planner prunes ONLY on stats stamped
+#: with the current value, so zones written by an older, less careful
+#: harvester are ignored (never trusted) instead of silently pruning
+#: rows they shouldn't; commits re-stamp after re-harvest.
+STATS_FORMAT = 2
+
 MERGE_MODES = ("mor", "cow")
 
 
@@ -290,6 +298,7 @@ class LakeTable:
             manifest["stats"] = {
                 k: s for k, s in manifest["stats"].items() if k in ref
             }
+        manifest["stats_format"] = STATS_FORMAT
         v = manifest["version"]
         try:
             self.fs.put_if_absent(self._manifest_path(v), json.dumps(manifest))
@@ -366,12 +375,17 @@ class LakeTable:
         m: dict[str, Any],
         buckets: list[int] | None,
         ranges: dict[str, tuple] | None,
+        tz: str | None = None,
     ) -> tuple[list[str], list[int]]:
         """ONE planner for ``read`` and ``plan_files`` (they must never
         drift: plan_files IS the explanation of what read scans):
         returns ``(plain_rel_paths, delta_bucket_ids)`` after bucket
         pruning and zone-map file skipping. A delta-touched bucket is
-        dropped only when EVERY file in it is provably disjoint."""
+        dropped only when EVERY file in it is provably disjoint.
+        ``tz`` names the timezone naive timestamp bounds are expressed
+        in -- ``read`` passes ITS session's setting so the prune and
+        the residual filter can never disagree; None falls back to the
+        active session (or UTC)."""
         schema = T.StructType.fromJson(m["schema"])
         enc: dict[str, tuple] = {}
         if ranges:
@@ -384,9 +398,15 @@ class LakeTable:
             # -- the residual filter still applies it exactly)
             for col, (lo, hi) in ranges.items():
                 k = kinds[col]
-                enc[col] = (_enc_bound(lo, k), _enc_bound(hi, k), k,
+                enc[col] = (_enc_bound(lo, k, tz), _enc_bound(hi, k, tz), k,
                             hi is not None)
-        stats = m.get("stats", {}) if enc else {}
+        # pre-fix manifests may carry zones written by an unsound
+        # harvester (NaN-narrowed floats, unpadded years): prune only on
+        # stats stamped with the CURRENT format
+        stats = (
+            m.get("stats", {})
+            if enc and m.get("stats_format") == STATS_FORMAT else {}
+        )
         deltas = m.get("deltas", {})
         delta_buckets = [
             int(b) for b, fl in deltas.items()
@@ -450,7 +470,9 @@ class LakeTable:
         session timezone (engine sessions pin UTC)."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
-        plain_rel, delta_buckets = self._plan_scan(m, buckets, ranges)
+        plain_rel, delta_buckets = self._plan_scan(
+            m, buckets, ranges,
+            tz=spark.conf.get("spark.sql.session.timeZone"))
         plain_files = [
             self.fs.spark_path(os.path.join(self.root, f)) for f in plain_rel
         ]
@@ -483,15 +505,18 @@ class LakeTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         ranges: dict[str, tuple] | None = None,
+        tz: str | None = None,
     ) -> dict[str, list[str]]:
         """The scan plan ``read`` would execute, WITHOUT Spark: relative
         paths under ``{"plain": [...], "delta_resolved": [...]}``.
         Exists so zone-map pruning is observable/testable and scans are
         explainable (`EXPLAIN`-for-files) -- it shares ``_plan_scan``
         with ``read``, so it cannot drift from what read scans (same
-        validation too: unknown range columns raise)."""
+        validation too: unknown range columns raise). Pass ``tz`` to
+        name the timezone of naive timestamp bounds when explaining a
+        session whose timeZone differs from the active one."""
         m = self.manifest(version)
-        plain, delta_buckets = self._plan_scan(m, buckets, ranges)
+        plain, delta_buckets = self._plan_scan(m, buckets, ranges, tz=tz)
         dfiles = self._files(m, delta_buckets, strip=True) + self._files(
             m, delta_buckets, "deltas", strip=True)
         return {"plain": plain, "delta_resolved": dfiles}
@@ -789,7 +814,7 @@ class LakeTable:
                     "version": v,
                 },
                 "lineage": [],
-                "stats": {**mp.get("stats", {}), **zone},
+                "stats": {**_inherit_stats(mp), **zone},
                 "summary": {"operation": "append", "rows_written": n_rows},
                 "committed_at": _utc_now_iso(),
             }
@@ -969,7 +994,7 @@ class LakeTable:
                 "applied_batches": _cap(applied),
                 "audit": audit,
                 "lineage": lineage,
-                "stats": {**mp.get("stats", {}), **zone},
+                "stats": {**_inherit_stats(mp), **zone},
                 "summary": {"operation": "merge", "mode": "mor", "rows_written": n_in},
                 "committed_at": _utc_now_iso(),
             }
@@ -1149,7 +1174,7 @@ class LakeTable:
                 "applied_batches": _cap(applied),
                 "audit": audit,
                 "lineage": lineage,
-                "stats": {**mp.get("stats", {}), **zone},
+                "stats": {**_inherit_stats(mp), **zone},
                 "summary": {"operation": "merge", "mode": "cow", "rows_written": n_out},
                 "committed_at": _utc_now_iso(),
             }
@@ -1267,7 +1292,7 @@ class LakeTable:
             "deltas": new_deltas,
             "audit": None,
             "lineage": [],
-            "stats": {**m.get("stats", {}), **zone},
+            "stats": {**_inherit_stats(m), **zone},
             "summary": {"operation": "compact", "buckets_rewritten": len(fat)},
             "committed_at": _utc_now_iso(),
         }
@@ -1859,6 +1884,14 @@ def _enc_stat(v: Any) -> Any:
     return v
 
 
+def _inherit_stats(mp: dict[str, Any]) -> dict[str, Any]:
+    """Parent zone maps survive into a child commit only when their
+    stamped format is current (STATS_FORMAT) -- stale-format entries
+    must not be laundered into a freshly stamped manifest, or an
+    unsound pre-fix zone would regain the planner's trust."""
+    return mp.get("stats", {}) if mp.get("stats_format") == STATS_FORMAT else {}
+
+
 def _zone_kind(dt: T.DataType) -> str | None:
     """Coarse type class a range bound must match for PRUNING to be
     allowed on the column (the residual filter handles everything else
@@ -1889,7 +1922,7 @@ def _session_tz() -> str:
     return "UTC"
 
 
-def _enc_bound(v: Any, kind: str | None) -> Any:
+def _enc_bound(v: Any, kind: str | None, tz: str | None = None) -> Any:
     """Encode a predicate bound for comparison against stored zone
     strings/numbers -- or None when the bound is absent OR its Python
     type does not match the column's ``kind`` (then the file is never
@@ -1897,8 +1930,10 @@ def _enc_bound(v: Any, kind: str | None) -> Any:
     Type matching is strict because cross-type string comparison is
     ordered but WRONG (a datetime bound vs a date zone prunes boundary
     days; Spark's own cast semantics differ from lexicographic).
-    Naive 'ts' bounds are interpreted in the session timezone and
-    converted to UTC -- the clock the footer stats are stored in."""
+    Naive 'ts' bounds are interpreted in ``tz`` -- the READING session's
+    timeZone, passed down by ``read`` so prune and residual filter
+    always agree -- and converted to UTC, the clock the footer stats
+    are stored in."""
     import datetime as _dt
 
     if v is None or kind is None:
@@ -1909,7 +1944,7 @@ def _enc_bound(v: Any, kind: str | None) -> Any:
         if v.tzinfo is None:
             from zoneinfo import ZoneInfo
 
-            v = v.replace(tzinfo=ZoneInfo(_session_tz()))
+            v = v.replace(tzinfo=ZoneInfo(tz or _session_tz()))
         v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return _enc_stat(v)
     if kind == "ntz":

@@ -483,8 +483,9 @@ def start_dedup_ingest(
        a crash between the two (or a restart replay of the whole batch)
        re-applies only the half that never committed: exactly-once with
        no cross-table coordination. The dup decision is reproducible on
-       replay because the batch's own signatures are never in the index
-       when it is (re)evaluated.
+       replay: its own-batch signatures are excluded by doc_id (a
+       replay after BOTH appends committed sees them in the index), and
+       smaller-doc_id precedence settles the rest.
 
     Docs shorter than one 3-word shingle produce no signature: they are
     always kept and never indexed (nothing to collide on).
@@ -521,7 +522,12 @@ def start_dedup_ingest(
             prior,
             (F.col("b.band") == F.col("c.band"))
             & (F.col("b.h0") == F.col("c.h0"))
-            & (F.col("b.h1") == F.col("c.h1")),
+            & (F.col("b.h1") == F.col("c.h1"))
+            # a crash between the index append and the streaming
+            # checkpoint replays the batch with its OWN signatures in
+            # the index: without this guard every kept doc would match
+            # itself and the replayed metrics would report n_kept=0
+            & (F.col("c.doc_id") != F.col("b.doc_id")),
         ).select(F.col("b.doc_id").alias("bdoc"), F.col("b.band").alias("band"),
                  F.col("c.doc_id").alias("cdoc"))
         earlier = sig.alias("e")
@@ -542,7 +548,11 @@ def start_dedup_ingest(
             .select(F.col("bdoc").alias("doc_id"))
             .distinct()
         )
-        survivors = batch_df.join(dups, "doc_id", "left_anti")
+        # materialize ONCE: survivors feeds a count and two table
+        # appends -- without this the index scan + band join would
+        # recompute per action, tripling the batch's dominant cost
+        survivors = batch_df.join(dups, "doc_id", "left_anti").localCheckpoint(
+            eager=True)
         n_in = batch_df.count()
         n_kept = survivors.count()
         docs_table.append(s, survivors, batch_id=batch_id)
