@@ -690,3 +690,46 @@ def test_validate_fsck(spark, tmp_table_root, mode):
     rep = t.validate(spark, deep=True)
     assert not rep["ok"]
     assert any("different bucket" in i for i in rep["issues"]), rep
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_lookup_point_reads_are_mor_exact(spark, tmp_path, mode):
+    """lookup(keys) must equal read() filtered to those keys -- LWW
+    resolution included -- while scanning only the hashed buckets."""
+    t = mk(spark, str(tmp_path / "t"), bucket_count=8, merge_mode=mode)
+    t.merge(spark, batch(spark, [
+        ("u1", "a", "I", 1), ("u2", "b", "I", 2), ("u3", "c", "I", 3),
+    ]), batch_id=0)
+    t.merge(spark, batch(spark, [
+        ("u1", "a2", "U", 4),            # update must win
+        ("u3", None, "D", 5),            # delete must vanish
+    ]), batch_id=1)
+    got = {
+        (r["url"], r["val"]) for r in
+        t.lookup(spark, ["u1", "u3", "missing"]).collect()
+    }
+    assert got == {("u1", "a2")}
+    assert [r["url"] for r in t.lookup(spark, ["u2"], public=True).collect()] == ["u2"]
+    assert "_lsn" not in t.lookup(spark, ["u2"], public=True).columns
+    assert t.lookup(spark, []).count() == 0
+    # time travel composes: the pre-update snapshot (create=v1,
+    # first merge=v2) still sees the original rows
+    v2 = t.lookup(spark, ["u1", "u3"], version=2)
+    assert {(r["url"], r["val"]) for r in v2.collect()} == {("u1", "a"), ("u3", "c")}
+
+
+def test_cli_lookup_verb(spark, tmp_path, capsys):
+    import json
+
+    from yadamu___yet_another_data_migration_utility_spark.cli import main
+
+    t = mk(spark, str(tmp_path / "t"), bucket_count=8)
+    t.merge(spark, batch(spark, [
+        ("u1", "a", "I", 1), ("u2", "b", "I", 2),
+    ]), batch_id=0)
+    rc = main(["lookup", "--table-root", str(tmp_path / "t"),
+               "--key", "u1", "--key", "missing", "--cpus", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["requested"] == 2 and out["found"] == 1
+    assert out["rows"][0]["url"] == "u1" and out["rows"][0]["val"] == "a"

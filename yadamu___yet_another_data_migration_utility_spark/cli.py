@@ -388,6 +388,34 @@ def cmd_plan(args) -> int:
     return 0
 
 
+def cmd_lookup(args) -> int:
+    """Point lookup: current row per key, scanning only the hashed
+    buckets (LakeTable.lookup). Keys are parsed to the merge-key
+    column's type."""
+    t = _table(args)
+    spark = _spark(args.cpus)
+    m = t.manifest(args.version)
+    ty = next(f["type"] for f in m["schema"]["fields"] if f["name"] == m["key"])
+    def parse(s: str):
+        if ty in ("byte", "short", "integer", "long"):
+            return int(s)
+        if ty in ("double", "float"):
+            return float(s)
+        return s
+    try:
+        keys = [parse(k) for k in args.key]
+    except ValueError as e:
+        print(f"error: bad key for {ty} column {m['key']!r}: {e}",
+              file=sys.stderr)
+        return 2
+    rows = t.lookup(spark, keys, version=args.version, public=True).collect()
+    print(json.dumps({
+        "key_column": m["key"], "requested": len(keys), "found": len(rows),
+        "rows": [r.asDict() for r in rows],
+    }, sort_keys=True, default=str))
+    return 0
+
+
 def cmd_describe(args) -> int:
     # manifest-only: no Spark session needed
     t = _table(args)
@@ -677,6 +705,18 @@ def build_parser() -> argparse.ArgumentParser:
                                          "(schema, layout, delta pressure)")
     sp.add_argument("--table-root", required=True)
     sp.set_defaults(fn=cmd_describe, cpus=None)
+
+    sp = sub.add_parser(
+        "lookup",
+        help="point lookup: current row per merge-key value, scanning "
+             "only the hashed buckets",
+    )
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--key", action="append", required=True,
+                    help="merge-key value (repeatable)")
+    sp.add_argument("--version", type=int, default=None)
+    common(sp)
+    sp.set_defaults(fn=cmd_lookup)
 
     sp = sub.add_parser(
         "plan",

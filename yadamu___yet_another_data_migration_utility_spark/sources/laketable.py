@@ -521,6 +521,44 @@ class LakeTable:
             m, delta_buckets, "deltas", strip=True)
         return {"plain": plain, "delta_resolved": dfiles}
 
+    def lookup(
+        self,
+        spark: SparkSession,
+        keys: list,
+        version: int | None = None,
+        public: bool = False,
+    ) -> DataFrame:
+        """POINT LOOKUP: the current row for each given merge-key value,
+        scanning ONLY the buckets those keys hash to -- the "what is
+        the state of url X" question a CDC operator asks constantly,
+        answered in O(|keys| buckets / bucket_count) of the table
+        instead of a full scan (with mor resolution applied, so the
+        answer is exactly ``read``'s).
+
+        Two Spark jobs: a constant-size job hashing the keys to bucket
+        ids (xxhash64 is JVM-side -- the one bucketing definition,
+        never reimplemented driver-side), then a bucket-pruned snapshot
+        read semi-joined against the broadcast key set. Deleted /
+        never-written keys simply yield no row."""
+        m = self.manifest(version)
+        key, nb = m["key"], m["bucket_count"]
+        schema = T.StructType.fromJson(m["schema"])
+        kt = next(f.dataType for f in schema.fields if f.name == key)
+        if not keys:
+            return spark.createDataFrame(
+                [], schema if not public
+                else T.StructType([f for f in schema.fields
+                                   if f.name != LSN_COL]))
+        kdf = spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([T.StructField(key, kt)]))
+        hit = [
+            r["_b"]
+            for r in kdf.select(_bucket_expr(key, nb).alias("_b"))
+            .distinct().collect()
+        ]
+        df = self.read(spark, version=version, buckets=hit, public=public)
+        return df.join(F.broadcast(kdf), key, "left_semi")
+
     CHANGE_COL = "_change_type"
 
     def read_changes(
