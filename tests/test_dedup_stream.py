@@ -75,6 +75,22 @@ def test_dedup_ingest_filters_corpus_and_inbatch_dups(spark, tmp_path):
     assert index.read(spark).count() == 9
 
 
+def test_later_redelivery_of_same_doc_id_is_dropped(spark, tmp_path):
+    """A source that re-emits an already-ingested doc_id in a LATER
+    batch (re-crawl) must see it collide with its own indexed
+    signatures and drop it -- the replay guard applies only to a
+    fenced batch replay, never to new batches."""
+    docs, index = _setup(tmp_path)
+    wal, ckpt = str(tmp_path / "wal"), str(tmp_path / "ckpt")
+    metrics: list[dict] = []
+    _segment(spark, wal, [(1, "u1", TS, TEXT_A)])
+    _run(spark, docs, index, wal, ckpt, metrics)
+    _segment(spark, wal, [(1, "u1", TS, TEXT_A), (7, "u7", TS, TEXT_B)])
+    _run(spark, docs, index, wal, ckpt, metrics)
+    assert metrics[-1] == {"batch_id": 1, "n_in": 2, "n_kept": 1, "n_dups": 1}
+    assert sorted(r["doc_id"] for r in docs.read(spark).collect()) == [1, 7]
+
+
 def test_cli_dedup_ingest_e2e(spark, tmp_path, capsys):
     """The dedup-ingest verb: create both tables, drain the source, drop
     the duplicate, report the split."""

@@ -300,6 +300,15 @@ def test_cli_plan_verb_explains_pruning(spark, tmp_path, capsys):
                "--range", "url:a..z"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["files_pruned"] == 0  # strings never prune
+    # boolean typos must error like every other type, not parse False
+    schema2 = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("b", T.BooleanType())]
+    )
+    t2 = LakeTable.create(str(tmp_path / "t2"), schema2, key="url", bucket_count=2)
+    t2.append(spark, spark.createDataFrame([("a", True)], schema2), batch_id=0)
+    rc = main(["plan", "--table-root", str(tmp_path / "t2"),
+               "--range", "b:maybe..true"])
+    assert rc == 2
 
 
 def test_stale_stats_format_is_quarantined(spark, tmp_path):
@@ -328,6 +337,24 @@ def test_stale_stats_format_is_quarantined(spark, tmp_path):
     # pruning works again for the freshly harvested files only
     plan = t.plan_files(ranges={"ts": (None, FEB)})
     assert all(f in jan_files for f in plan["plain"])
+
+
+def test_offset_style_session_timezone_never_crashes_reads(spark, tmp_path):
+    """Spark accepts offset-style timeZone values ZoneInfo cannot parse
+    ('+08:00'); pruning must silently stand down, never crash the read
+    -- pruning is an optimization, not a correctness dependency."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "+08:00")
+    try:
+        t = mk(str(tmp_path / "t"))
+        t.append(spark, rows(spark, JAN, "a"), batch_id=0)
+        got = t.read(spark, ranges={"ts": (MAR, None)})
+        assert got.count() == 0  # residual filter still exact
+        # ts bound unprunable under the unparseable tz -> full plan kept
+        assert n_files(t.plan_files(ranges={"ts": (MAR, None)}, tz="+08:00")) \
+            == n_files(t.plan_files())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
 
 
 def test_plan_files_validates_columns_like_read(spark, tmp_path):

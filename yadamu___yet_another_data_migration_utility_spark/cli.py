@@ -324,6 +324,32 @@ def cmd_validate(args) -> int:
     return 0 if report["ok"] else 1
 
 
+def _parse_typed(ty: str | None, s: str):
+    """Parse a CLI value to the manifest-schema type ``ty`` -- one
+    definition shared by the plan and lookup verbs. Raises ValueError
+    on malformed input (callers turn it into a clean exit 2).
+    Unsupported types (string/binary/decimal/...) pass through as raw
+    text: zone maps never prune them, so a plan stays valid."""
+    import datetime as dt
+
+    if ty in ("timestamp", "timestamp_ntz"):
+        return dt.datetime.fromisoformat(s)
+    if ty == "date":
+        return dt.date.fromisoformat(s)
+    if ty == "boolean":
+        low = s.lower()
+        if low in ("1", "true", "t", "yes"):
+            return True
+        if low in ("0", "false", "f", "no"):
+            return False
+        raise ValueError(f"not a boolean: {s!r}")
+    if ty in ("double", "float"):
+        return float(s)
+    if ty in ("byte", "short", "integer", "long"):
+        return int(s)
+    return s
+
+
 def cmd_plan(args) -> int:
     """EXPLAIN-for-files: print the exact file set a ``read`` would
     scan under the given ranges, next to the unpruned plan -- the
@@ -331,8 +357,6 @@ def cmd_plan(args) -> int:
     parsed to the COLUMN's type from the manifest schema (ISO
     timestamps/dates, numerics, booleans), matching the typed-bound
     rule the planner itself enforces. Manifest-only: no Spark session."""
-    import datetime as dt
-
     t = _table(args)
     m = t.manifest(args.version)
     types = {f["name"]: f["type"] for f in m["schema"]["fields"]}
@@ -340,20 +364,7 @@ def cmd_plan(args) -> int:
     def parse(col: str, s: str):
         if s == "":
             return None
-        ty = types.get(col)
-        if ty == "timestamp":
-            return dt.datetime.fromisoformat(s)
-        if ty == "date":
-            return dt.date.fromisoformat(s)
-        if ty == "boolean":
-            return s.lower() in ("1", "true", "t", "yes")
-        if ty in ("double", "float"):
-            return float(s)
-        if ty in ("byte", "short", "integer", "long"):
-            return int(s)
-        # string/binary/decimal/...: zone maps never prune these, so
-        # pass the raw text through -- the plan is unpruned but valid
-        return s
+        return _parse_typed(types.get(col), s)
 
     ranges = {}
     for spec in args.range:
@@ -393,21 +404,15 @@ def cmd_lookup(args) -> int:
     buckets (LakeTable.lookup). Keys are parsed to the merge-key
     column's type."""
     t = _table(args)
-    spark = _spark(args.cpus)
     m = t.manifest(args.version)
     ty = next(f["type"] for f in m["schema"]["fields"] if f["name"] == m["key"])
-    def parse(s: str):
-        if ty in ("byte", "short", "integer", "long"):
-            return int(s)
-        if ty in ("double", "float"):
-            return float(s)
-        return s
     try:
-        keys = [parse(k) for k in args.key]
+        keys = [_parse_typed(ty, k) for k in args.key]
     except ValueError as e:
         print(f"error: bad key for {ty} column {m['key']!r}: {e}",
               file=sys.stderr)
         return 2
+    spark = _spark(args.cpus)  # only after the keys validated
     rows = t.lookup(spark, keys, version=args.version, public=True).collect()
     print(json.dumps({
         "key_column": m["key"], "requested": len(keys), "found": len(rows),

@@ -556,7 +556,11 @@ class LakeTable:
             for r in kdf.select(_bucket_expr(key, nb).alias("_b"))
             .distinct().collect()
         ]
-        df = self.read(spark, version=version, buckets=hit, public=public)
+        # pin the read to the SAME manifest the buckets were computed
+        # under: a concurrent rebucket between the two reads would
+        # otherwise prune the new layout with old bucket ids and
+        # silently miss existing keys
+        df = self.read(spark, version=m["version"], buckets=hit, public=public)
         return df.join(F.broadcast(kdf), key, "left_semi")
 
     CHANGE_COL = "_change_type"
@@ -1980,9 +1984,15 @@ def _enc_bound(v: Any, kind: str | None, tz: str | None = None) -> Any:
         if not isinstance(v, _dt.datetime):
             return None
         if v.tzinfo is None:
-            from zoneinfo import ZoneInfo
+            try:
+                from zoneinfo import ZoneInfo
 
-            v = v.replace(tzinfo=ZoneInfo(tz or _session_tz()))
+                v = v.replace(tzinfo=ZoneInfo(tz or _session_tz()))
+            except Exception:
+                # Spark accepts offset-style timeZone values ('+08:00',
+                # 'GMT+8') that ZoneInfo does not: never let pruning
+                # crash a read -- just don't prune on this bound
+                return None
         v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return _enc_stat(v)
     if kind == "ntz":

@@ -483,9 +483,11 @@ def start_dedup_ingest(
        a crash between the two (or a restart replay of the whole batch)
        re-applies only the half that never committed: exactly-once with
        no cross-table coordination. The dup decision is reproducible on
-       replay: its own-batch signatures are excluded by doc_id (a
-       replay after BOTH appends committed sees them in the index), and
-       smaller-doc_id precedence settles the rest.
+       replay: a batch whose id is already fenced in the docs table
+       excludes same-doc_id index matches (its own signatures may
+       already be indexed), while a NEW batch keeps them -- a source
+       legitimately re-delivering a doc_id later still collides with
+       its indexed self and is dropped as the duplicate it is.
 
     Docs shorter than one 3-word shingle produce no signature: they are
     always kept and never indexed (nothing to collide on).
@@ -518,18 +520,26 @@ def start_dedup_ingest(
             "doc_id", "band", "h0", "h1")
         b = sig.alias("b")
         prior = idx.alias("c")
-        cand_corpus = b.join(
-            prior,
+        corpus_cond = (
             (F.col("b.band") == F.col("c.band"))
             & (F.col("b.h0") == F.col("c.h0"))
             & (F.col("b.h1") == F.col("c.h1"))
-            # a crash between the index append and the streaming
-            # checkpoint replays the batch with its OWN signatures in
-            # the index: without this guard every kept doc would match
-            # itself and the replayed metrics would report n_kept=0
-            & (F.col("c.doc_id") != F.col("b.doc_id")),
-        ).select(F.col("b.doc_id").alias("bdoc"), F.col("b.band").alias("band"),
-                 F.col("c.doc_id").alias("cdoc"))
+        )
+        # REPLAY of an already-fenced batch (crash between the index
+        # append and the streaming checkpoint) re-evaluates with the
+        # batch's OWN signatures in the index: exclude same-doc matches
+        # so the replayed decision (and metrics) reproduce the original.
+        # Only on replay -- a source legitimately re-delivering a
+        # doc_id in a LATER batch must still collide with its indexed
+        # self and be dropped as the duplicate it is.
+        replay = str(batch_id) in docs_table.manifest().get(
+            "applied_batches", {})
+        if replay:
+            corpus_cond = corpus_cond & (
+                F.col("c.doc_id") != F.col("b.doc_id"))
+        cand_corpus = b.join(prior, corpus_cond).select(
+            F.col("b.doc_id").alias("bdoc"), F.col("b.band").alias("band"),
+            F.col("c.doc_id").alias("cdoc"))
         earlier = sig.alias("e")
         cand_self = b.join(
             earlier,
