@@ -639,6 +639,73 @@ def cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_point_lookup",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn
+      FROM chg
+    ),
+    state AS (
+      SELECT url, lsn AS last_lsn, event_type, value, ts
+      FROM last WHERE rn = 1 AND op <> 'D'
+    ),
+    keys AS (SELECT DISTINCT url FROM chg ORDER BY url LIMIT 8)
+    SELECT s.url, s.last_lsn, s.event_type, s.value, s.ts
+    FROM state s JOIN keys k ON s.url = k.url
+    """,
+)
+def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT LOOKUP through the real engine: replay the changelog in 2
+    fenced mor batches, then ``LakeTable.lookup`` answers "current state
+    of these 8 urls" scanning only the buckets they hash to (plus one
+    constant-size hashing job) -- never the whole table. The oracle is
+    the declarative LWW state filtered to the same deterministic key
+    set (8 alphabetically-first urls; deleted keys yield no row in
+    both). At 100 TB this is the operator's everyday query: O(keys/
+    bucket_count) of the table instead of a scan."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_lookup_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(root, schema, key="url", bucket_count=16, overwrite=True)
+    bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    per = max(1, (hi - lo + 2) // 2)
+    for b in range(2):
+        batch = chg.filter(
+            (F.col("lsn") >= lo + b * per) & (F.col("lsn") < lo + (b + 1) * per)
+        )
+        apply_batch(table, batch, batch_id=b, run_extract=False)
+    keys = [
+        r["url"]
+        for r in chg.select("url").distinct().orderBy("url").limit(8).collect()
+    ]
+    return (
+        table.lookup(spark, keys)
+        .withColumnRenamed("_lsn", "last_lsn")
+        .select("url", "last_lsn", "event_type", "value", "ts")
+    )
+
+
+@_register(
     "cdc_timeslice_scan",
     """
     SELECT event_type,
