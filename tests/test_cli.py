@@ -298,3 +298,39 @@ def test_cli_rollup_seed_and_incremental_refresh(spark, tmp_path, capsys):
     rows = {(r["kind"], r["n_rows"], str(r["sum_value"]))
             for r in ru.read(spark).collect()}
     assert rows == {("x", 2, "6.000000")}
+
+
+def test_cli_mirror_seed_and_catch_up(spark, tmp_path, capsys):
+    import pyspark.sql.types as T
+
+    from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
+        LakeTable,
+    )
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("val", T.StringType()),
+    ])
+    root = str(tmp_path / "src")
+    rroot = str(tmp_path / "rep")
+    src = LakeTable.create(root, schema, key="url", bucket_count=4,
+                           merge_mode="mor")
+    src.merge(spark, spark.createDataFrame(
+        [("a", "v1", "I", 1), ("b", "v1", "I", 2)],
+        "url string, val string, op string, lsn long"), batch_id=0)
+
+    rc, out = _run(capsys, ["mirror", "--table-root", root,
+                            "--replica-root", rroot])
+    assert rc == 0 and out["seeded"] and out["replica_rows"] == 2
+    assert out["cursor"] == src.current_version()
+
+    src.merge(spark, spark.createDataFrame(
+        [("b", None, "D", 3), ("c", "v1", "I", 4)],
+        "url string, val string, op string, lsn long"), batch_id=1)
+    rc, out = _run(capsys, ["mirror", "--table-root", root,
+                            "--replica-root", rroot])
+    assert rc == 0 and not out["seeded"] and out["replica_rows"] == 2
+    assert out["cursor"] == src.current_version() == out["source_version"]
+    rep = LakeTable.load(rroot)
+    assert {(r["url"], r["val"]) for r in rep.read(spark, public=True).collect()} \
+        == {("a", "v1"), ("c", "v1")}

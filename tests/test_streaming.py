@@ -409,3 +409,99 @@ def test_follow_changes_randomized_op_sequence_converges(spark, tmp_path):
                             stop_at_version=t.current_version())
     assert snap(t2) == snap(t)
     assert polls >= 1  # the seed actually exercised mid-sequence polls
+
+
+# ---------------------------------------------------------------------------
+# mirror: cross-lake table replication over the CDC tail
+# ---------------------------------------------------------------------------
+
+
+def _mbatch(spark, rows):
+    return spark.createDataFrame(rows, "url string, val string, op string, lsn long")
+
+
+def test_mirror_seeds_tails_and_resumes(spark, tmp_path):
+    """mirror() seeds a replica from a snapshot, catches up through the
+    change tail, resumes from its fence-derived cursor across calls,
+    and re-running at head is a fenced no-op (no new replica commits)."""
+    from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
+        mirror,
+        mirror_cursor,
+    )
+
+    schema = spark.createDataFrame([], "url string, val string").schema
+    src = LakeTable.create(str(tmp_path / "src"), schema, key="url",
+                           bucket_count=4, merge_mode="mor")
+    src.merge(spark, _mbatch(spark, [("a", "v1", "I", 1), ("b", "v1", "I", 2)]),
+              batch_id=0)
+
+    rep_root = str(tmp_path / "rep")
+    rep, cur = mirror(spark, src, rep_root, poll_seconds=0.01)
+    assert cur == src.current_version() == mirror_cursor(rep)
+    # replica manifest copies the source's physical layout
+    rm, sm = rep.manifest(), src.manifest()
+    assert (rm["key"], rm["bucket_count"], rm.get("merge_mode")) == (
+        sm["key"], sm["bucket_count"], sm.get("merge_mode"))
+
+    def snap(t):
+        return {(r["url"], r["val"]) for r in t.read(spark, public=True).collect()}
+
+    assert snap(rep) == snap(src) == {("a", "v1"), ("b", "v1")}
+
+    # upstream keeps moving: update, delete, insert, and a compact that
+    # forces the next window onto the snapshot-diff path
+    src.merge(spark, _mbatch(spark, [("a", "v2", "U", 10), ("c", "v1", "I", 11)]),
+              batch_id=1)
+    src.merge(spark, _mbatch(spark, [("b", None, "D", 12)]), batch_id=2)
+    assert src.compact(spark, all_deltas=True) is not None
+    rep2, cur2 = mirror(spark, src, rep_root, poll_seconds=0.01)
+    assert cur2 == src.current_version()
+    assert snap(rep2) == snap(src) == {("a", "v2"), ("c", "v1")}
+
+    # idempotent: nothing new upstream -> no new replica commit
+    v_before = rep2.current_version()
+    _, cur3 = mirror(spark, src, rep_root, poll_seconds=0.01)
+    assert cur3 == cur2
+    assert LakeTable.load(rep_root).current_version() == v_before
+
+
+def test_mirror_reseeds_after_interrupted_create_and_carries_evolution(
+        spark, tmp_path):
+    """A replica whose create landed but whose seed merge never fenced
+    (crash between the two) resumes from cursor 0 -> re-seeds. Appended
+    source rows (NULL _lsn) seed at lsn 0 so later real changes win,
+    and additive schema evolution flows through the tail."""
+    from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
+        mirror,
+        mirror_cursor,
+    )
+
+    schema = spark.createDataFrame([], "url string, val string").schema
+    src = LakeTable.create(str(tmp_path / "src"), schema, key="url",
+                           bucket_count=4, merge_mode="mor")
+    # append-only rows carry NULL _lsn in the source
+    src.append(spark, spark.createDataFrame(
+        [("a", "v1"), ("b", "v1")], "url string, val string"))
+
+    rep_root = str(tmp_path / "rep")
+    # simulate the interrupted first mirror: table exists, no fence yet
+    half = LakeTable.create(rep_root, schema, key="url", bucket_count=4,
+                            merge_mode="mor")
+    assert mirror_cursor(half) == 0
+
+    rep, cur = mirror(spark, src, rep_root, poll_seconds=0.01)
+    assert cur == src.current_version()
+
+    def snap(t):
+        return {tuple(r) for r in t.read(spark, public=True).collect()}
+
+    assert snap(rep) == {("a", "v1"), ("b", "v1")}
+
+    # a real change to an appended key must beat the lsn-0 seed row,
+    # and a wider batch schema must evolve the replica additively
+    wide = spark.createDataFrame(
+        [("a", "v2", "en", "U", 5)],
+        "url string, val string, lang string, op string, lsn long")
+    src.merge(spark, wide, batch_id=1)
+    rep, _ = mirror(spark, src, rep_root, poll_seconds=0.01)
+    assert snap(rep) == snap(src) == {("a", "v2", "en"), ("b", "v1", None)}

@@ -57,6 +57,11 @@ stateless per-job; a lake table needs day-2 operations):
              run advances it incrementally to the base head (spec
              recovered from the rollup's own schema); exactly-once per
              window via the merge fence
+    mirror   incremental table replication: first run seeds a replica
+             from a source snapshot, every later run catches it up
+             through the CDC tail (cursor = the replica's own fence
+             ledger); the reference's whole-database COPY made
+             incremental and exactly-once
 
 Every Spark verb builds the standard engine session (session.get_spark)
 and reads/writes plain paths, so s3a:// URIs work where Hadoop is
@@ -498,6 +503,26 @@ def cmd_rollup(args) -> int:
     return 0
 
 
+def cmd_mirror(args) -> int:
+    from .sources.laketable import LakeTable
+    from .streaming.stream import mirror, mirror_cursor
+
+    source = _table(args)
+    spark = _spark(args.cpus)
+    existed = LakeTable.exists(args.replica_root)
+    before = mirror_cursor(LakeTable.load(args.replica_root)) if existed else 0
+    rep, cursor = mirror(
+        spark, source, args.replica_root,
+        stop_at_version=args.until, poll_seconds=0.1,
+    )
+    print(json.dumps({
+        "seeded": before == 0, "cursor": cursor,
+        "source_version": source.current_version(),
+        "replica_rows": rep.read(spark, public=True).count(),
+    }, sort_keys=True))
+    return 0
+
+
 def cmd_encrypt(args) -> int:
     from .sources.filecrypto import encrypt_file
 
@@ -772,6 +797,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "on divergence")
     common(sp)
     sp.set_defaults(fn=cmd_rollup)
+
+    sp = sub.add_parser("mirror", help="incremental replica: seed on first "
+                                       "run, CDC catch-up after")
+    sp.add_argument("--table-root", required=True, help="the source table")
+    sp.add_argument("--replica-root", required=True)
+    sp.add_argument("--until", type=int, default=None,
+                    help="stop at this source version (default: current head)")
+    common(sp)
+    sp.set_defaults(fn=cmd_mirror)
 
     for verb, fn in (("encrypt", cmd_encrypt), ("decrypt", cmd_decrypt)):
         sp = sub.add_parser(verb, help=f"{verb} a file ([IV][AES-256-CBC] envelope)")

@@ -562,6 +562,81 @@ def cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_mirror_replicate",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn FROM chg
+    )
+    SELECT url, lsn AS last_lsn, event_type, value, ts
+    FROM last WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_mirror_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lake REPLICATION: replay the changelog into a source table
+    (2 fenced mor batches), ``mirror()`` seeds a replica from the
+    snapshot, a third source batch lands, and a second ``mirror`` call
+    catches the replica up through the CDC tail (cursor = the replica's
+    own fence ledger, exactly-once). Reading the REPLICA back must
+    equal the declarative LWW final state of the whole changelog --
+    proving snapshot seed + incremental change application compose to
+    the same table a direct replay builds. This is the reference's
+    whole-database COPY (/root/reference/src/YADAMU/common/yadamu.js
+    doCopy: reader DBI -> writer DBI) made incremental: only the third
+    batch's net changes cross after the seed, O(changes) not O(table).
+    3 source batches, not 5: each mirror window adds a fenced commit
+    and the ~1 s/commit fixed cost dominates at sf0.1."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+    from ..streaming.stream import mirror
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_mirror_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = LakeTable.create(
+        os.path.join(root, "src"), schema, key="url", bucket_count=16,
+        overwrite=True,
+    )
+    bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    n_batches = 3
+    per = max(1, (hi - lo + 1 + n_batches - 1) // n_batches)
+
+    def batch(b):
+        return chg.filter(
+            (F.col("lsn") >= lo + b * per) & (F.col("lsn") < lo + (b + 1) * per)
+        )
+
+    apply_batch(src, batch(0), batch_id=0, run_extract=False)
+    apply_batch(src, batch(1), batch_id=1, run_extract=False)
+    rep_root = os.path.join(root, "rep")
+    mirror(spark, src, rep_root, poll_seconds=0.01)  # seed at the snapshot
+    apply_batch(src, batch(2), batch_id=2, run_extract=False)
+    rep, _ = mirror(spark, src, rep_root, poll_seconds=0.01)  # CDC catch-up
+    return (
+        rep.read(spark)
+        .withColumnRenamed("_lsn", "last_lsn")
+        .select("url", "last_lsn", "event_type", "value", "ts")
+    )
+
+
+@_register(
     "cdc_incremental_rollup",
     f"""
     WITH chg AS ({_CDC_SQL_SRC}),

@@ -427,6 +427,116 @@ def follow_changes(
         time.sleep(poll_seconds)
 
 
+def mirror_cursor(replica: LakeTable) -> int:
+    """Resume cursor of a mirror replica: the highest SOURCE version
+    whose change window has been fenced into the replica. ``mirror``
+    uses the source ``until`` version as the replica merge ``batch_id``,
+    so the replica's own fence ledger IS the durable cursor -- no
+    side-channel state file, the same self-describing-checkpoint trick
+    ``IncrementalRollup`` uses. Returns 0 for a replica that was
+    created but never seeded (an interrupted first ``mirror`` call --
+    the caller re-seeds)."""
+    ids = [int(b) for b in replica.manifest().get("applied_batches", {})]
+    return max(ids, default=0)
+
+
+def mirror(
+    spark: SparkSession,
+    source: LakeTable,
+    replica_root: str,
+    stop_at_version: int | None = None,
+    poll_seconds: float = 1.0,
+    max_polls: int | None = None,
+    fs=None,
+) -> tuple[LakeTable, int]:
+    """Maintain an exact REPLICA of ``source`` by tailing its change
+    stream -- the engine's CDC loop closed end-to-end (changelog ->
+    table -> changelog -> table), i.e. cross-lake table replication:
+    what Iceberg users build from a streaming changelog scan feeding
+    MERGE INTO, and what the reference performs as a whole-database
+    copy per run (/root/reference/src/YADAMU/common/yadamu.js
+    doCopy: reader DBI -> writer DBI) -- here INCREMENTAL, resumable,
+    and exactly-once instead of a full re-copy.
+
+    First call seeds the replica from a pinned source snapshot ``h``
+    (schema, key, bucket count and merge mode copied from the source
+    manifest; every row merged with its source ``_lsn`` under fence
+    ``batch_id=h``), then tails ``follow_changes`` windows, applying
+    each net change set through the replica's LSN-monotonic MERGE under
+    fence ``batch_id=until``. Because the fence and the data commit are
+    the same atomic manifest publish, a crash anywhere leaves the
+    replica either before or after a whole window -- re-running
+    ``mirror`` resumes from ``mirror_cursor`` and re-applying a
+    delivered window is a fenced no-op: exactly-once replication with
+    no checkpoint files.
+
+    Contract: additive source evolution (new columns, type widening)
+    flows through automatically -- the change read emits the current
+    schema and the replica MERGE evolves to match. Destructive changes
+    (``drop_column``) do NOT propagate (the replica keeps the column,
+    NULL-filled for rows updated after the drop): re-seed a fresh
+    replica for those, Iceberg's own guidance for non-additive
+    evolution on a streaming reader. A retention-expired window raises
+    ``read_changes``' clean ValueError and leaves the replica valid at
+    its cursor -- re-seed (delete the replica directory and call
+    ``mirror`` again) to catch up past the expired history.
+
+    Scale: seeding is one resolved snapshot read + one bucketed write;
+    each window costs O(window changes) on the delta fast path (a
+    compact/cow/append in the window falls back to the snapshot diff,
+    still correct). The replica is mirror-owned: do not merge foreign
+    batch_ids into it, they would corrupt the fence-derived cursor."""
+    if stop_at_version is None and max_polls is None:
+        # default = one catch-up sync to the head observed NOW (a live
+        # upstream writer must not turn a sync call into a daemon);
+        # pass stop_at_version/max_polls explicitly to follow longer
+        stop_at_version = source.current_version()
+    if LakeTable.exists(replica_root, fs=fs):
+        replica = LakeTable.load(replica_root, fs=fs)
+        cursor = mirror_cursor(replica)
+    else:
+        replica, cursor = None, 0
+
+    if cursor == 0:
+        # fresh replica (or a create/seed interrupted before the seed
+        # fence landed): seed from a pinned source snapshot
+        h = source.current_version()
+        if stop_at_version is not None:
+            h = min(h, stop_at_version)
+        m = source.manifest(h)
+        schema = T.StructType.fromJson(m["schema"])
+        if replica is None:
+            replica = LakeTable.create(
+                replica_root, schema, key=m["key"],
+                bucket_count=m["bucket_count"],
+                merge_mode=m.get("merge_mode", "mor"), fs=fs,
+            )
+        seed = (
+            source.read(spark, version=h)
+            # rows that only ever went through append carry NULL _lsn;
+            # 0 keeps them below every real LSN so any later change to
+            # the key wins the monotonic apply
+            .withColumn(LSN_COL, F.coalesce(F.col(LSN_COL), F.lit(0)))
+            .withColumn("_op", F.lit("U"))
+        )
+        replica.merge(spark, seed, batch_id=h, op_col="_op", lsn_col=LSN_COL)
+        cursor = h
+
+    def _apply(df, since: int, until: int) -> None:
+        batch = df.withColumn(
+            "_op",
+            F.when(F.col(LakeTable.CHANGE_COL) == "delete", "D").otherwise("U"),
+        ).drop(LakeTable.CHANGE_COL)
+        replica.merge(spark, batch, batch_id=until, op_col="_op", lsn_col=LSN_COL)
+
+    cursor = follow_changes(
+        spark, source, cursor, _apply,
+        poll_seconds=poll_seconds, max_polls=max_polls,
+        stop_at_version=stop_at_version,
+    )
+    return replica, cursor
+
+
 #: document-ingest wire schema for the dedup-on-ingest stream
 DOC_SCHEMA = T.StructType(
     [
