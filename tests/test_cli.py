@@ -334,3 +334,87 @@ def test_cli_mirror_seed_and_catch_up(spark, tmp_path, capsys):
     rep = LakeTable.load(rroot)
     assert {(r["url"], r["val"]) for r in rep.read(spark, public=True).collect()} \
         == {("a", "v1"), ("c", "v1")}
+
+
+def test_cli_delete_where(spark, tmp_path, capsys):
+    import datetime as dt
+
+    import pyspark.sql.types as T
+
+    from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
+        LakeTable,
+    )
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    root = str(tmp_path / "t")
+    t = LakeTable.create(root, schema, key="url", bucket_count=4)
+    t.append(spark, spark.createDataFrame(
+        [("a", dt.datetime(2020, 1, 15), 1.0),
+         ("b", dt.datetime(2020, 2, 15), 2.0),
+         ("c", dt.datetime(2020, 2, 16), 9.0)],
+        "url string, ts timestamp, value double"))
+
+    # condition required
+    rc, _ = _run(capsys, ["delete-where", "--table-root", root])
+    assert rc == 2
+    # bad range spec is a clean usage error (shared parser with `plan`)
+    rc, _ = _run(capsys, ["delete-where", "--table-root", root,
+                          "--range", "nope:1..2"])
+    assert rc == 2
+
+    rc, out = _run(capsys, ["delete-where", "--table-root", root,
+                            "--range", "ts:2020-02-01..2020-02-28",
+                            "--predicate", "value >= 9.0"])
+    assert rc == 0 and out["rows_deleted"] == 1 and out["version"] == 3
+    assert {r["url"] for r in LakeTable.load(root).read(spark).collect()} \
+        == {"a", "b"}
+    # no match -> no commit
+    rc, out = _run(capsys, ["delete-where", "--table-root", root,
+                            "--predicate", "value > 100"])
+    assert rc == 0 and out == {"rows_deleted": 0, "version": None}
+
+
+def test_cli_tag_refs_and_named_time_travel(spark, tmp_path, capsys):
+    import pyspark.sql.types as T
+
+    from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
+        LakeTable,
+    )
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("val", T.StringType()),
+    ])
+    root = str(tmp_path / "t")
+    t = LakeTable.create(root, schema, key="url", bucket_count=4,
+                         merge_mode="mor")
+    t.merge(spark, spark.createDataFrame(
+        [("a", "v1", "I", 1)], "url string, val string, op string, lsn long"),
+        batch_id=0)
+    v_snap = t.current_version()
+
+    rc, out = _run(capsys, ["tag", "--table-root", root, "--set", "rel-1"])
+    assert rc == 0 and out["tagged"] == "rel-1" and out["target"] == v_snap
+
+    t.merge(spark, spark.createDataFrame(
+        [("a", "v2", "U", 2)], "url string, val string, op string, lsn long"),
+        batch_id=1)
+
+    # --version accepts the tag name on lookup and plan
+    rc, out = _run(capsys, ["lookup", "--table-root", root, "--key", "a",
+                            "--version", "rel-1"])
+    assert rc == 0 and out["rows"][0]["val"] == "v1"
+    rc, out = _run(capsys, ["plan", "--table-root", root,
+                            "--version", "rel-1"])
+    assert rc == 0 and out["version"] == v_snap
+
+    rc, out = _run(capsys, ["tag", "--table-root", root])
+    assert rc == 0 and out["refs"] == {"rel-1": v_snap}
+    rc, out = _run(capsys, ["tag", "--table-root", root, "--delete", "rel-1"])
+    assert rc == 0 and out["untagged"] == "rel-1"
+    rc, _ = _run(capsys, ["tag", "--table-root", root, "--delete", "rel-1"])
+    assert rc == 2  # unknown ref is a clean error

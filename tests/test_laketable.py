@@ -733,3 +733,89 @@ def test_cli_lookup_verb(spark, tmp_path, capsys):
     assert rc == 0
     assert out["requested"] == 2 and out["found"] == 1
     assert out["rows"][0]["url"] == "u1" and out["rows"][0]["val"] == "a"
+
+
+# ---------------------------------------------------------------------------
+# named refs (tags) + timestamp time travel
+# ---------------------------------------------------------------------------
+
+
+def test_tag_names_resolve_everywhere_and_pin_expire(spark, tmp_table_root):
+    """A tag is a durable named snapshot pointer: read/lookup/manifest
+    accept the name wherever a version number is accepted, the ref
+    survives later commits (every commit path spreads the parent
+    manifest), and expire_snapshots refuses to cross the oldest tagged
+    version until the tag is dropped."""
+    t = mk(spark, tmp_table_root)
+    t.merge(spark, batch(spark, [("a", "v1", "I", 1), ("b", "v1", "I", 2)]),
+            batch_id=0)
+    v_snap = t.current_version()
+    t.tag("audit-2020")
+    assert t.refs() == {"audit-2020": v_snap}
+
+    # history keeps moving; the ref rides every commit
+    t.merge(spark, batch(spark, [("a", "v2", "U", 3)]), batch_id=1)
+    t.compact(spark, all_deltas=True)
+    assert t.refs() == {"audit-2020": v_snap}
+    assert {r["val"] for r in t.read(spark, version="audit-2020")
+            .filter(F.col("url") == "a").collect()} == {"v1"}
+    assert t.manifest("audit-2020")["version"] == v_snap
+    with pytest.raises(ValueError, match="unknown ref"):
+        t.read(spark, version="nope")
+
+    # churn enough commits that keep_last=2 would expire the tag target
+    for i in range(4):
+        t.merge(spark, batch(spark, [("c", f"v{i}", "U", 10 + i)]),
+                batch_id=10 + i)
+    rep = t.expire_snapshots(keep_last=2)
+    assert t.manifest("audit-2020")["version"] == v_snap  # still readable
+    assert {r["val"] for r in t.read(spark, version="audit-2020")
+            .filter(F.col("url") == "a").collect()} == {"v1"}
+
+    # untag releases the pin; the next expire sweeps the old history
+    t.untag("audit-2020")
+    assert t.refs() == {}
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(FileNotFoundError):
+        t.manifest(v_snap)
+    # invalid names rejected (numbers would shadow version lookups)
+    with pytest.raises(ValueError, match="bad tag name"):
+        t.tag("123")
+    with pytest.raises(ValueError, match="unknown ref"):
+        t.untag("never-was")
+
+
+def test_version_as_of_timestamp(spark, tmp_table_root):
+    """TIMESTAMP AS OF: the newest commit at or before ts; pre-history
+    timestamps raise (Iceberg contract). committed_at is second-
+    resolution UTC, so probe with explicit datetimes around it."""
+    import datetime as dt
+
+    t = mk(spark, tmp_table_root)
+    t.merge(spark, batch(spark, [("a", "v1", "I", 1)]), batch_id=0)
+    v1 = t.current_version()
+    c1 = dt.datetime.strptime(t.manifest()["committed_at"],
+                              "%Y-%m-%dT%H:%M:%SZ")
+    assert t.version_as_of(c1) == v1
+    assert t.version_as_of(c1 + dt.timedelta(hours=1)) == v1
+    # an aware timestamp converts to UTC before the compare
+    aware = (c1.replace(tzinfo=dt.timezone.utc)
+             .astimezone(dt.timezone(dt.timedelta(hours=5, minutes=30))))
+    assert t.version_as_of(aware) == v1
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        t.version_as_of(c1 - dt.timedelta(hours=1))
+
+
+def test_read_changes_tag_commit_keeps_fast_path(spark, tmp_table_root):
+    """tag/untag are data no-ops, so a window containing one stays on
+    the O(changes) delta fast path -- observable because a fast-path
+    delete carries its tombstone lsn (the diff path folds it to NULL)."""
+    t = mk(spark, tmp_table_root, merge_mode="mor")
+    t.merge(spark, batch(spark, [("a", "v1", "I", 1), ("b", "v1", "I", 2)]),
+            batch_id=0)
+    v_since = t.current_version()
+    t.tag("mid-window")
+    t.merge(spark, batch(spark, [("b", None, "D", 3)]), batch_id=1)
+    t.untag("mid-window")
+    ch = _changes(spark, t, v_since)
+    assert ch == {("b", None, 3, "delete")}, ch  # lsn present => fast path

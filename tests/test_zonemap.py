@@ -495,3 +495,74 @@ def test_numeric_ranges_and_missing_stats_are_safe(spark, tmp_path):
     # a mistyped bound must not crash the planner or wrongly prune
     plan = t.plan_files(ranges={"value": ("x", None)})
     assert n_files(plan) == n_files(t.plan_files())
+
+
+# ---------------------------------------------------------------------------
+# delete_where: predicate DELETE as a zone-pruned copy-on-write rewrite
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    """Files provably disjoint from the range carry over by reference
+    (same relative paths); only candidate files rewrite. The summary
+    reports the rewrite footprint."""
+    t = mk(str(tmp_path / "t"))
+    t.append(spark, rows(spark, JAN, "a"))
+    jan_files = {f for fl in t.manifest()["buckets"].values() for f in fl}
+    t.append(spark, rows(spark, FEB, "b"))
+    all_files = {f for fl in t.manifest()["buckets"].values() for f in fl}
+    n_feb_files = len(all_files - jan_files)
+
+    v, n = t.delete_where(spark, predicate="value >= 4.0", ranges={"ts": FEB_RANGE})
+    assert v == t.current_version() and n == 4  # b4..b7
+    m = t.manifest()
+    kept_files = {f for fl in m["buckets"].values() for f in fl}
+    assert jan_files <= kept_files  # untouched, not rewritten
+    assert m["summary"]["files_rewritten"] == n_feb_files
+    got = {r["url"] for r in t.read(spark).collect()}
+    assert got == {f"a{i}" for i in range(8)} | {f"b{i}" for i in range(4)}
+    # nothing in range -> no commit, version unchanged
+    assert t.delete_where(
+        spark, ranges={"ts": (dt.datetime(2021, 1, 1), dt.datetime(2021, 2, 1))}
+    ) == (None, 0)
+    assert t.current_version() == v
+
+
+def test_delete_where_folds_delta_buckets_and_emits_changes(spark, tmp_path):
+    """A delta-touched bucket resolves whole and folds to a fresh base
+    (deltas cleared); the commit is a snapshot-diff boundary, so
+    read_changes emits the removed rows as deletes. NULL predicate
+    evaluations keep the row (SQL DELETE semantics)."""
+    t = mk(str(tmp_path / "t"))
+    t.append(spark, rows(spark, JAN, "a"))
+    t.merge(spark, rows(spark, FEB, "a", op="U"), batch_id=1)  # all keys updated
+    t.append(spark, spark.createDataFrame(
+        [("nullv", MAR, None)], "url string, ts timestamp, value double"))
+    v_before = t.current_version()
+
+    v, n = t.delete_where(spark, predicate="value >= 6.0")
+    assert n == 2  # a6, a7 (post-update values; NULL row kept)
+    m = t.manifest()
+    assert not any(m["deltas"].values())  # folded
+    assert m["summary"]["buckets_folded"] >= 1
+    got = {(r["url"], str(r["ts"])) for r in t.read(spark, public=True)
+           .select("url", "ts").collect()}
+    assert got == {(f"a{i}", str(FEB)) for i in range(6)} | {("nullv", str(MAR))}
+
+    ch = t.read_changes(spark, v_before)
+    dels = {r["url"] for r in ch.filter(F.col("_change_type") == "delete").collect()}
+    assert dels == {"a6", "a7"}
+    # deep fsck stays clean after the fold
+    rep = t.validate(spark, deep=True)
+    assert rep["ok"], rep
+    # the NULL row is deletable by an explicit IS NULL
+    v2, n2 = t.delete_where(spark, predicate="value IS NULL")
+    assert n2 == 1
+    assert "nullv" not in {r["url"] for r in t.read(spark).collect()}
+
+
+def test_delete_where_requires_a_condition(spark, tmp_path):
+    t = mk(str(tmp_path / "t"))
+    t.append(spark, rows(spark, JAN, "a"))
+    with pytest.raises(ValueError, match="predicate and/or ranges"):
+        t.delete_where(spark)

@@ -57,6 +57,13 @@ stateless per-job; a lake table needs day-2 operations):
              run advances it incrementally to the base head (spec
              recovered from the rollup's own schema); exactly-once per
              window via the merge fence
+    tag      named snapshot refs (Iceberg tags): pin a version by name
+             for reproducible reads (--version accepts the name
+             wherever a number is accepted); a tagged version is
+             protected from expire until untagged
+    delete-where  predicate DELETE (GDPR erasure): copy-on-write rewrite
+             of matching rows, zone-map-pruned to the files that can
+             contain a match; disjoint files carry over untouched
     mirror   incremental table replication: first run seeds a replica
              from a source snapshot, every later run catches it up
              through the CDC tail (cursor = the replica's own fence
@@ -355,6 +362,32 @@ def _parse_typed(ty: str | None, s: str):
     return s
 
 
+def _parse_range_args(specs, types) -> tuple[dict | None, str | None]:
+    """Parse repeated ``--range COL:LO..HI`` specs against the schema's
+    column types ('..' delimits bounds because ISO timestamps contain
+    ':'; an empty LO/HI is an open end). Returns (ranges, None) or
+    (None, error message) -- shared by the plan and delete-where verbs
+    so the CLI's typed-bound rule cannot drift between them."""
+    ranges = {}
+    for spec in specs:
+        col, sep, rest = spec.partition(":")
+        lo, sep2, hi = rest.partition("..")
+        if not sep or not sep2:
+            return None, (f"error: bad --range {spec!r} (want COL:LO..HI; "
+                          "leave LO or HI empty for an open end)")
+        if col not in types:
+            return None, f"error: unknown column {col!r}"
+        try:
+            ranges[col] = (
+                None if lo == "" else _parse_typed(types[col], lo),
+                None if hi == "" else _parse_typed(types[col], hi),
+            )
+        except ValueError as e:
+            return None, (f"error: bad bound in --range {spec!r} for "
+                          f"{types[col]} column {col!r}: {e}")
+    return ranges, None
+
+
 def cmd_plan(args) -> int:
     """EXPLAIN-for-files: print the exact file set a ``read`` would
     scan under the given ranges, next to the unpruned plan -- the
@@ -365,31 +398,10 @@ def cmd_plan(args) -> int:
     t = _table(args)
     m = t.manifest(args.version)
     types = {f["name"]: f["type"] for f in m["schema"]["fields"]}
-
-    def parse(col: str, s: str):
-        if s == "":
-            return None
-        return _parse_typed(types.get(col), s)
-
-    ranges = {}
-    for spec in args.range:
-        # 'COL:LO..HI' -- ':' cannot delimit bounds because ISO
-        # timestamps contain it ('ts:2020-03-01T12:30:00..2020-04-01')
-        col, sep, rest = spec.partition(":")
-        lo, sep2, hi = rest.partition("..")
-        if not sep or not sep2:
-            print(f"error: bad --range {spec!r} (want COL:LO..HI; "
-                  "leave LO or HI empty for an open end)", file=sys.stderr)
-            return 2
-        if col not in types:
-            print(f"error: unknown column {col!r}", file=sys.stderr)
-            return 2
-        try:
-            ranges[col] = (parse(col, lo), parse(col, hi))
-        except ValueError as e:
-            print(f"error: bad bound in --range {spec!r} for "
-                  f"{types[col]} column {col!r}: {e}", file=sys.stderr)
-            return 2
+    ranges, err = _parse_range_args(args.range, types)
+    if err:
+        print(err, file=sys.stderr)
+        return 2
     full = t.plan_files(version=args.version)
     pruned = t.plan_files(version=args.version, ranges=ranges or None)
     n = lambda p: len(p["plain"]) + len(p["delta_resolved"])  # noqa: E731
@@ -447,6 +459,7 @@ def cmd_describe(args) -> int:
         "last_operation": (m.get("summary") or {}).get("operation")
         or (m.get("audit") or {}).get("operation"),
         "committed_at": m.get("committed_at"),
+        "refs": m.get("refs", {}),
     }, sort_keys=True))
     return 0
 
@@ -499,6 +512,57 @@ def cmd_rollup(args) -> int:
         out["verify"] = report
         print(json.dumps(out, sort_keys=True))
         return 0 if report["ok"] else 1
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
+def _version_arg(s: str):
+    """A ``--version`` value: a version number or a tag name."""
+    return int(s) if s.isdigit() else s
+
+
+def cmd_tag(args) -> int:
+    """Named refs (Iceberg tags): --set pins a snapshot by name (and
+    protects it from expire), --delete releases it, default lists.
+    Manifest-only except the tag/untag commit itself (no Spark job)."""
+    t = _table(args)
+    try:
+        if args.set:
+            v = t.tag(args.set, version=args.version)
+            print(json.dumps({"tagged": args.set,
+                              "target": t.resolve_ref(args.set),
+                              "version": v}, sort_keys=True))
+        elif args.delete:
+            v = t.untag(args.delete)
+            print(json.dumps({"untagged": args.delete, "version": v},
+                             sort_keys=True))
+        else:
+            print(json.dumps({"refs": t.refs()}, sort_keys=True))
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    return 0
+
+
+def cmd_delete_where(args) -> int:
+    t = _table(args)
+    m = t.manifest()
+    types = {f["name"]: f["type"] for f in m["schema"]["fields"]}
+    ranges, err = _parse_range_args(args.range, types)
+    if err:
+        print(err, file=sys.stderr)
+        return 2
+    if not args.predicate and not ranges:
+        print("error: need --predicate and/or --range", file=sys.stderr)
+        return 2
+    spark = _spark(args.cpus)
+    v, n = t.delete_where(spark, predicate=args.predicate,
+                          ranges=ranges or None)
+    out = {"rows_deleted": n, "version": v}
+    if v is not None:
+        s = t.manifest()["summary"]
+        out.update(files_rewritten=s["files_rewritten"],
+                   buckets_folded=s["buckets_folded"])
     print(json.dumps(out, sort_keys=True))
     return 0
 
@@ -736,6 +800,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table-root", required=True)
     sp.set_defaults(fn=cmd_describe, cpus=None)
 
+    sp = sub.add_parser("tag", help="named snapshot refs: --set pins a "
+                                    "version by name (protected from "
+                                    "expire), --delete releases, "
+                                    "default lists")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--set", default=None, metavar="NAME")
+    sp.add_argument("--version", type=int, default=None,
+                    help="target version for --set (default: head)")
+    sp.add_argument("--delete", default=None, metavar="NAME")
+    sp.set_defaults(fn=cmd_tag, cpus=None)
+
     sp = sub.add_parser(
         "lookup",
         help="point lookup: current row per merge-key value, scanning "
@@ -744,7 +819,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table-root", required=True)
     sp.add_argument("--key", action="append", required=True,
                     help="merge-key value (repeatable)")
-    sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--version", type=_version_arg, default=None,
+                    help="version number or tag name")
     common(sp)
     sp.set_defaults(fn=cmd_lookup)
 
@@ -754,7 +830,8 @@ def build_parser() -> argparse.ArgumentParser:
              "with zone-map range pruning -- manifest-only, no Spark",
     )
     sp.add_argument("--table-root", required=True)
-    sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--version", type=_version_arg, default=None,
+                    help="version number or tag name")
     sp.add_argument(
         "--range", action="append", default=[], metavar="COL:LO..HI",
         help="inclusive range on a column (repeatable); leave LO or HI "
@@ -797,6 +874,19 @@ def build_parser() -> argparse.ArgumentParser:
                          "on divergence")
     common(sp)
     sp.set_defaults(fn=cmd_rollup)
+
+    sp = sub.add_parser("delete-where",
+                        help="predicate DELETE: file-pruned copy-on-write "
+                             "rewrite of matching rows")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--predicate", default=None,
+                    help="SQL boolean expression over the table's columns")
+    sp.add_argument("--range", action="append", default=[],
+                    metavar="COL:LO..HI",
+                    help="inclusive bound; also prunes the rewrite to "
+                         "files that can match (repeatable)")
+    common(sp)
+    sp.set_defaults(fn=cmd_delete_where)
 
     sp = sub.add_parser("mirror", help="incremental replica: seed on first "
                                        "run, CDC catch-up after")

@@ -562,6 +562,127 @@ def cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_time_travel_tag",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    bounds AS (SELECT MIN(lsn) AS lo, MAX(lsn) AS hi FROM chg),
+    win AS (
+      SELECT c.* FROM chg c, bounds b
+      WHERE c.lsn < b.lo + 2 * ((b.hi - b.lo + 1 + 2) // 3)
+    ),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn FROM win
+    )
+    SELECT url, lsn AS last_lsn, event_type, value, ts
+    FROM last WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_time_travel_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL BY NAME: replay the changelog in 3 fenced mor
+    batches, ``tag()`` the snapshot after batch 2 ("pre-batch-3" -- a
+    metadata-only commit riding the manifest), let batch 3 land, then
+    ``read(version="pre-batch-3")`` resolves the name and reads the
+    pinned snapshot. The oracle recomputes the first-two-batches LWW
+    state declaratively, so a match proves named-ref resolution returns
+    exactly the tagged version's state even after later commits --
+    Iceberg's CREATE TAG + VERSION AS OF, the audit/repro-read surface
+    a lakehouse user reaches for first."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_tag_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(root, schema, key="url", bucket_count=16, overwrite=True)
+    bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    per = max(1, (hi - lo + 1 + 2) // 3)
+    for b in range(3):
+        batch = chg.filter(
+            (F.col("lsn") >= lo + b * per) & (F.col("lsn") < lo + (b + 1) * per)
+        )
+        apply_batch(table, batch, batch_id=b, run_extract=False)
+        if b == 1:
+            table.tag("pre-batch-3")
+    return (
+        table.read(spark, version="pre-batch-3")
+        .withColumnRenamed("_lsn", "last_lsn")
+        .select("url", "last_lsn", "event_type", "value", "ts")
+    )
+
+
+@_register(
+    "cdc_predicate_delete",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn FROM chg
+    )
+    SELECT url, lsn AS last_lsn, event_type, value, ts
+    FROM last
+    WHERE rn = 1 AND op <> 'D'
+      AND NOT COALESCE(value >= 0.5 AND event_type = 'click', FALSE)
+    """,
+)
+def cdc_predicate_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE (GDPR erasure): replay the changelog into a
+    lake table in one fenced batch, then ``delete_where`` removes every
+    current click row with value >= 0.5 -- the ``ranges`` half prunes
+    the rewrite with the manifest zone maps (only files that can hold
+    value >= 0.5 are read), the ``predicate`` half applies the exact
+    condition; NULL evaluations keep the row (SQL DELETE). The oracle
+    filters the declarative LWW final state by the same condition, so a
+    match proves the file-pruned copy-on-write rewrite deletes exactly
+    the predicate's rows and nothing else. Iceberg's copy-on-write
+    row-level delete; no reference analogue (insert-only per job)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_del_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(root, schema, key="url", bucket_count=16, overwrite=True)
+    apply_batch(table, chg, batch_id=0, run_extract=False)
+    table.delete_where(spark, predicate="event_type = 'click'",
+                       ranges={"value": (0.5, None)})
+    return (
+        table.read(spark)
+        .withColumnRenamed("_lsn", "last_lsn")
+        .select("url", "last_lsn", "event_type", "value", "ts")
+    )
+
+
+@_register(
     "cdc_mirror_replicate",
     f"""
     WITH chg AS ({_CDC_SQL_SRC}),

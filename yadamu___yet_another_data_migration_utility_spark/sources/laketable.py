@@ -267,12 +267,112 @@ class LakeTable:
             v += 1
         return v
 
-    def manifest(self, version: int | None = None) -> dict[str, Any]:
+    def manifest(self, version: int | str | None = None) -> dict[str, Any]:
+        """Load a manifest. ``version`` may be an int, None (head), or a
+        TAG NAME (str) -- tags resolve through the head manifest's
+        ``refs``, so ``read(version="v2024-audit")`` time-travels by
+        name everywhere a version number is accepted."""
+        if isinstance(version, str):
+            version = self.resolve_ref(version)
         v = self.current_version() if version is None else version
         return json.loads(self.fs.read_text(self._manifest_path(v)))
 
     def merge_mode(self) -> str:
         return self.manifest().get("merge_mode", "cow")
+
+    # ------------------------------------------------------------------
+    # named refs (Iceberg tags) + timestamp time travel
+    # ------------------------------------------------------------------
+    def refs(self) -> dict[str, int]:
+        """Current named refs: ``{tag_name: version}``."""
+        return dict(self.manifest().get("refs", {}))
+
+    def resolve_ref(self, name: str) -> int:
+        r = self.manifest().get("refs", {})
+        if name not in r:
+            raise ValueError(
+                f"unknown ref {name!r} (have: {sorted(r) or 'none'})")
+        return int(r[name])
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Create or move a named ref to ``version`` (default: head) --
+        Iceberg's ``CREATE TAG``: a durable, human-named snapshot
+        pointer for audits and reproducible reads. The ref rides the
+        manifest, so setting it is a metadata-only commit (no Spark
+        job, no data files) that rebases onto any concurrent commit,
+        and ``expire_snapshots`` will NOT expire at or past a tagged
+        version -- a tag pins its snapshot's history until untagged.
+        Returns the new table version."""
+        if not name or name.isdigit() or not all(
+                c.isalnum() or c in "._-" for c in name):
+            raise ValueError(
+                f"bad tag name {name!r}: need [A-Za-z0-9._-]+, not all digits")
+        m = self.manifest()
+        target = m["version"] if version is None else int(version)
+        self.manifest(target)  # must exist (raises if expired/unknown)
+
+        def build(mp: dict[str, Any]) -> dict[str, Any]:
+            v = mp["version"] + 1
+            return {
+                **mp,
+                "version": v,
+                "parent": mp["version"],
+                "refs": {**mp.get("refs", {}), name: target},
+                "audit": None,
+                "lineage": [],
+                "summary": {"operation": "tag", "name": name,
+                            "target": target},
+                "committed_at": _utc_now_iso(),
+            }
+
+        return self._commit_with_rebase(m, build)["version"]
+
+    def untag(self, name: str) -> int:
+        """Drop a named ref (its snapshot becomes expirable again)."""
+        m = self.manifest()
+        if name not in m.get("refs", {}):
+            raise ValueError(f"unknown ref {name!r}")
+
+        def build(mp: dict[str, Any]) -> dict[str, Any]:
+            refs = {k: v for k, v in mp.get("refs", {}).items() if k != name}
+            v = mp["version"] + 1
+            return {
+                **mp,
+                "version": v,
+                "parent": mp["version"],
+                "refs": refs,
+                "audit": None,
+                "lineage": [],
+                "summary": {"operation": "untag", "name": name},
+                "committed_at": _utc_now_iso(),
+            }
+
+        return self._commit_with_rebase(m, build)["version"]
+
+    def version_as_of(self, ts) -> int:
+        """``TIMESTAMP AS OF``: the newest version whose commit landed
+        at or before ``ts`` (datetime; naive = UTC, matching the
+        manifests' UTC ``committed_at`` stamps -- second resolution).
+        Raises when every retained commit is newer (or that history has
+        been expired): Iceberg's contract for a pre-history timestamp.
+        Driver-side parent walk, O(versions back), no Spark job."""
+        import datetime as _dt
+
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        v: int | None = self.current_version()
+        while v is not None:
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                break  # expired history
+            committed = _dt.datetime.strptime(
+                m["committed_at"], "%Y-%m-%dT%H:%M:%SZ")
+            if committed <= ts:
+                return m["version"]
+            v = m["parent"]
+        raise ValueError(
+            f"no retained snapshot at or before {ts.isoformat()}Z")
 
     def _write_manifest(self, manifest: dict[str, Any], expected_parent: int | None) -> None:
         """Atomic commit: exclusively PUBLISH the immutable vN.json --
@@ -644,17 +744,19 @@ class LakeTable:
 
         m_since = _mf(since_version)  # window start must be retained too
 
-        # window ops: mor merges / skips keep the fast path; anything
-        # else (compact, append, cow or mode-override merge) diffs.
-        # Each commit's ACTUAL mode is checked from its audit row -- the
-        # table-level merge_mode property can be overridden per merge.
+        # window ops: mor merges and data no-ops (skip, tag/untag) keep
+        # the fast path; anything else (compact, append, cow or
+        # mode-override merge) diffs. Each commit's ACTUAL mode is
+        # checked from its audit row -- the table-level merge_mode
+        # property can be overridden per merge.
         fast_ok = True
         v: int | None = until
         while v is not None and v > since_version:
             m = _mf(v)
             audit = m.get("audit") or {}
             op = audit.get("operation") or m.get("summary", {}).get("operation")
-            if not (op == "skip" or (op == "merge" and audit.get("mode") == "mor")):
+            if not (op in ("skip", "tag", "untag")
+                    or (op == "merge" and audit.get("mode") == "mor")):
                 fast_ok = False
             v = m["parent"]
 
@@ -1406,6 +1508,137 @@ class LakeTable:
             raise
         return v
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: str | None = None,
+        ranges: dict[str, tuple] | None = None,
+    ) -> tuple[int | None, int]:
+        """Predicate DELETE (``DELETE FROM t WHERE ...``) as a
+        file-pruned copy-on-write rewrite -- the GDPR/right-to-erasure
+        day-2 operation (Iceberg: copy-on-write row-level delete; the
+        reference has no analogue, it is insert-only per job). Returns
+        ``(new_version | None, rows_deleted)``; no commit when nothing
+        matches.
+
+        The deletion condition is the AND of ``ranges`` (same inclusive
+        ``{col: (lo, hi)}`` dict ``read`` takes) and ``predicate`` (a
+        SQL boolean expression over the table's columns). NULL
+        evaluates to not-deleted, SQL DELETE semantics.
+
+        Scale: ``ranges`` drives the manifest zone maps through the one
+        shared ``_plan_scan`` planner, so only FILES that can contain a
+        match are read and rewritten -- every provably-disjoint file
+        carries over by reference, untouched. A delta-touched bucket
+        that may match is resolved whole (LWW must see the bucket
+        entire) and folded to a fresh base, deltas cleared -- an
+        implicit per-bucket compact. With only ``predicate`` given
+        there is nothing to prune on and the whole table rewrites:
+        pass the range bounds you know. Like compact, the rewrite
+        folds a pinned snapshot and cannot rebase: a concurrent commit
+        aborts it cleanly (re-run).
+
+        Downstream: the commit is neither a merge nor a skip, so a
+        ``read_changes`` window crossing it takes the snapshot-diff
+        path and emits the removed rows as ``delete`` changes --
+        ``mirror`` replicas converge without special handling. A later
+        CDC update for a deleted key re-inserts it (NOT MATCHED ->
+        INSERT), standard MERGE semantics."""
+        if predicate is None and not ranges:
+            raise ValueError(
+                "delete_where needs a predicate and/or ranges "
+                "(an unconditional delete is not a delete, truncate "
+                "by recreating the table)")
+        from pyspark.sql import Observation
+
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        plain_rel, delta_buckets = self._plan_scan(m, None, ranges, tz=tz)
+        if not plain_rel and not delta_buckets:
+            return None, 0
+
+        cond = F.lit(True)
+        if ranges:
+            for col, (lo, hi) in ranges.items():
+                if lo is not None:
+                    cond = cond & (F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    cond = cond & (F.col(col) <= F.lit(hi))
+        if predicate is not None:
+            cond = cond & F.expr(predicate)
+        matched = F.coalesce(cond, F.lit(False))
+
+        parts: list[DataFrame] = []
+        if plain_rel:
+            files = [self.fs.spark_path(os.path.join(self.root, f))
+                     for f in plain_rel]
+            parts.append(spark.read.schema(schema).parquet(*files))
+        if delta_buckets:
+            # pinned to THIS manifest (self.read would re-plan the head)
+            rs = T.StructType(list(schema.fields)
+                              + [T.StructField(DELETED_COL, T.BooleanType())])
+            files = (self._files(m, delta_buckets)
+                     + self._files(m, delta_buckets, "deltas"))
+            raw = spark.read.schema(rs).parquet(*files)
+            parts.append(_resolve(raw, m["key"], schema))
+        cand = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+
+        obs = Observation(f"delete_where_{m['version'] + 1}")
+        kept = (
+            cand.observe(
+                obs, F.sum(matched.cast("long")).alias("dels"))
+            .filter(~matched)
+        )
+        new_files, n_kept, out_dir = self._write_bucketed(spark, kept, m)
+        n_deleted = int(obs.get["dels"] or 0)
+        if n_deleted == 0:
+            # zone maps over-approximate: candidates held no real match.
+            # Drop the rewrite -- a no-op commit would pollute history.
+            self.fs.rmtree(out_dir)
+            return None, 0
+
+        _, zone = _footer_stats(self.fs, self.root, new_files, schema=schema)
+        plain_set = set(plain_rel)
+        buckets: dict[str, list[str]] = {}
+        for b, fl in m["buckets"].items():
+            carry = [] if int(b) in delta_buckets else \
+                [f for f in fl if f not in plain_set]
+            buckets[b] = carry + new_files.get(b, [])
+        for b, fl in new_files.items():  # delta-only buckets w/o a base
+            buckets.setdefault(b, fl)
+        deltas = {k: list(fl) for k, fl in m.get("deltas", {}).items()}
+        for b in delta_buckets:
+            deltas[str(b)] = []
+        v = m["version"] + 1
+        manifest = {
+            **m,
+            "version": v,
+            "parent": m["version"],
+            "buckets": buckets,
+            "deltas": deltas,
+            "audit": None,
+            "lineage": [],
+            "stats": {**_inherit_stats(m), **zone},
+            "summary": {
+                "operation": "delete_where",
+                "rows_deleted": n_deleted,
+                "predicate": predicate,
+                "ranges": {c: [None if b is None else str(b) for b in bb]
+                           for c, bb in (ranges or {}).items()},
+                "files_rewritten": len(plain_rel),
+                "buckets_folded": len(delta_buckets),
+            },
+            "committed_at": _utc_now_iso(),
+        }
+        try:
+            # like compact: rewrites a snapshot, cannot rebase
+            self._write_manifest(manifest, expected_parent=m["version"])
+        except CommitConflict:
+            self.fs.rmtree(out_dir)
+            raise
+        return v, n_deleted
+
     def validate(self, spark: SparkSession | None = None,
                  deep: bool = False) -> dict[str, Any]:
         """Table fsck -- the day-2 health check after crashes, manual
@@ -1624,7 +1857,9 @@ class LakeTable:
         manifests older than the newest ``keep_last`` versions and
         delete data files no retained version references. Without this,
         time travel accumulates every file ever written -- at 100 TB
-        retention is not optional.
+        retention is not optional. Named refs PIN history: nothing at
+        or newer than the oldest tagged version is expired (untag to
+        release it).
 
         Exactly-once is unaffected: the fence ledger (applied_batches)
         rides the CURRENT manifest, not the expired history. The audit
@@ -1652,9 +1887,15 @@ class LakeTable:
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         current = self.current_version()
+        # tags pin history: retention never crosses the oldest tagged
+        # version (Iceberg: expire_snapshots keeps referenced snapshots)
+        floor = min(self.manifest().get("refs", {}).values(), default=None)
         retained: list[dict[str, Any]] = []
         v: int | None = current
-        while v is not None and len(retained) < keep_last:
+        while v is not None and (
+            len(retained) < keep_last
+            or (floor is not None and v >= floor)
+        ):
             try:
                 m = self.manifest(v)
             except FileNotFoundError:
