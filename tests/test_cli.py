@@ -418,3 +418,38 @@ def test_cli_tag_refs_and_named_time_travel(spark, tmp_path, capsys):
     assert rc == 0 and out["untagged"] == "rel-1"
     rc, _ = _run(capsys, ["tag", "--table-root", root, "--delete", "rel-1"])
     assert rc == 2  # unknown ref is a clean error
+
+
+def test_cli_update_where(spark, tmp_path, capsys):
+    import pyspark.sql.types as T
+
+    from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
+        LakeTable,
+    )
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    root = str(tmp_path / "t")
+    t = LakeTable.create(root, schema, key="url", bucket_count=4)
+    t.append(spark, spark.createDataFrame(
+        [("a", "en", 1.0), ("b", "xx", 2.0), ("c", "xx", 9.0)],
+        "url string, lang string, value double"))
+
+    rc, _ = _run(capsys, ["update-where", "--table-root", root,
+                          "--set", "lang='de'"])
+    assert rc == 2  # condition required
+    rc, _ = _run(capsys, ["update-where", "--table-root", root,
+                          "--set", "url='x'", "--predicate", "true"])
+    assert rc == 2  # key is locked -> clean error
+
+    rc, out = _run(capsys, ["update-where", "--table-root", root,
+                            "--set", "lang = 'und'",
+                            "--set", "value = value * 2",
+                            "--predicate", "lang = 'xx'"])
+    assert rc == 0 and out["rows_updated"] == 2 and out["version"] == 3
+    got = {(r["url"], r["lang"], float(r["value"]))
+           for r in LakeTable.load(root).read(spark, public=True).collect()}
+    assert got == {("a", "en", 1.0), ("b", "und", 4.0), ("c", "und", 18.0)}

@@ -505,3 +505,80 @@ def test_mirror_reseeds_after_interrupted_create_and_carries_evolution(
     src.merge(spark, wide, batch_id=1)
     rep, _ = mirror(spark, src, rep_root, poll_seconds=0.01)
     assert snap(rep) == snap(src) == {("a", "v2", "en"), ("b", "v1", None)}
+
+
+def test_follow_changes_stress_with_rewrites_and_tags(spark, tmp_path):
+    """Second randomized CDC-loop stress, biased to the NEW day-2 ops:
+    the writer interleaves merges with delete_where, update_where,
+    compactions and tag/untag; a tail consumer applies every window
+    through the real merge. The copy must equal the source at every
+    poll. The writer allocates LSNs strictly above the audit chain
+    after each rewrite (a monotonic WAL always satisfies this)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
+        follow_changes,
+    )
+
+    rng = random.Random(4242)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "url string, val string, op string, lsn long")
+
+    schema = spark.createDataFrame([], "url string, val string").schema
+    t = LakeTable.create(str(tmp_path / "src"), schema, key="url", bucket_count=4)
+    t2 = LakeTable.create(str(tmp_path / "dst"), schema, key="url", bucket_count=4)
+    seed_rows = [(f"u{i}", f"w{i % 3}", "I", i + 1) for i in range(24)]
+    t.merge(spark, batch(seed_rows), batch_id=0)
+    t2.merge(spark, batch(seed_rows), batch_id=0)
+    cursor, lsn, bid, polls, tagged = t.current_version(), 100, 1, 0, False
+
+    def consume(df, since, until):
+        ch = df.select(
+            "url", "val",
+            F.when(F.col("_change_type") == "delete", "D").otherwise("U").alias("op"),
+            F.col("_lsn").alias("lsn"),
+        )
+        t2.merge(spark, ch, batch_id=1000 + until)
+
+    def snap(tbl):
+        return {(r["url"], r["val"]) for r in tbl.read(spark).collect()}
+
+    ops = ["merge", "merge", "delete_where", "update_where", "compact",
+           "tag", "poll"]
+    for step in range(14):
+        op = rng.choice(ops)
+        if op == "merge":
+            rows = {}
+            for _ in range(rng.randint(1, 3)):
+                u = f"u{rng.randint(0, 30)}"
+                rows[u] = (u, f"v{lsn}", "U", lsn)
+                lsn += 1
+            t.merge(spark, batch(list(rows.values())), batch_id=bid)
+            bid += 1
+        elif op == "delete_where":
+            t.delete_where(spark, predicate=f"val = 'w{rng.randint(0, 2)}'")
+            lsn += 50  # stay above the synthetic stamps
+        elif op == "update_where":
+            t.update_where(spark, {"val": "concat(val, '+')"},
+                           predicate=f"url like 'u{rng.randint(0, 2)}%'")
+            lsn += 50
+        elif op == "compact":
+            t.compact(spark, all_deltas=True)
+        elif op == "tag":
+            if tagged:
+                t.untag("stress")
+            else:
+                t.tag("stress")
+            tagged = not tagged
+        else:
+            cursor = follow_changes(spark, t, cursor, consume, poll_seconds=0.01,
+                                    stop_at_version=t.current_version())
+            polls += 1
+            assert snap(t2) == snap(t), f"diverged at step {step}"
+    cursor = follow_changes(spark, t, cursor, consume, poll_seconds=0.01,
+                            stop_at_version=t.current_version())
+    assert snap(t2) == snap(t)
+    assert polls >= 1

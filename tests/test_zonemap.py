@@ -566,3 +566,66 @@ def test_delete_where_requires_a_condition(spark, tmp_path):
     t.append(spark, rows(spark, JAN, "a"))
     with pytest.raises(ValueError, match="predicate and/or ranges"):
         t.delete_where(spark)
+
+
+def test_update_where_old_row_semantics_and_pruning(spark, tmp_path):
+    """UPDATE assignments all evaluate against the OLD row (one select,
+    not chained rewrites), results cast back to the column type, and
+    the rewrite is pruned to candidate files like delete_where. Updated
+    rows get a fresh _lsn above the audit chain; untouched rows keep
+    theirs."""
+    t = mk(str(tmp_path / "t"))
+    t.append(spark, rows(spark, JAN, "a"))
+    jan_files = {f for fl in t.manifest()["buckets"].values() for f in fl}
+    t.append(spark, rows(spark, FEB, "b"))
+
+    # both assignment operands come from the OLD row; the results cast
+    # back to the columns' types so the schema never drifts
+    v, n = t.update_where(
+        spark, {"value": "value + 100", "ts": "ts + INTERVAL 1 DAY"},
+        predicate="value >= 6.0", ranges={"ts": FEB_RANGE})
+    assert n == 2  # b6, b7
+    m = t.manifest()
+    assert m["summary"]["operation"] == "update_where"
+    assert m["summary"]["rows_updated"] == 2
+    # JAN files are provably disjoint from FEB_RANGE -> carried over
+    assert jan_files <= {f for fl in m["buckets"].values() for f in fl}
+    got = {r["url"]: (float(r["value"]), r["ts"].day, r["_lsn"])
+           for r in t.read(spark).collect()}
+    assert got["b6"][0] == 106.0 and got["b6"][1] == FEB.day + 1
+    assert got["b7"][0] == 107.0 and got["b7"][1] == FEB.day + 1
+    assert got["b5"] == (5.0, FEB.day, None)  # untouched append row
+    # updated rows got the fresh stamp (chain is empty -> 1)
+    assert got["b6"][2] == got["b7"][2] == 1
+
+    # locked columns and unknown columns are clean errors
+    with pytest.raises(ValueError, match="merge key / engine"):
+        t.update_where(spark, {"url": "'x'"}, predicate="true")
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where(spark, {"nope": "1"}, predicate="true")
+    with pytest.raises(ValueError, match="at least one assignment"):
+        t.update_where(spark, {}, predicate="true")
+
+
+def test_update_where_propagates_through_mirror(spark, tmp_path):
+    """The fresh-LSN stamp makes an out-of-band UPDATE win the
+    downstream monotonic apply: a mirror replica converges to the
+    updated value across the snapshot-diff window."""
+    from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
+        mirror,
+    )
+
+    t = mk(str(tmp_path / "src"))
+    t.merge(spark, rows(spark, JAN, "a", n=4, op="I"), batch_id=0)
+    rep_root = str(tmp_path / "rep")
+    mirror(spark, t, rep_root, poll_seconds=0.01)
+
+    v, n = t.update_where(spark, {"value": "value * 10"},
+                          predicate="value >= 2.0")
+    assert n == 2  # a2, a3
+    rep, _ = mirror(spark, t, rep_root, poll_seconds=0.01)
+    src = {(r["url"], float(r["value"])) for r in t.read(spark, public=True)
+           .select("url", "value").collect()}
+    dst = {(r["url"], float(r["value"])) for r in rep.read(spark, public=True)
+           .select("url", "value").collect()}
+    assert src == dst == {("a0", 0.0), ("a1", 1.0), ("a2", 20.0), ("a3", 30.0)}

@@ -64,6 +64,10 @@ stateless per-job; a lake table needs day-2 operations):
     delete-where  predicate DELETE (GDPR erasure): copy-on-write rewrite
              of matching rows, zone-map-pruned to the files that can
              contain a match; disjoint files carry over untouched
+    update-where  predicate UPDATE (out-of-band correction): the same
+             pruned rewrite assigning columns from SQL expressions over
+             the old row; updated rows get a fresh LSN so the change
+             wins downstream (mirror converges)
     mirror   incremental table replication: first run seeds a replica
              from a source snapshot, every later run catches it up
              through the CDC tail (cursor = the replica's own fence
@@ -567,6 +571,41 @@ def cmd_delete_where(args) -> int:
     return 0
 
 
+def cmd_update_where(args) -> int:
+    t = _table(args)
+    m = t.manifest()
+    types = {f["name"]: f["type"] for f in m["schema"]["fields"]}
+    ranges, err = _parse_range_args(args.range, types)
+    if err:
+        print(err, file=sys.stderr)
+        return 2
+    assignments = {}
+    for spec in args.set:
+        col, sep, expr = spec.partition("=")
+        if not sep or not col.strip() or not expr.strip():
+            print(f"error: bad --set {spec!r} (want COL=EXPR)",
+                  file=sys.stderr)
+            return 2
+        assignments[col.strip()] = expr.strip()
+    if not args.predicate and not ranges:
+        print("error: need --predicate and/or --range", file=sys.stderr)
+        return 2
+    spark = _spark(args.cpus)
+    try:
+        v, n = t.update_where(spark, assignments, predicate=args.predicate,
+                              ranges=ranges or None)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    out = {"rows_updated": n, "version": v}
+    if v is not None:
+        s = t.manifest()["summary"]
+        out.update(files_rewritten=s["files_rewritten"],
+                   buckets_folded=s["buckets_folded"])
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
 def cmd_mirror(args) -> int:
     from .sources.laketable import LakeTable
     from .streaming.stream import mirror, mirror_cursor
@@ -887,6 +926,22 @@ def build_parser() -> argparse.ArgumentParser:
                          "files that can match (repeatable)")
     common(sp)
     sp.set_defaults(fn=cmd_delete_where)
+
+    sp = sub.add_parser("update-where",
+                        help="predicate UPDATE: file-pruned copy-on-write "
+                             "rewrite assigning columns on matching rows")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--set", action="append", required=True,
+                    metavar="COL=EXPR",
+                    help="SQL expression over the OLD row (repeatable)")
+    sp.add_argument("--predicate", default=None,
+                    help="SQL boolean expression over the table's columns")
+    sp.add_argument("--range", action="append", default=[],
+                    metavar="COL:LO..HI",
+                    help="inclusive bound; also prunes the rewrite to "
+                         "files that can match (repeatable)")
+    common(sp)
+    sp.set_defaults(fn=cmd_update_where)
 
     sp = sub.add_parser("mirror", help="incremental replica: seed on first "
                                        "run, CDC catch-up after")

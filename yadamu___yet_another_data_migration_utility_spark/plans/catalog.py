@@ -683,6 +683,60 @@ def cdc_predicate_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_predicate_update",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn FROM chg
+    )
+    SELECT url, event_type,
+           CASE WHEN COALESCE(event_type = 'view' AND value <= 0.3, FALSE)
+                THEN value + 1 ELSE value END AS value,
+           ts
+    FROM last WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_predicate_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate UPDATE (out-of-band correction): replay the changelog
+    into a lake table in one fenced batch, then ``update_where`` bumps
+    ``value`` by 1 on every current view row with value <= 0.3 -- the same
+    zone-pruned copy-on-write rewrite as ``cdc_predicate_delete``, with
+    assignments evaluated against the OLD row and cast back to the
+    column type. The oracle applies the identical CASE to the
+    declarative LWW final state (IEEE double arithmetic matches across
+    engines). ``_lsn`` is excluded from the projection: the engine
+    deliberately re-stamps updated rows above the audit chain so the
+    change wins downstream mirrors."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_upd_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(root, schema, key="url", bucket_count=16, overwrite=True)
+    apply_batch(table, chg, batch_id=0, run_extract=False)
+    table.update_where(spark, {"value": "value + 1"},
+                       predicate="event_type = 'view'",
+                       ranges={"value": (None, 0.3)})
+    return table.read(spark, public=True).select("url", "event_type", "value", "ts")
+
+
+@_register(
     "cdc_mirror_replicate",
     f"""
     WITH chg AS ({_CDC_SQL_SRC}),

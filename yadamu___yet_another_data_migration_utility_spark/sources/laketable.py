@@ -1544,15 +1544,70 @@ class LakeTable:
         ``mirror`` replicas converge without special handling. A later
         CDC update for a deleted key re-inserts it (NOT MATCHED ->
         INSERT), standard MERGE semantics."""
+        return self._rewrite_where(
+            spark, "delete_where", predicate, ranges, assignments=None)
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        assignments: dict[str, str],
+        predicate: str | None = None,
+        ranges: dict[str, tuple] | None = None,
+    ) -> tuple[int | None, int]:
+        """Predicate UPDATE (``UPDATE t SET col = expr WHERE ...``) as
+        the same file-pruned copy-on-write rewrite ``delete_where``
+        performs (Iceberg: copy-on-write row-level update) -- the
+        out-of-band correction operation (backfill a mis-parsed field,
+        redact a value in place). ``assignments`` maps columns to SQL
+        expressions over the row (``{"lang": "'en'"``,
+        ``"value": "value * 2"}``); each result is cast back to the
+        column's type so the table schema never drifts. Returns
+        ``(new_version | None, rows_updated)``.
+
+        The merge KEY and engine columns cannot be assigned: rewriting
+        a key in place would move the row across buckets and could
+        collide with an existing key outside the rewrite's file set --
+        delete + re-ingest is the safe spelling of a key change.
+
+        CDC contract: updated rows are stamped with a fresh ``_lsn``
+        strictly above every LSN in the audit chain. Without that, a
+        downstream ``mirror`` would see the changed row under its OLD
+        lsn on the snapshot-diff path and the LSN-monotonic apply
+        could tie-lose it -- the same divergence ``follow_changes``
+        guards against for folded tombstones. A later CDC event for
+        the key (higher lsn still) overrides the manual update,
+        which is the right precedence for an out-of-band fix."""
+        if not assignments:
+            raise ValueError("update_where needs at least one assignment")
+        return self._rewrite_where(
+            spark, "update_where", predicate, ranges, assignments=assignments)
+
+    def _rewrite_where(
+        self, spark, op, predicate, ranges, assignments,
+    ) -> tuple[int | None, int]:
+        """Shared engine of delete_where / update_where: plan candidate
+        files through the zone maps, rewrite them with matching rows
+        dropped (delete) or reassigned (update), carry every other file
+        by reference, fold delta-touched candidate buckets whole."""
         if predicate is None and not ranges:
             raise ValueError(
-                "delete_where needs a predicate and/or ranges "
-                "(an unconditional delete is not a delete, truncate "
-                "by recreating the table)")
+                f"{op} needs a predicate and/or ranges (an unconditional "
+                "rewrite of the whole table should be explicit: pass "
+                "predicate='true')")
         from pyspark.sql import Observation
 
         m = self.manifest()
         schema = T.StructType.fromJson(m["schema"])
+        if assignments:
+            fields = {f.name: f.dataType for f in schema.fields}
+            bad = [c for c in assignments if c not in fields]
+            if bad:
+                raise ValueError(f"unknown columns in assignments: {bad}")
+            locked = [c for c in assignments
+                      if c == m["key"] or c == LSN_COL or c.startswith("_")]
+            if locked:
+                raise ValueError(
+                    f"cannot assign merge key / engine columns: {locked}")
         tz = spark.conf.get("spark.sql.session.timeZone")
         plain_rel, delta_buckets = self._plan_scan(m, None, ranges, tz=tz)
         if not plain_rel and not delta_buckets:
@@ -1584,15 +1639,43 @@ class LakeTable:
             parts.append(_resolve(raw, m["key"], schema))
         cand = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
 
-        obs = Observation(f"delete_where_{m['version'] + 1}")
-        kept = (
-            cand.observe(
-                obs, F.sum(matched.cast("long")).alias("dels"))
-            .filter(~matched)
-        )
-        new_files, n_kept, out_dir = self._write_bucketed(spark, kept, m)
-        n_deleted = int(obs.get["dels"] or 0)
-        if n_deleted == 0:
+        obs = Observation(f"{op}_{m['version'] + 1}")
+        out = cand.observe(obs, F.sum(matched.cast("long")).alias("hits"))
+        stamp = None
+        if assignments is None:
+            out = out.filter(~matched)
+        else:
+            # fresh LSN above the whole audit chain: the snapshot-diff
+            # change this rewrite produces must WIN the downstream
+            # monotonic apply (see update_where docstring). The stamp is
+            # recorded in THIS commit's audit row so the next rewrite
+            # (or follow_changes' synthetic delete stamp) computes a
+            # strictly higher one -- without that, two consecutive
+            # updates of the same key would tie downstream and the
+            # second would silently lose.
+            hi = max((a["max_lsn"] for a in self.audit_entries()
+                      if a.get("max_lsn") is not None), default=0)
+            stamp = hi + 1
+            # ONE select so every expression sees the OLD row (SQL
+            # UPDATE semantics) -- chained withColumn would leak one
+            # assignment's result into the next expression
+            cols = []
+            for f in schema.fields:
+                if f.name in assignments:
+                    cols.append(
+                        F.when(matched,
+                               F.expr(assignments[f.name]).cast(f.dataType))
+                        .otherwise(F.col(f.name)).alias(f.name))
+                elif f.name == LSN_COL:
+                    cols.append(
+                        F.when(matched, F.lit(stamp))
+                        .otherwise(F.col(LSN_COL)).alias(LSN_COL))
+                else:
+                    cols.append(F.col(f.name))
+            out = out.select(*cols)
+        new_files, n_kept, out_dir = self._write_bucketed(spark, out, m)
+        n_hit = int(obs.get["hits"] or 0)
+        if n_hit == 0:
             # zone maps over-approximate: candidates held no real match.
             # Drop the rewrite -- a no-op commit would pollute history.
             self.fs.rmtree(out_dir)
@@ -1617,15 +1700,31 @@ class LakeTable:
             "parent": m["version"],
             "buckets": buckets,
             "deltas": deltas,
-            "audit": None,
+            # the audit row makes the rewrite visible in the metrics
+            # table AND (update path) carries the lsn stamp the next
+            # stamp computation must exceed; batch_id None = unfenced
+            # maintenance, exempt from the ledger check by design
+            "audit": {
+                "batch_id": None,
+                "operation": op,
+                "rows_in": n_hit,
+                "rows_applied": n_hit if assignments is not None else 0,
+                "rows_deleted": n_hit if assignments is None else 0,
+                "min_lsn": stamp,
+                "max_lsn": stamp,
+                "version": v,
+            },
             "lineage": [],
             "stats": {**_inherit_stats(m), **zone},
             "summary": {
-                "operation": "delete_where",
-                "rows_deleted": n_deleted,
+                "operation": op,
+                ("rows_deleted" if assignments is None
+                 else "rows_updated"): n_hit,
                 "predicate": predicate,
                 "ranges": {c: [None if b is None else str(b) for b in bb]
                            for c, bb in (ranges or {}).items()},
+                **({} if assignments is None
+                   else {"assignments": dict(assignments)}),
                 "files_rewritten": len(plain_rel),
                 "buckets_folded": len(delta_buckets),
             },
@@ -1637,7 +1736,7 @@ class LakeTable:
         except CommitConflict:
             self.fs.rmtree(out_dir)
             raise
-        return v, n_deleted
+        return v, n_hit
 
     def validate(self, spark: SparkSession | None = None,
                  deep: bool = False) -> dict[str, Any]:
