@@ -32,7 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracles. Keys missing relative to
-    ``queries()`` are genuinely non-SQL-expressible (approximate LSH
-    ANN; stubbed-codec multimodal decode) -> rows-only checks."""
+    """DuckDB-runnable ANSI SQL oracles -- one per ``queries()`` entry
+    (none missing: the approximate/stubbed operators' deterministic
+    algorithms are replicated in SQL)."""
     return dict(ORACLES)

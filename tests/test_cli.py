@@ -320,7 +320,7 @@ def test_cli_mirror_seed_and_catch_up(spark, tmp_path, capsys):
         "url string, val string, op string, lsn long"), batch_id=0)
 
     rc, out = _run(capsys, ["mirror", "--table-root", root,
-                            "--replica-root", rroot])
+                            "--replica-root", rroot, "--count"])
     assert rc == 0 and out["seeded"] and out["replica_rows"] == 2
     assert out["cursor"] == src.current_version()
 
@@ -329,7 +329,8 @@ def test_cli_mirror_seed_and_catch_up(spark, tmp_path, capsys):
         "url string, val string, op string, lsn long"), batch_id=1)
     rc, out = _run(capsys, ["mirror", "--table-root", root,
                             "--replica-root", rroot])
-    assert rc == 0 and not out["seeded"] and out["replica_rows"] == 2
+    assert rc == 0 and not out["seeded"]
+    assert "replica_rows" not in out  # full scan is opt-in (--count)
     assert out["cursor"] == src.current_version() == out["source_version"]
     rep = LakeTable.load(rroot)
     assert {(r["url"], r["val"]) for r in rep.read(spark, public=True).collect()} \
@@ -418,6 +419,9 @@ def test_cli_tag_refs_and_named_time_travel(spark, tmp_path, capsys):
     assert rc == 0 and out["untagged"] == "rel-1"
     rc, _ = _run(capsys, ["tag", "--table-root", root, "--delete", "rel-1"])
     assert rc == 2  # unknown ref is a clean error
+    # unknown tag through --version is a clean rc-2 too, not a traceback
+    rc, _ = _run(capsys, ["plan", "--table-root", root, "--version", "nope"])
+    assert rc == 2
 
 
 def test_cli_update_where(spark, tmp_path, capsys):

@@ -819,3 +819,59 @@ def test_read_changes_tag_commit_keeps_fast_path(spark, tmp_table_root):
     t.untag("mid-window")
     ch = _changes(spark, t, v_since)
     assert ch == {("b", None, 3, "delete")}, ch  # lsn present => fast path
+
+
+def test_update_stamp_survives_expire_truncation(spark, tmp_table_root):
+    """The fresh-LSN stamp comes from the manifest-carried lsn_high
+    watermark, not the expirable audit chain: after expire_snapshots
+    wipes the audit history, an update_where must still stamp ABOVE
+    every live row's lsn (a stamp below them would make the correction
+    invisible to the change stream and revertible by stale events)."""
+    t = mk(spark, tmp_table_root, merge_mode="mor")
+    t.merge(spark, batch(spark, [("a", "v1", "I", 41), ("b", "v1", "I", 42)]),
+            batch_id=0)
+    t.compact(spark, all_deltas=True)
+    t.expire_snapshots(keep_last=1)
+    assert t.audit_entries() == []  # chain truncated
+    assert t.lsn_high_watermark() == 42  # manifest-carried
+
+    v, n = t.update_where(spark, {"val": "'fixed'"}, predicate="url = 'a'")
+    assert n == 1
+    got = {r["url"]: (r["val"], r["_lsn"]) for r in t.read(spark).collect()}
+    assert got["a"] == ("fixed", 43)  # stamped ABOVE the live lsns
+    assert got["b"] == ("v1", 42)
+    assert t.lsn_high_watermark() == 43  # stamp recorded for the next one
+
+
+def test_lsn_tie_resolves_identically_on_source_and_replica(spark, tmp_path):
+    """A synthetic stamp can collide with the next upstream WAL lsn.
+    The (lsn, content-rank) total order makes the tie resolve the SAME
+    way in the source read, the change stream, and a mirror replica --
+    arbitrary winner, but convergent."""
+    from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
+        mirror,
+    )
+
+    t = mk(spark, str(tmp_path / "src"), merge_mode="mor")
+    t.merge(spark, batch(spark, [("k", "v1", "I", 5), ("x", "v1", "I", 4)]),
+            batch_id=0)
+    v, _ = t.update_where(spark, {"val": "concat(val, '+fix')"},
+                          predicate="url = 'k'")
+    assert {r["_lsn"] for r in t.read(spark).filter(F.col("url") == "k")
+            .collect()} == {6}
+    rep_root = str(tmp_path / "rep")
+    mirror(spark, t, rep_root, poll_seconds=0.01)
+
+    # upstream WAL allocates "strictly above what it delivered": lsn 6
+    # -- EXACTLY the stamp. The tie must converge, whoever wins.
+    t.merge(spark, batch(spark, [("k", "v2", "U", 6)]), batch_id=1)
+    rep, _ = mirror(spark, t, rep_root, poll_seconds=0.01)
+    src = {(r["url"], r["val"]) for r in t.read(spark, public=True).collect()}
+    dst = {(r["url"], r["val"]) for r in rep.read(spark, public=True).collect()}
+    assert src == dst, (src, dst)
+    assert ("k", "v1+fix") in src or ("k", "v2") in src
+    # and the source itself is deterministic: re-reading gives the same
+    for _ in range(2):
+        again = {(r["url"], r["val"])
+                 for r in t.read(spark, public=True).collect()}
+        assert again == src

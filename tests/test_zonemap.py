@@ -103,9 +103,12 @@ def test_delta_bucket_prunes_whole_never_partially(spark, tmp_path):
     in the plan so LWW resolution sees the bucket entire."""
     t = mk(str(tmp_path / "t"))
     t.merge(spark, rows(spark, JAN, "a", op="I"), batch_id=0)
-    # second merge UPDATES the same keys with Mar timestamps: every
+    # second merge UPDATES the same keys with Mar timestamps (and HIGHER
+    # lsns -- an equal-lsn "update" is a tie, which the deterministic
+    # content rank resolves arbitrarily, not in arrival order): every
     # touched bucket now holds both Jan and Mar delta files
-    t.merge(spark, rows(spark, MAR, "a", op="U"), batch_id=1)
+    t.merge(spark, rows(spark, MAR, "a", op="U").withColumn(
+        "lsn", F.col("lsn") + 100), batch_id=1)
     plan = t.plan_files(ranges={"ts": (MAR, None)})
     # buckets are touched by both batches -> kept whole (Jan files too)
     assert plan["delta_resolved"] and n_files(plan) == n_files(t.plan_files())

@@ -548,7 +548,9 @@ def cmd_tag(args) -> int:
     return 0
 
 
-def cmd_delete_where(args) -> int:
+def _cmd_rewrite_where(args, assignments: dict | None) -> int:
+    """Shared body of the delete-where / update-where verbs (one
+    condition-and-output frame; the engine call differs)."""
     t = _table(args)
     m = t.manifest()
     types = {f["name"]: f["type"] for f in m["schema"]["fields"]}
@@ -560,25 +562,27 @@ def cmd_delete_where(args) -> int:
         print("error: need --predicate and/or --range", file=sys.stderr)
         return 2
     spark = _spark(args.cpus)
-    v, n = t.delete_where(spark, predicate=args.predicate,
-                          ranges=ranges or None)
-    out = {"rows_deleted": n, "version": v}
+    if assignments is None:
+        v, n = t.delete_where(spark, predicate=args.predicate,
+                              ranges=ranges or None)
+        out = {"rows_deleted": n, "version": v}
+    else:
+        v, n = t.update_where(spark, assignments, predicate=args.predicate,
+                              ranges=ranges or None)
+        out = {"rows_updated": n, "version": v}
     if v is not None:
-        s = t.manifest()["summary"]
-        out.update(files_rewritten=s["files_rewritten"],
-                   buckets_folded=s["buckets_folded"])
+        summ = t.manifest()["summary"]
+        out.update(files_rewritten=summ["files_rewritten"],
+                   buckets_folded=summ["buckets_folded"])
     print(json.dumps(out, sort_keys=True))
     return 0
 
 
+def cmd_delete_where(args) -> int:
+    return _cmd_rewrite_where(args, None)
+
+
 def cmd_update_where(args) -> int:
-    t = _table(args)
-    m = t.manifest()
-    types = {f["name"]: f["type"] for f in m["schema"]["fields"]}
-    ranges, err = _parse_range_args(args.range, types)
-    if err:
-        print(err, file=sys.stderr)
-        return 2
     assignments = {}
     for spec in args.set:
         col, sep, expr = spec.partition("=")
@@ -587,23 +591,7 @@ def cmd_update_where(args) -> int:
                   file=sys.stderr)
             return 2
         assignments[col.strip()] = expr.strip()
-    if not args.predicate and not ranges:
-        print("error: need --predicate and/or --range", file=sys.stderr)
-        return 2
-    spark = _spark(args.cpus)
-    try:
-        v, n = t.update_where(spark, assignments, predicate=args.predicate,
-                              ranges=ranges or None)
-    except ValueError as e:
-        print(f"error: {e}", file=sys.stderr)
-        return 2
-    out = {"rows_updated": n, "version": v}
-    if v is not None:
-        s = t.manifest()["summary"]
-        out.update(files_rewritten=s["files_rewritten"],
-                   buckets_folded=s["buckets_folded"])
-    print(json.dumps(out, sort_keys=True))
-    return 0
+    return _cmd_rewrite_where(args, assignments)
 
 
 def cmd_mirror(args) -> int:
@@ -618,11 +606,15 @@ def cmd_mirror(args) -> int:
         spark, source, args.replica_root,
         stop_at_version=args.until, poll_seconds=0.1,
     )
-    print(json.dumps({
+    out = {
         "seeded": before == 0, "cursor": cursor,
         "source_version": source.current_version(),
-        "replica_rows": rep.read(spark, public=True).count(),
-    }, sort_keys=True))
+    }
+    if args.count:
+        # O(replica) scan + mor resolve -- opt-in, so the steady-state
+        # cron'd catch-up stays O(window changes)
+        out["replica_rows"] = rep.read(spark, public=True).count()
+    print(json.dumps(out, sort_keys=True))
     return 0
 
 
@@ -844,10 +836,11 @@ def build_parser() -> argparse.ArgumentParser:
                                     "expire), --delete releases, "
                                     "default lists")
     sp.add_argument("--table-root", required=True)
-    sp.add_argument("--set", default=None, metavar="NAME")
+    g = sp.add_mutually_exclusive_group()
+    g.add_argument("--set", default=None, metavar="NAME")
+    g.add_argument("--delete", default=None, metavar="NAME")
     sp.add_argument("--version", type=int, default=None,
                     help="target version for --set (default: head)")
-    sp.add_argument("--delete", default=None, metavar="NAME")
     sp.set_defaults(fn=cmd_tag, cpus=None)
 
     sp = sub.add_parser(
@@ -949,6 +942,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--replica-root", required=True)
     sp.add_argument("--until", type=int, default=None,
                     help="stop at this source version (default: current head)")
+    sp.add_argument("--count", action="store_true",
+                    help="also report replica_rows (full replica scan)")
     common(sp)
     sp.set_defaults(fn=cmd_mirror)
 
@@ -984,7 +979,14 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.filecrypto import DEFAULT_SALT
 
         args.salt = DEFAULT_SALT
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except (ValueError, FileNotFoundError) as e:
+        # engine-surface usage errors (unknown tag/version, expired
+        # snapshot, bad bounds) exit like argparse rejections -- a clean
+        # message and rc 2, not a traceback
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -778,9 +778,12 @@ class LakeTable:
             )
             raw = spark.read.schema(rs).parquet(*new_files)
             payload = [c for c in raw.columns if c != key]
-            # same NULL-_lsn ranking as _resolve (seed-style rows rank -1)
+            # same (NULL-_lsn, content) ranking as _resolve -- ties must
+            # pick the same winner the snapshot read picks
+            content = [c for c in payload if c not in (LSN_COL, DELETED_COL)]
             winner = F.max_by(
-                F.struct(*payload), F.coalesce(F.col(LSN_COL), F.lit(-1))
+                F.struct(*payload),
+                _lsn_rank(content, F.coalesce(F.col(DELETED_COL), F.lit(False))),
             )
             net = raw.groupBy(key).agg(winner.alias("_w")).select(key, "_w.*")
             is_del = F.coalesce(F.col(DELETED_COL), F.lit(False))
@@ -836,6 +839,20 @@ class LakeTable:
     # ------------------------------------------------------------------
     # audit / lineage as DataFrames (engine metrics tables)
     # ------------------------------------------------------------------
+    def lsn_high_watermark(self) -> int:
+        """Highest LSN this table has applied (merges) or stamped
+        (update_where) -- the value synthetic-LSN producers must exceed.
+        Carried in the manifest (``lsn_high``) so it SURVIVES
+        ``expire_snapshots`` truncating the audit chain; the retained
+        chain is folded in as a fallback for tables whose history
+        predates the field. Appended rows' ``_lsn`` values (if any) are
+        not tracked -- appends are the bulk-seed path, not the CDC
+        path."""
+        hi = self.manifest().get("lsn_high") or 0
+        chain = max((a["max_lsn"] for a in self.audit_entries()
+                     if a.get("max_lsn") is not None), default=0)
+        return max(hi, chain)
+
     def audit_entries(self) -> list[dict[str, Any]]:
         """All audit rows across the RETAINED snapshot chain (newest
         last; truncates where expire_snapshots dropped history)."""
@@ -1136,6 +1153,7 @@ class LakeTable:
                 "schema": table_schema.jsonValue(),
                 "deltas": deltas,
                 "applied_batches": _cap(applied),
+                "lsn_high": max(mp.get("lsn_high") or 0, got["mx"] or 0),
                 "audit": audit,
                 "lineage": lineage,
                 "stats": {**_inherit_stats(mp), **zone},
@@ -1217,7 +1235,10 @@ class LakeTable:
             unioned = tgt.select(*all_cols).unionByName(src.select(*all_cols))
             winner = F.max_by(
                 F.struct(*[c for c in all_cols if c != key]),
-                F.coalesce(F.col(LSN_COL), F.lit(-1)),
+                # same logical-content tie rank as _resolve: deletes are
+                # content-free, target rows (op 'K') rank as live rows
+                _lsn_rank([c for c in data_cols if c != key],
+                          F.col(op_col) == "D"),
             )
             resolved = (
                 unioned.groupBy(key)
@@ -1316,6 +1337,7 @@ class LakeTable:
                 "schema": table_schema.jsonValue(),
                 "buckets": buckets,
                 "applied_batches": _cap(applied),
+                "lsn_high": max(mp.get("lsn_high") or 0, agg["max_lsn"] or 0),
                 "audit": audit,
                 "lineage": lineage,
                 "stats": {**_inherit_stats(mp), **zone},
@@ -1652,10 +1674,9 @@ class LakeTable:
             # (or follow_changes' synthetic delete stamp) computes a
             # strictly higher one -- without that, two consecutive
             # updates of the same key would tie downstream and the
-            # second would silently lose.
-            hi = max((a["max_lsn"] for a in self.audit_entries()
-                      if a.get("max_lsn") is not None), default=0)
-            stamp = hi + 1
+            # second would silently lose; the manifest lsn_high carries
+            # it past expire_snapshots' audit truncation.
+            stamp = self.lsn_high_watermark() + 1
             # ONE select so every expression sees the OLD row (SQL
             # UPDATE semantics) -- chained withColumn would leak one
             # assignment's result into the next expression
@@ -1700,6 +1721,7 @@ class LakeTable:
             "parent": m["version"],
             "buckets": buckets,
             "deltas": deltas,
+            "lsn_high": max(m.get("lsn_high") or 0, stamp or 0),
             # the audit row makes the rewrite visible in the metrics
             # table AND (update path) carries the lsn stamp the next
             # stamp computation must exceed; batch_id None = unfenced
@@ -2108,15 +2130,41 @@ class LakeTable:
         return _list_bucket_files(self.fs, out_dir, rel), n_rows, out_dir
 
 
+
 # ----------------------------------------------------------------------
+def _lsn_rank(content_cols: list[str], is_del) -> "F.Column":
+    """Total last-writer-wins order: (coalesced ``_lsn``, content
+    rank). The secondary rank makes LSN TIES resolve deterministically
+    and IDENTICALLY in every resolver -- the source read, the cow
+    merge, the change-stream fast path, and any mirror replica -- so a
+    collision between a synthetic stamp (update_where / a folded
+    tombstone's follow_changes stamp) and an upstream WAL lsn yields
+    the SAME winner everywhere: arbitrary, but convergent. Deletes rank
+    as a constant (their logical content is "no row" -- a mor tombstone
+    still carries its arrival payload while a replica's applied delete
+    has NULL payload, and those must compare equal); live rows rank by
+    a hash of the sorted data columns, so byte-identical redeliveries
+    tie benignly exactly as before."""
+    ordered = [F.col(c) for c in sorted(content_cols)]
+    return F.struct(
+        F.coalesce(F.col(LSN_COL), F.lit(-1)).alias("l"),
+        F.when(is_del, F.lit(-1)).otherwise(F.xxhash64(*ordered)).alias("h"),
+    )
+
+
 def _resolve(df: DataFrame, key: str, schema: T.StructType) -> DataFrame:
     """Last-writer-wins resolution over (base ∪ delta) rows: keep the
-    max-``_lsn`` row per key (seed rows with NULL ``_lsn`` rank lowest),
-    drop keys whose winner is a tombstone. One hash-aggregate shuffle on
+    max-``_lsn`` row per key (seed rows with NULL ``_lsn`` rank lowest,
+    ties broken by ``_lsn_rank``'s deterministic content rank), drop
+    keys whose winner is a tombstone. One hash-aggregate shuffle on
     the key -- max_by has a partial aggregate, so hot keys map-side
     combine (the skew defense for this reduction)."""
     payload = [c for c in df.columns if c != key]
-    winner = F.max_by(F.struct(*payload), F.coalesce(F.col(LSN_COL), F.lit(-1)))
+    content = [c for c in payload if c not in (LSN_COL, DELETED_COL)]
+    winner = F.max_by(
+        F.struct(*payload),
+        _lsn_rank(content, F.coalesce(F.col(DELETED_COL), F.lit(False))),
+    )
     out = df.groupBy(key).agg(winner.alias("_w")).select(key, "_w.*")
     return out.filter(
         ~F.coalesce(F.col(DELETED_COL), F.lit(False))

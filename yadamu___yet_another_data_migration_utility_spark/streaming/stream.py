@@ -409,11 +409,10 @@ def follow_changes(
             head = min(head, stop_at_version)
         if head > cursor:
             df = table.read_changes(spark, cursor, until_version=head)
-            hi = max(
-                (a["max_lsn"] for a in table.audit_entries()
-                 if a.get("max_lsn") is not None),
-                default=0,
-            )
+            # lsn_high_watermark (manifest-carried) rather than an audit
+            # walk: it also covers update_where stamps and survives
+            # expire_snapshots truncating the chain
+            hi = table.lsn_high_watermark()
             df = df.withColumn(
                 LSN_COL, F.coalesce(F.col(LSN_COL), F.lit(hi + 1))
             )
