@@ -2145,7 +2145,10 @@ def _lsn_rank(content_cols: list[str], is_del) -> "F.Column":
     has NULL payload, and those must compare equal); live rows rank by
     a hash of the sorted data columns, so byte-identical redeliveries
     tie benignly exactly as before."""
-    ordered = [F.col(c) for c in sorted(content_cols)]
+    # a key+lsn-only table has no content columns; xxhash64 needs >= 1
+    # argument, and a constant keeps the rank total (all-live ties are
+    # then genuinely identical rows anyway)
+    ordered = [F.col(c) for c in sorted(content_cols)] or [F.lit(0)]
     return F.struct(
         F.coalesce(F.col(LSN_COL), F.lit(-1)).alias("l"),
         F.when(is_del, F.lit(-1)).otherwise(F.xxhash64(*ordered)).alias("h"),
