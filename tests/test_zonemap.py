@@ -632,3 +632,81 @@ def test_update_where_propagates_through_mirror(spark, tmp_path):
     dst = {(r["url"], float(r["value"])) for r in rep.read(spark, public=True)
            .select("url", "value").collect()}
     assert src == dst == {("a0", 0.0), ("a1", 1.0), ("a2", 20.0), ("a3", 30.0)}
+
+
+# ---------------------------------------------------------------------------
+# string zone maps + key-envelope lookup pruning
+# ---------------------------------------------------------------------------
+
+
+def test_string_zone_maps_prune_and_stay_exact(spark, tmp_path):
+    """String columns carry footer min/max envelopes (UTF-8 byte order
+    == python codepoint order), so url-range scans skip disjoint files;
+    the pruned read equals the filtered read and deep fsck stays
+    clean."""
+    t = mk(str(tmp_path / "t"))
+    t.append(spark, rows(spark, JAN, "a"))
+    t.append(spark, rows(spark, JAN, "b"))
+    full = n_files(t.plan_files())
+    plan = t.plan_files(ranges={"url": ("b", "c")})
+    assert 0 < n_files(plan) < full  # a-files provably disjoint
+    got = {r["url"] for r in t.read(
+        spark, ranges={"url": ("b", "c")}).collect()}
+    assert got == {f"b{i}" for i in range(8)}
+    rep = t.validate(spark, deep=True)
+    assert rep["ok"], rep
+
+
+def test_oversized_string_bounds_are_not_stored(spark, tmp_path):
+    """A column whose min/max exceed the cap gets no zone entry (the
+    manifest must not carry document bodies), and range reads on it
+    stay exact through the residual filter."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("body", T.StringType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), schema, key="url",
+                         bucket_count=2)
+    t.append(spark, spark.createDataFrame(
+        [("a", "x" * 500), ("b", "y" * 500)], "url string, body string"))
+    stats = t.manifest()["stats"]
+    assert all("body" not in fz for fz in stats.values())
+    assert any("url" in fz for fz in stats.values())  # short col still zoned
+    got = {r["url"] for r in t.read(
+        spark, ranges={"body": ("y", "z")}).collect()}
+    assert got == {"b"}
+
+
+def test_lookup_prunes_files_by_key_envelope(spark, tmp_path):
+    """Point lookups ride the [min(keys), max(keys)] envelope through
+    the key zone maps: with url-disjoint files in ONE bucket, a lookup
+    plans only the file(s) that can hold the keys -- the plan the read
+    executes is observable via plan_files with the same range."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("val", T.StringType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), schema, key="url",
+                         bucket_count=1)  # everything hashes to bucket 0
+    t.append(spark, spark.createDataFrame(
+        [(f"a{i}", "v1") for i in range(8)], "url string, val string")
+        .coalesce(1))
+    t.append(spark, spark.createDataFrame(
+        [(f"b{i}", "v1") for i in range(8)], "url string, val string")
+        .coalesce(1))
+    assert n_files(t.plan_files()) == 2
+
+    env = t.plan_files(ranges={"url": ("a3", "a5")})
+    assert n_files(env) == 1  # the b-file is provably disjoint
+
+    rows_ = t.lookup(spark, ["a3", "a5"]).collect()
+    assert {r["url"] for r in rows_} == {"a3", "a5"}
+    # an envelope spanning both files still finds everything
+    rows_ = t.lookup(spark, ["a7", "b0"]).collect()
+    assert {r["url"] for r in rows_} == {"a7", "b0"}
+    # missing keys yield no rows, with the envelope applied
+    assert t.lookup(spark, ["a35"]).count() == 0

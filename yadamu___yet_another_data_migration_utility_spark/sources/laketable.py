@@ -659,8 +659,21 @@ class LakeTable:
         # pin the read to the SAME manifest the buckets were computed
         # under: a concurrent rebucket between the two reads would
         # otherwise prune the new layout with old bucket ids and
-        # silently miss existing keys
-        df = self.read(spark, version=m["version"], buckets=hit, public=public)
+        # silently miss existing keys. The [min(keys), max(keys)]
+        # envelope rides along as a range so the KEY zone maps (string/
+        # numeric) also skip files inside the hashed buckets -- with
+        # key-clustered files (append sort_within / compact sort) a
+        # point lookup then touches a handful of files, not the bucket;
+        # the envelope never excludes a requested key, and read()'s
+        # residual filter is subsumed by the semi-join.
+        ranges = None
+        try:
+            if all(k is not None for k in keys):
+                ranges = {key: (min(keys), max(keys))}
+        except TypeError:  # unorderable key values: no envelope
+            ranges = None
+        df = self.read(spark, version=m["version"], buckets=hit,
+                       public=public, ranges=ranges)
         return df.join(F.broadcast(kdf), key, "left_semi")
 
     CHANGE_COL = "_change_type"
@@ -2254,16 +2267,27 @@ def _list_bucket_files(fs: LocalFS, out_dir: str, rel: str) -> dict[str, list[st
 
 
 #: Spark types whose parquet footer min/max are collected as file-level
-#: ZONE MAPS (manifest "stats"). Strings are deliberately excluded:
-#: parquet writers may TRUNCATE string min/max, which would make a
-#: "provably disjoint" test unsound; decimals/binary/complex are out of
-#: scope. Missing stats always mean "keep the file" -- pruning is an
-#: optimization, never a correctness dependency.
+#: ZONE MAPS (manifest "stats"). Strings are included: the parquet spec
+#: REQUIRES stored min_value/max_value to be valid envelopes (a writer
+#: that truncates must round the max up), python/Java/parquet all
+#: compare UTF-8 strings in the same order (UTF-8 byte order ==
+#: codepoint order), and this engine only harvests footers of files its
+#: own pinned session wrote (Spark 4 writes string stats untruncated --
+#: verified empirically with >64-byte values). Oversized string bounds
+#: (> _ZONE_STR_CAP chars) are dropped per file to keep manifests
+#: small. Decimals/binary/complex are out of scope. Missing stats
+#: always mean "keep the file" -- pruning is an optimization, never a
+#: correctness dependency.
 _ZONE_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
     T.FloatType, T.DoubleType, T.BooleanType,
     T.TimestampType, T.TimestampNTZType, T.DateType,
+    T.StringType,
 )
+
+#: longest string bound kept in a zone map (urls/keys are well under
+#: this; a document-body column would bloat every manifest)
+_ZONE_STR_CAP = 256
 
 
 _TS_KEY = "spark.sql.parquet.outputTimestampType"
@@ -2329,7 +2353,7 @@ def _zone_kind(dt: T.DataType) -> str | None:
     """Coarse type class a range bound must match for PRUNING to be
     allowed on the column (the residual filter handles everything else
     exactly): 'num', 'float' (num that can hold NaN), 'ts' (session-tz
-    timestamps), 'ntz', 'date', 'bool'."""
+    timestamps), 'ntz', 'date', 'bool', 'str'."""
     if isinstance(dt, (T.FloatType, T.DoubleType)):
         return "float"
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
@@ -2342,6 +2366,8 @@ def _zone_kind(dt: T.DataType) -> str | None:
         return "date"
     if isinstance(dt, T.BooleanType):
         return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
     return None
 
 
@@ -2400,6 +2426,10 @@ def _enc_bound(v: Any, kind: str | None, tz: str | None = None) -> Any:
         return v
     if kind == "bool":
         return v if isinstance(v, bool) else None
+    if kind == "str":
+        # python str comparison (codepoint order) == Spark UTF8String /
+        # parquet unsigned-byte order: UTF-8 preserves codepoint order
+        return v if isinstance(v, str) else None
     return None
 
 
@@ -2486,6 +2516,9 @@ def _footer_stats(
                     mn = lo if mn is None else (lo if lo is not None and lo < mn else mn)
                     mx = hi if mx is None else (hi if hi is not None and hi > mx else mx)
                 if name in zone_cols and lo is not None and complete:
+                    if isinstance(lo, str) and (
+                            len(lo) > _ZONE_STR_CAP or len(hi) > _ZONE_STR_CAP):
+                        continue  # bound too big for the manifest: no zone
                     fz[name] = [_enc_stat(lo), _enc_stat(hi)]
             if fz:
                 zones[rel] = fz
