@@ -207,6 +207,18 @@ def test_cli_table_maintenance(spark, tmp_path, capsys):
     assert rc == 0 and lines
     assert {"bucket", "row_count", "version"} <= set(json.loads(lines[0]))
 
+    rc = main(["snapshots", "--table-root", root])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and json.loads(lines[-1])["version"] == v_before
+    assert json.loads(lines[0])["operation"] == "create"
+
+    rc = main(["files", "--table-root", root])
+    lines = capsys.readouterr().out.strip().splitlines()
+    rows = [json.loads(ln) for ln in lines]
+    assert rc == 0 and rows
+    assert {r["kind"] for r in rows} == {"data", "delta"}
+    assert all(r["size_bytes"] > 0 for r in rows)
+
     rc, out = _run(capsys, ["compact", "--table-root", root, "--all-deltas",
                             "--sort-by", "url"])
     assert rc == 0 and out["compacted"] and out["version"] == v_before + 1

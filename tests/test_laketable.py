@@ -4,6 +4,9 @@ schema evolution, time travel, compaction -- in BOTH merge modes
 
 from __future__ import annotations
 
+import json
+import os
+
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
 import pytest
@@ -875,3 +878,96 @@ def test_lsn_tie_resolves_identically_on_source_and_replica(spark, tmp_path):
         again = {(r["url"], r["val"])
                  for r in t.read(spark, public=True).collect()}
         assert again == src
+
+
+def test_metadata_tables_snapshots_and_files(spark, tmp_path):
+    """Iceberg-style snapshots/files metadata tables: the snapshot walk
+    mirrors the audit chain and the file inventory matches the manifest
+    (kind, bucket, real sizes, zone-map stats riding along)."""
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("val", T.StringType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), schema, key="url",
+                         bucket_count=2, merge_mode="mor")
+    t.append(spark, spark.createDataFrame(
+        [(f"u{i}", f"v{i}") for i in range(6)], "url string, val string"))
+    t.merge(spark, spark.createDataFrame(
+        [("u0", "w0", "U", 10), ("u1", "w1", "U", 11)],
+        "url string, val string, op string, lsn long"), batch_id=1)
+
+    snaps = t.snapshot_entries()
+    assert [s["version"] for s in snaps] == [1, 2, 3]
+    assert [s["operation"] for s in snaps] == ["create", "append", "merge"]
+    assert snaps[0]["data_files"] == 0 and snaps[2]["delta_files"] > 0
+    # DataFrame twin agrees row-for-row
+    sdf = t.snapshots_df(spark)
+    assert sdf.count() == 3
+    assert {r["version"]: r["operation"] for r in sdf.collect()} == {
+        s["version"]: s["operation"] for s in snaps}
+
+    files = t.file_entries()
+    kinds = {f["kind"] for f in files}
+    assert kinds == {"data", "delta"}
+    for f in files:
+        assert 0 <= f["bucket"] < 2
+        assert f["size_bytes"] and f["size_bytes"] > 0
+        assert os.path.exists(os.path.join(t.root, f["path"]))
+        json.loads(f["stats"])  # always valid JSON, possibly {}
+    # data files carry the key's string zone bounds from the footers
+    data_stats = [json.loads(f["stats"]) for f in files if f["kind"] == "data"]
+    assert any("url" in s for s in data_stats)
+    # a pinned older snapshot lists only its own (pre-merge) inventory
+    old = t.file_entries(version=2)
+    assert {f["kind"] for f in old} == {"data"}
+    assert t.files_df(spark, version=2).count() == len(old)
+
+
+def test_lookup_with_nan_key_skips_envelope(spark, tmp_path):
+    """A NaN merge-key value breaks both python min/max and Spark's
+    range filter (NaN orders above every double): the lookup envelope
+    must stand down rather than drop rows."""
+    import math
+
+    schema = T.StructType([
+        T.StructField("k", T.DoubleType()),
+        T.StructField("val", T.StringType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), schema, key="k", bucket_count=2)
+    t.append(spark, spark.createDataFrame(
+        [(1.0, "one"), (float("nan"), "nan-row")], "k double, val string"))
+    for keys in ([1.0, float("nan")], [float("nan"), 1.0]):
+        got = {r["val"] for r in t.lookup(spark, keys).collect()}
+        assert got == {"one", "nan-row"}, (keys, got)
+    # finite keys still use the envelope and still find their rows
+    assert {r["val"] for r in t.lookup(spark, [1.0]).collect()} == {"one"}
+
+
+def test_map_payload_column_resolves_fine(spark, tmp_path):
+    """xxhash64 rejects MapType; the tie rank must leave map columns
+    out of the content hash instead of breaking every read of a table
+    whose schema contains one."""
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), schema, key="url",
+                         bucket_count=2, merge_mode="mor")
+    df = spark.createDataFrame(
+        [("a", {"x": "1"}, "I", 1), ("b", {"y": "2"}, "I", 2)],
+        "url string, attrs map<string,string>, op string, lsn long")
+    t.merge(spark, df, batch_id=0)
+    t.merge(spark, spark.createDataFrame(
+        [("a", {"x": "9"}, "U", 3)],
+        "url string, attrs map<string,string>, op string, lsn long"),
+        batch_id=1)
+    got = {r["url"]: dict(r["attrs"]) for r in t.read(spark).collect()}
+    assert got == {"a": {"x": "9"}, "b": {"y": "2"}}
+    # change stream fast path over the map schema works too
+    ch = t.read_changes(spark, 2)
+    assert {r["url"] for r in ch.collect()} == {"a"}
+    # cow resolution as well
+    t2 = LakeTable.create(str(tmp_path / "t2"), schema, key="url",
+                          bucket_count=2, merge_mode="cow")
+    t2.merge(spark, df, batch_id=0)
+    assert t2.read(spark).count() == 2

@@ -332,6 +332,20 @@ def cmd_lineage(args) -> int:
     return 0
 
 
+def cmd_snapshots(args) -> int:
+    # Iceberg-style snapshots metadata table -- manifests only
+    for row in _table(args).snapshot_entries():
+        print(json.dumps(row, sort_keys=True))
+    return 0
+
+
+def cmd_files(args) -> int:
+    # Iceberg-style files metadata table -- manifests + FS stat calls
+    for row in _table(args).file_entries(args.version):
+        print(json.dumps(row, sort_keys=True))
+    return 0
+
+
 def cmd_validate(args) -> int:
     t = _table(args)
     spark = _spark(args.cpus) if args.deep else None
@@ -831,6 +845,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table-root", required=True)
     sp.set_defaults(fn=cmd_describe, cpus=None)
 
+    sp = sub.add_parser("snapshots", help="Iceberg-style snapshots metadata "
+                                          "table as JSON lines")
+    sp.add_argument("--table-root", required=True)
+    sp.set_defaults(fn=cmd_snapshots, cpus=None)
+
+    sp = sub.add_parser("files", help="Iceberg-style files metadata table "
+                                      "(bucket, kind, size, zone bounds) "
+                                      "as JSON lines")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--version", type=_version_arg, default=None,
+                    help="snapshot version or tag name (default: current)")
+    sp.set_defaults(fn=cmd_files, cpus=None)
+
     sp = sub.add_parser("tag", help="named snapshot refs: --set pins a "
                                     "version by name (protected from "
                                     "expire), --delete releases, "
@@ -984,7 +1011,10 @@ def main(argv: list[str] | None = None) -> int:
     except (ValueError, FileNotFoundError) as e:
         # engine-surface usage errors (unknown tag/version, expired
         # snapshot, bad bounds) exit like argparse rejections -- a clean
-        # message and rc 2, not a traceback
+        # message and rc 2, not a traceback. YADAMU_DEBUG=1 re-raises so
+        # an internal defect surfacing as ValueError keeps its stack.
+        if os.environ.get("YADAMU_DEBUG"):
+            raise
         print(f"error: {e}", file=sys.stderr)
         return 2
 

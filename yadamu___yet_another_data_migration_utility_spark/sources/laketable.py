@@ -230,6 +230,7 @@ class LakeTable:
             "buckets": {},
             "deltas": {},
             "applied_batches": {},
+            "lsn_high": 0,
             "audit": None,
             "lineage": [],
             "summary": {"operation": "create", "total_rows": 0},
@@ -668,7 +669,11 @@ class LakeTable:
         # residual filter is subsumed by the semi-join.
         ranges = None
         try:
-            if all(k is not None for k in keys):
+            # NaN keys break the envelope both ways: python min/max are
+            # position-dependent with NaN, and Spark orders NaN above
+            # every double so a finite upper bound would drop the NaN
+            # row -- skip the envelope entirely (k != k catches NaN)
+            if all(k is not None and k == k for k in keys):
                 ranges = {key: (min(keys), max(keys))}
         except TypeError:  # unorderable key values: no envelope
             ranges = None
@@ -793,7 +798,10 @@ class LakeTable:
             payload = [c for c in raw.columns if c != key]
             # same (NULL-_lsn, content) ranking as _resolve -- ties must
             # pick the same winner the snapshot read picks
-            content = [c for c in payload if c not in (LSN_COL, DELETED_COL)]
+            ftypes = {f.name: f.dataType for f in schema.fields}
+            content = [c for c in payload
+                       if c not in (LSN_COL, DELETED_COL)
+                       and _hashable(ftypes.get(c, T.StringType()))]
             winner = F.max_by(
                 F.struct(*payload),
                 _lsn_rank(content, F.coalesce(F.col(DELETED_COL), F.lit(False))),
@@ -861,10 +869,14 @@ class LakeTable:
         predates the field. Appended rows' ``_lsn`` values (if any) are
         not tracked -- appends are the bulk-seed path, not the CDC
         path."""
-        hi = self.manifest().get("lsn_high") or 0
-        chain = max((a["max_lsn"] for a in self.audit_entries()
-                     if a.get("max_lsn") is not None), default=0)
-        return max(hi, chain)
+        m = self.manifest()
+        if "lsn_high" in m:
+            # maintained since create: the head value is exact, no walk
+            return m["lsn_high"] or 0
+        # table created before the field existed: fold the retained
+        # audit chain (O(retained versions), the old behavior)
+        return max((a["max_lsn"] for a in self.audit_entries()
+                    if a.get("max_lsn") is not None), default=0)
 
     def audit_entries(self) -> list[dict[str, Any]]:
         """All audit rows across the RETAINED snapshot chain (newest
@@ -932,6 +944,83 @@ class LakeTable:
         return spark.createDataFrame(
             self.lineage_entries() or [],
             "version long, batch_id long, bucket int, row_count long, min_lsn long, max_lsn long",
+        )
+
+    def snapshot_entries(self) -> list[dict[str, Any]]:
+        """One row per RETAINED manifest, oldest first (truncates where
+        expire_snapshots dropped history). ``summary`` is the commit's
+        operation summary as a JSON string; ``data_files``/
+        ``delta_files`` count the snapshot's live file inventory."""
+        rows = []
+        v: int | None = self.current_version()
+        while v is not None:
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                break  # expired history
+            rows.append({
+                "version": m["version"],
+                "parent": m["parent"],
+                "committed_at": m.get("committed_at"),
+                "operation": (m.get("summary") or {}).get("operation"),
+                "merge_mode": m.get("merge_mode"),
+                "data_files": sum(len(fl) for fl in m["buckets"].values()),
+                "delta_files": sum(len(fl)
+                                   for fl in m.get("deltas", {}).values()),
+                "summary": json.dumps(m.get("summary") or {}, sort_keys=True),
+            })
+            v = m["parent"]
+        return list(reversed(rows))
+
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """Iceberg-style ``snapshots`` metadata table as a DataFrame,
+        like ``SELECT * FROM tbl.snapshots`` in Iceberg. Reference
+        analogue: the per-operation metrics rows YADAMU logs
+        (/root/reference/src/YADAMU/common/yadamuLogger.js) -- here
+        queryable. Driver cost: O(retained versions), the manifests
+        the audit walk already reads."""
+        return spark.createDataFrame(
+            self.snapshot_entries() or [],
+            "version long, parent long, committed_at string, operation string, "
+            "merge_mode string, data_files long, delta_files long, summary string",
+        )
+
+    def file_entries(self, version: int | str | None = None) -> list[dict[str, Any]]:
+        """One row per live file in a snapshot: bucket, kind (``data``
+        base file vs ``delta`` MoR change file), byte size, and the
+        file's zone-map bounds as a JSON string (empty object when the
+        harvest withheld stats, e.g. NaN-bearing float chunks).
+        Driver cost: O(files) stat calls through the FS seam -- the
+        same order as planning the scan."""
+        m = self.manifest(version)
+        stats = _inherit_stats(m)
+
+        def _size(rel: str) -> int | None:
+            try:
+                with self.fs.open_read(os.path.join(self.root, rel)) as f:
+                    return f.seek(0, 2)
+            except (OSError, FileNotFoundError):
+                return None  # vanished under a concurrent expire
+
+        return [
+            {"version": m["version"], "bucket": int(b), "kind": kind,
+             "path": rel, "size_bytes": _size(rel),
+             "stats": json.dumps(stats.get(rel, {}), sort_keys=True)}
+            for kind, which in (("data", "buckets"), ("delta", "deltas"))
+            for b, fl in m.get(which, {}).items()
+            for rel in fl
+        ]
+
+    def files_df(self, spark: SparkSession,
+                 version: int | str | None = None) -> DataFrame:
+        """Iceberg-style ``files`` metadata table for one snapshot --
+        the operational input to compaction targeting ('which buckets
+        are fragmented / skewed') and to explaining why a prune did or
+        did not skip a file."""
+        return spark.createDataFrame(
+            self.file_entries(version) or [],
+            "version long, bucket int, kind string, path string, "
+            "size_bytes long, stats string",
         )
 
     # ------------------------------------------------------------------
@@ -1246,11 +1335,13 @@ class LakeTable:
             # are benign; tombstone replays have no target row to tie with.
             all_cols = data_cols + [LSN_COL, op_col]
             unioned = tgt.select(*all_cols).unionByName(src.select(*all_cols))
+            ttypes = {f.name: f.dataType for f in table_schema.fields}
             winner = F.max_by(
                 F.struct(*[c for c in all_cols if c != key]),
                 # same logical-content tie rank as _resolve: deletes are
                 # content-free, target rows (op 'K') rank as live rows
-                _lsn_rank([c for c in data_cols if c != key],
+                _lsn_rank([c for c in data_cols if c != key
+                           and _hashable(ttypes.get(c, T.StringType()))],
                           F.col(op_col) == "D"),
             )
             resolved = (
@@ -2144,6 +2235,19 @@ class LakeTable:
 
 
 
+def _hashable(dt: T.DataType) -> bool:
+    """xxhash64 rejects MapType (and anything containing one); such
+    columns are left out of the tie rank -- ties then fall back to
+    arbitrary only when rows differ SOLELY in an unhashable column."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
+
+
 # ----------------------------------------------------------------------
 def _lsn_rank(content_cols: list[str], is_del) -> "F.Column":
     """Total last-writer-wins order: (coalesced ``_lsn``, content
@@ -2158,13 +2262,17 @@ def _lsn_rank(content_cols: list[str], is_del) -> "F.Column":
     has NULL payload, and those must compare equal); live rows rank by
     a hash of the sorted data columns, so byte-identical redeliveries
     tie benignly exactly as before."""
-    # a key+lsn-only table has no content columns; xxhash64 needs >= 1
-    # argument, and a constant keeps the rank total (all-live ties are
-    # then genuinely identical rows anyway)
+    # the live flag puts deletes in their own stratum BELOW every live
+    # row's hash domain (a constant sharing the hash range would make a
+    # 2^-64 live-row hash collision nondeterministic again); xxhash64
+    # needs >= 1 argument, and a constant keeps the rank total when a
+    # key+lsn-only table has no content columns (such live ties are
+    # genuinely identical rows anyway)
     ordered = [F.col(c) for c in sorted(content_cols)] or [F.lit(0)]
     return F.struct(
         F.coalesce(F.col(LSN_COL), F.lit(-1)).alias("l"),
-        F.when(is_del, F.lit(-1)).otherwise(F.xxhash64(*ordered)).alias("h"),
+        (~is_del).cast("int").alias("live"),
+        F.when(is_del, F.lit(0)).otherwise(F.xxhash64(*ordered)).alias("h"),
     )
 
 
@@ -2176,7 +2284,10 @@ def _resolve(df: DataFrame, key: str, schema: T.StructType) -> DataFrame:
     the key -- max_by has a partial aggregate, so hot keys map-side
     combine (the skew defense for this reduction)."""
     payload = [c for c in df.columns if c != key]
-    content = [c for c in payload if c not in (LSN_COL, DELETED_COL)]
+    types = {f.name: f.dataType for f in schema.fields}
+    content = [c for c in payload
+               if c not in (LSN_COL, DELETED_COL)
+               and _hashable(types.get(c, T.StringType()))]
     winner = F.max_by(
         F.struct(*payload),
         _lsn_rank(content, F.coalesce(F.col(DELETED_COL), F.lit(False))),
