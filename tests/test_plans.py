@@ -72,17 +72,23 @@ def test_no_cartesian_products_in_catalog(spark):
     - hot_domains: the share denominator crossJoin broadcasts a 1-row
       grand-total aggregate.
     - q11_revenue_concentration / q15_top_supplier /
-      q22_dormant_customers / corpus_mix_weights: same shape as
-      hot_domains -- the broadcast side is a 1-row global scalar
-      (total revenue / max revenue / positive-balance average / token
-      total + weight sum); a constant equi-key would not help because
+      q22_dormant_customers / corpus_mix_weights /
+      corpus_balanced_sample: same shape as hot_domains -- the
+      broadcast side is a 1-row global scalar (total revenue / max
+      revenue / positive-balance average / token total + weight sum /
+      min language count); a constant equi-key would not help because
       Catalyst constant-folds it back to a nested loop.
+    - dedup_semantic: shares ann_ivf's K=10-row quantizer broadcast.
+    - events_user_cms: the Count-Min row-replication crossJoin
+      broadcasts a 3-row constant range (an explode in join clothing),
+      same shape as minhash_lsh_dedup's k-replication.
     """
     allowed = {
         "ann_cosine_topk", "minhash_lsh_dedup", "dedup_incremental",
-        "ann_ivf", "hot_domains",
+        "ann_ivf", "hot_domains", "dedup_semantic",
         "q11_revenue_concentration", "q15_top_supplier",
         "q22_dormant_customers", "corpus_mix_weights",
+        "corpus_balanced_sample", "events_user_cms",
     }
     for name, fn in sorted(QUERIES.items()):
         plan = explain_str(fn(spark, SF_DIR))

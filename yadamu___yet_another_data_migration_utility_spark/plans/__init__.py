@@ -10,3 +10,4 @@ from . import vectorops  # noqa: F401  (IVF ANN)
 from . import migrate_types  # noqa: F401  (interval ISO-8601, spatial recode)
 from . import tpch_more  # noqa: F401  (remaining TPC-H plan shapes)
 from . import olap  # noqa: F401  (grouping sets, pivot, window frames)
+from . import sketches  # noqa: F401  (HyperLogLog, Count-Min -- mergeable estimators)

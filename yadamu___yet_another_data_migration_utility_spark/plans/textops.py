@@ -745,6 +745,49 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_balanced_sample",
+    f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    mn AS (SELECT MIN(cnt) AS min_cnt FROM counts),
+    tagged AS (
+      SELECT d.doc_id, d.lang, {_die_sql("balance", 10000)} AS die,
+             c.cnt, mn.min_cnt
+      FROM documents d JOIN counts c USING (lang), mn
+    )
+    SELECT doc_id, lang FROM tagged WHERE die * cnt < 10000 * min_cnt
+    """,
+)
+def corpus_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced corpus sampling with DATA-DEPENDENT rates:
+    downsample every language to (approximately) the size of the
+    smallest one. Unlike corpus_sample's fixed rate table, the keep
+    probability min_cnt/cnt comes from a first aggregation pass over
+    the corpus itself; the per-doc decision is the same reproducible
+    md5 die, compared via integer cross-multiplication
+    (die * cnt < 10000 * min_cnt) so both engines decide each doc
+    exactly -- no float rate rounding. Output is the kept-membership
+    itself (doc_id, lang), so the hash check pins every decision.
+
+    Scale: pass 1 is an algebraic groupBy on lang (map-side combine,
+    |langs| rows); the rate table broadcasts; pass 2 is a pure scan
+    with a per-row hash + compare. The 1-row min_cnt aggregate rides
+    a constant broadcast (same shape as hot_domains' denominator).
+    Hash dice keep the sample incrementally stable as the corpus
+    grows (modulo the rate drifting with new counts)."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    mn = counts.agg(F.min("cnt").alias("min_cnt"))
+    die = _md5_long(F.concat(F.lit("balance:"), F.col("doc_id").cast("string"))) % 10000
+    return (
+        d.select("doc_id", "lang", die.alias("die"))
+        .join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(mn))
+        .filter(F.col("die") * F.col("cnt") < 10000 * F.col("min_cnt"))
+        .select("doc_id", "lang")
+    )
+
+
+@_register(
     "corpus_shuffle",
     """
     WITH ordered AS (

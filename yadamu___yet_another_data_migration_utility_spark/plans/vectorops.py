@@ -27,9 +27,12 @@ from .catalog import _register, load
 IVF_DIM = 64
 IVF_NPROBE = 2
 IVF_TOPK = 5
+SEMDEDUP_TAU = 0.40
 
-_IVF_SQL = f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+# shared CTE chain: DECIMAL-exact per-label centroids -> nearest-cell
+# assignment (L2, label tie-break). ann_ivf and dedup_semantic both
+# build on it so the quantizer contract has one spelling per engine.
+_CELLS_SQL = f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
     dims AS (SELECT unnest(generate_series(0, {IVF_DIM - 1})) AS i),
     comp AS (
       SELECT label, i, CAST(embedding[i + 1] AS DOUBLE) AS v
@@ -51,7 +54,10 @@ _IVF_SQL = f"""
       SELECT vec_id, cell,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crn
       FROM dist
-    ),
+    )"""
+
+_IVF_SQL = f"""
+    WITH {_CELLS_SQL},
     assign AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE crn = 1),
     probes AS (
       SELECT vec_id AS query_id, cell
@@ -88,20 +94,10 @@ def _fold(arr: F.Column) -> F.Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
-@_register("ann_ivf", _IVF_SQL)
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: per-label centroids as the coarse quantizer, nearest-cell
-    assignment (L2, deterministic label tie-break), NPROBE=2 probed
-    cells per query, exact cosine top-5 over probed candidates only.
-    Output schema matches ann_cosine_topk; recall vs brute force is
-    asserted in tests/test_entry_and_extras.py.
-
-    Scale: the quantizer is K x dim doubles -> broadcast (the crossJoin
-    is a 10-row explode, not a pair join); assignment is one scan + a
-    per-vector window over K rows; the probe step is a hash equi-join
-    on cell. Cells are label-balanced here; a production IVF re-trains
-    centroids to balance cells -- the plan shape is identical."""
-    e = load(spark, sf_dir, "embeddings")
+def _ranked_cells(e: DataFrame) -> DataFrame:
+    """(vec_id, cell, crn): every vector's cells ranked by L2 distance
+    to the DECIMAL-exact per-label centroids (cell id breaks ties).
+    crn=1 is the IVF/SemDeDup assignment; crn<=NPROBE are probe cells."""
     comp = e.select("label", F.posexplode(_to_d("embedding")).alias("i", "v"))
     cent = comp.groupBy("label", "i").agg(
         (F.sum(F.col("v").cast("decimal(18,8)")).cast("double")
@@ -116,7 +112,24 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = _fold(F.zip_with("ve", "cv", lambda a, b: (a - b) * (a - b)))
     dist = ev.crossJoin(F.broadcast(centv)).select("vec_id", "cell", d2.alias("d2"))
     w = W.partitionBy("vec_id").orderBy("d2", "cell")
-    ranked = dist.withColumn("crn", F.row_number().over(w))
+    return dist.withColumn("crn", F.row_number().over(w))
+
+
+@_register("ann_ivf", _IVF_SQL)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: per-label centroids as the coarse quantizer, nearest-cell
+    assignment (L2, deterministic label tie-break), NPROBE=2 probed
+    cells per query, exact cosine top-5 over probed candidates only.
+    Output schema matches ann_cosine_topk; recall vs brute force is
+    asserted in tests/test_entry_and_extras.py.
+
+    Scale: the quantizer is K x dim doubles -> broadcast (the crossJoin
+    is a 10-row explode, not a pair join); assignment is one scan + a
+    per-vector window over K rows; the probe step is a hash equi-join
+    on cell. Cells are label-balanced here; a production IVF re-trains
+    centroids to balance cells -- the plan shape is identical."""
+    e = load(spark, sf_dir, "embeddings")
+    ranked = _ranked_cells(e)
     assign = ranked.filter(F.col("crn") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cell"
     )
@@ -144,4 +157,67 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rw))
         .filter(F.col("rank") <= IVF_TOPK)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim_r"))
+    )
+
+
+# SemDeDup pairwise cosine, spelled once for both engines (aliases pe/te
+# are fixed by the shared _COSINE_SQL contract in plans/moreops.py)
+from .moreops import _COSINE_SQL
+
+_SEMDEDUP_SQL = f"""
+    WITH {_CELLS_SQL},
+    assign AS (SELECT vec_id, cell FROM ranked WHERE crn = 1),
+    pairs AS (
+      SELECT b.vec_id AS dup_id, {_COSINE_SQL} AS sim
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN e pe ON pe.vec_id = a.vec_id
+      JOIN e te ON te.vec_id = b.vec_id
+    ),
+    dups AS (SELECT DISTINCT dup_id FROM pairs WHERE sim >= {SEMDEDUP_TAU})
+    SELECT s.vec_id, s.cell,
+           CASE WHEN d.dup_id IS NULL THEN 0 ELSE 1 END AS is_dup
+    FROM assign s LEFT JOIN dups d ON d.dup_id = s.vec_id
+"""
+
+
+@_register("dedup_semantic", _SEMDEDUP_SQL)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    embeddings with the shared coarse quantizer (_ranked_cells --
+    DECIMAL-exact per-label centroids, nearest-cell L2 assignment),
+    then prune within each cluster only: a vector is a semantic
+    duplicate when an earlier (smaller vec_id) vector in the SAME cell
+    has cosine >= 0.40. Output is the full corpus verdict table
+    (vec_id, cell, is_dup), so the oracle hash checks the quantizer,
+    the pair semantics and the keep-list in one pass.
+
+    Scale: this is exactly why SemDeDup clusters first -- the pairwise
+    cosine runs per-cell (hash equi-join on cell), never corpus x
+    corpus; with K cells of n/K vectors the candidate set is n^2/K
+    instead of n^2, and each cell's pairs co-locate under one shuffle
+    key. The quantizer crossJoin broadcasts K=10 constant rows (same
+    exemption as ann_ivf); norms are hoisted per-vector; the final
+    verdict is a broadcast-able left join of the (small) dup-id set."""
+    e = load(spark, sf_dir, "embeddings")
+    assign = _ranked_cells(e).filter(F.col("crn") == 1).select("vec_id", "cell")
+    a = assign.select(F.col("vec_id").alias("keep_id"), "cell")
+    b = assign.select(F.col("vec_id").alias("dup_id"), "cell")
+    cand = a.join(b, "cell").filter(F.col("keep_id") < F.col("dup_id"))
+    pe = e.select(F.col("vec_id").alias("keep_id"), _to_d("embedding").alias("pe"),
+                  _norm(_to_d("embedding")).alias("pn"))
+    te = e.select(F.col("vec_id").alias("dup_id"), _to_d("embedding").alias("te"),
+                  _norm(_to_d("embedding")).alias("tn"))
+    sim = _dot(F.col("pe"), F.col("te")) / (F.col("pn") * F.col("tn"))
+    dups = (
+        cand.join(pe, "keep_id").join(te, "dup_id")
+        .select("dup_id", sim.alias("sim"))
+        .filter(F.col("sim") >= SEMDEDUP_TAU)
+        .select("dup_id")
+        .distinct()
+    )
+    return assign.join(
+        F.broadcast(dups), assign["vec_id"] == dups["dup_id"], "left"
+    ).select(
+        "vec_id", "cell",
+        F.when(F.col("dup_id").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("is_dup"),
     )
