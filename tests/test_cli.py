@@ -469,3 +469,52 @@ def test_cli_update_where(spark, tmp_path, capsys):
     got = {(r["url"], r["lang"], float(r["value"]))
            for r in LakeTable.load(root).read(spark, public=True).collect()}
     assert got == {("a", "en", 1.0), ("b", "und", 4.0), ("c", "und", 18.0)}
+
+
+def test_cli_maintain_plan_and_apply(spark, tmp_path, capsys):
+    """`maintain` prints the advisor plan; `maintain --apply` executes
+    the compact + expire it recommended and a re-plan comes back
+    clean (rebucket advisories aside)."""
+    from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
+        LakeTable,
+    )
+
+    root = str(tmp_path / "lake")
+    src = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        [(f"u{i}", f"v{i}") for i in range(8)], "url string, val string"
+    ).write.parquet(src)
+    rc, _ = _run(capsys, ["copy", "--source", src, "--table-root", root,
+                          "--key", "url", "--buckets", "2"])
+    assert rc == 0
+    t = LakeTable.load(root)
+    for b in range(5):
+        upd = spark.createDataFrame(
+            [(f"u{i}", f"w{b}_{i}", "U", 100 * (b + 1) + i) for i in range(8)],
+            "url string, val string, op string, lsn long",
+        )
+        t.merge(spark, upd, batch_id=b + 1)
+
+    rc, plan = _run(capsys, ["maintain", "--table-root", root,
+                             "--max-files-per-bucket", "3", "--keep-last", "3"])
+    assert rc == 0
+    assert {a["reason"] for a in plan["actions"]} >= {"fragmentation", "retention"}
+
+    before = sorted(
+        (r["url"], r["val"]) for r in t.read(spark).select("url", "val").collect()
+    )
+    rc, done = _run(capsys, ["maintain", "--table-root", root, "--apply",
+                             "--max-files-per-bucket", "3", "--keep-last", "3"])
+    assert rc == 0
+    assert any(a.get("applied_version") for a in done["actions"])
+    assert any(a.get("result", {}).get("expired_manifests", 0) > 0
+               for a in done["actions"])
+    after = sorted(
+        (r["url"], r["val"]) for r in t.read(spark).select("url", "val").collect()
+    )
+    assert after == before
+
+    rc, again = _run(capsys, ["maintain", "--table-root", root,
+                              "--max-files-per-bucket", "3", "--keep-last", "3"])
+    assert rc == 0
+    assert [a for a in again["actions"] if not a.get("advisory")] == []

@@ -971,3 +971,82 @@ def test_map_payload_column_resolves_fine(spark, tmp_path):
                           bucket_count=2, merge_mode="cow")
     t2.merge(spark, df, batch_id=0)
     assert t2.read(spark).count() == 2
+
+
+# ======================================================================
+# Maintenance advisor (plan_maintenance / maintain)
+# ======================================================================
+
+
+def test_plan_maintenance_flags_and_maintain_applies(spark, tmp_table_root):
+    """Fragment a table with many small merges, let history pile up,
+    then: the advisor flags fragmentation + retention, maintain(apply)
+    compacts the flagged buckets and expires history, the resolved
+    state is UNCHANGED, and a re-plan under the same thresholds finds
+    nothing actionable left."""
+    t = mk(spark, tmp_table_root, bucket_count=2, merge_mode="mor")
+    for i in range(6):
+        t.merge(spark, batch(spark, [(f"u{j}", f"v{i}", "I", i * 10 + j)
+                                     for j in range(4)]), batch_id=i)
+    before = state(spark, t)
+
+    plan = t.plan_maintenance(max_files_per_bucket=3, keep_last=3)
+    reasons = {a["reason"] for a in plan["actions"]}
+    assert "fragmentation" in reasons, plan
+    assert "retention" in reasons, plan
+    assert plan["n_manifests"] > 3
+
+    done = t.maintain(spark, apply=True, max_files_per_bucket=3, keep_last=3)
+    compacts = [a for a in done["actions"] if a["action"] == "compact"]
+    assert compacts and all(a.get("applied_version") for a in compacts)
+    exp = next(a for a in done["actions"] if a["action"] == "expire")
+    assert exp["result"]["expired_manifests"] > 0
+
+    assert state(spark, t) == before  # semantics-preserving
+    again = t.plan_maintenance(max_files_per_bucket=3, keep_last=3)
+    assert [a for a in again["actions"] if not a.get("advisory")] == [], again
+
+
+def test_plan_maintenance_delta_backlog_and_skew(spark, tmp_table_root):
+    """A bucket whose MoR deltas outweigh its base is flagged as delta
+    backlog even when its file count is under the fragmentation bar;
+    a table where one bucket dwarfs the median gets the advisory
+    rebucket finding."""
+    t = mk(spark, tmp_table_root, bucket_count=2, merge_mode="mor")
+    t.append(spark, spark.createDataFrame(
+        [(f"u{j}", "seed") for j in range(4)], "url string, val string"))
+    # one merge -> delta bytes comparable to the tiny base
+    t.merge(spark, batch(spark, [(f"u{j}", "x" * 2000, "U", 100 + j)
+                                 for j in range(4)]), batch_id=0)
+    plan = t.plan_maintenance(max_files_per_bucket=10, keep_last=10)
+    assert any(a["reason"] == "delta_backlog" for a in plan["actions"]), plan
+
+    # skew: all keys identical -> one bucket holds everything
+    t2 = LakeTable.create(tmp_table_root + "_skew", SCHEMA, key="url",
+                          bucket_count=8, merge_mode="mor")
+    t2.append(spark, spark.createDataFrame(
+        [("hot", "x" * 5000)] * 50 + [(f"u{j}", "y") for j in range(20)],
+        "url string, val string"))
+    plan2 = t2.plan_maintenance()
+    assert any(a["action"] == "rebucket" and a.get("advisory")
+               for a in plan2["actions"]), plan2
+
+
+def test_compact_explicit_bucket_targeting(spark, tmp_table_root):
+    """compact(buckets=[...]) folds exactly the requested buckets'
+    deltas and leaves the others' in place."""
+    t = mk(spark, tmp_table_root, bucket_count=4, merge_mode="mor")
+    t.merge(spark, batch(spark, [(f"u{j}", "v", "I", j) for j in range(16)]),
+            batch_id=0)
+    m = t.manifest()
+    delta_buckets = sorted(int(b) for b, fl in m.get("deltas", {}).items() if fl)
+    assert len(delta_buckets) >= 2
+    target = delta_buckets[:1]
+    before = state(spark, t)
+    v = t.compact(spark, buckets=target)
+    assert v is not None
+    m2 = t.manifest()
+    assert not m2["deltas"].get(str(target[0]))
+    remaining = [b for b in delta_buckets[1:] if m2["deltas"].get(str(b))]
+    assert remaining == delta_buckets[1:]
+    assert state(spark, t) == before

@@ -301,6 +301,20 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    table = _table(args)
+    # planning is pure metadata; only --apply needs a SparkSession
+    spark = _spark(args.cpus) if args.apply else None
+    plan = table.maintain(
+        spark, apply=args.apply,
+        max_files_per_bucket=args.max_files_per_bucket,
+        small_file_bytes=args.small_file_mb << 20,
+        keep_last=args.keep_last,
+    )
+    print(json.dumps(plan))
+    return 0
+
+
 def cmd_rebucket(args) -> int:
     table = _table(args)
     spark = _spark(args.cpus)
@@ -817,6 +831,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--keep-last", type=int, default=10)
     common(sp)
     sp.set_defaults(fn=cmd_expire)
+
+    sp = sub.add_parser("maintain", help="advise (default) or apply table maintenance: "
+                                         "targeted compact + retention from manifest stats")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--apply", action="store_true",
+                    help="execute the recommended compact/expire (rebucket stays advisory)")
+    sp.add_argument("--max-files-per-bucket", type=int, default=4)
+    sp.add_argument("--small-file-mb", type=int, default=32,
+                    help="mean base-file size below this flags a bucket for rewrite")
+    sp.add_argument("--keep-last", type=int, default=10)
+    common(sp)
+    sp.set_defaults(fn=cmd_maintain)
 
     sp = sub.add_parser("rebucket", help="rewrite the table under a new bucket count")
     sp.add_argument("--table-root", required=True)

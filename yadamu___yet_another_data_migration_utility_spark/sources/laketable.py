@@ -1510,6 +1510,7 @@ class LakeTable:
         max_files_per_bucket: int = 4,
         all_deltas: bool = False,
         sort_within_buckets: list[str] | None = None,
+        buckets: list[int] | None = None,
     ) -> int | None:
         """Fold delta files into the base and rewrite buckets holding
         too many files (Iceberg: rewrite_data_files; reference analogue:
@@ -1527,15 +1528,27 @@ class LakeTable:
         these columns (Iceberg: rewrite_data_files sort strategy) --
         tight parquet row-group min/max on the sort key turns point/range
         lookups into row-group prunes instead of full-bucket scans. A
-        per-partition sort, no extra shuffle."""
+        per-partition sort, no extra shuffle.
+
+        ``buckets``: explicit target list (e.g. from plan_maintenance)
+        -- overrides the count/delta heuristics; buckets with no live
+        files are ignored."""
         m = self.manifest()
         deltas = m.get("deltas", {})
         all_buckets = set(m["buckets"]) | {b for b, fl in deltas.items() if fl}
-        fat = [
-            int(b) for b in all_buckets
-            if len(m["buckets"].get(b, [])) + len(deltas.get(b, [])) > max_files_per_bucket
-            or (all_deltas and deltas.get(b))
-        ]
+        if buckets is not None:
+            want = {int(b) for b in buckets}
+            fat = [
+                int(b) for b in all_buckets
+                if int(b) in want
+                and (m["buckets"].get(b) or deltas.get(b))
+            ]
+        else:
+            fat = [
+                int(b) for b in all_buckets
+                if len(m["buckets"].get(b, [])) + len(deltas.get(b, [])) > max_files_per_bucket
+                or (all_deltas and deltas.get(b))
+            ]
         if not fat:
             return None
         # read() resolves deltas for the selected buckets already
@@ -2190,6 +2203,161 @@ class LakeTable:
             "deleted_files": n_files,
             "oldest_kept_version": oldest_kept,
         }
+
+    # ------------------------------------------------------------------
+    def plan_maintenance(
+        self,
+        *,
+        max_files_per_bucket: int = 4,
+        small_file_bytes: int = 32 << 20,
+        keep_last: int = 10,
+        delta_bytes_ratio: float = 0.25,
+        skew_ratio: float = 4.0,
+    ) -> dict[str, Any]:
+        """Inspect the current snapshot and recommend maintenance --
+        the advisor half of an auto-compaction/retention daemon
+        (Iceberg analogue: the metrics feeding rewrite_data_files /
+        expire_snapshots scheduling; Delta: OPTIMIZE triggers). Pure
+        metadata: manifest + file sizes through the FS seam, no Spark
+        job -- cheap enough to run after every commit at any scale.
+
+        Four findings, each an actionable dict in ``actions``:
+
+        - ``compact`` (fragmentation): buckets whose live file count
+          exceeds ``max_files_per_bucket`` -- every extra file is an
+          extra scan task + LWW resolution input.
+        - ``compact`` (delta backlog): buckets whose MoR delta bytes
+          exceed ``delta_bytes_ratio`` of their base bytes -- read
+          amplification grows with every merge until a fold.
+        - ``compact`` (small files): buckets averaging under
+          ``small_file_bytes`` per base file with >1 file -- the
+          classic small-file problem; row-group-sized files waste
+          scan tasks and footer overhead.
+        - ``expire``: more than ``keep_last`` manifests on disk --
+          time travel is accumulating history (and orphaned commit
+          dirs are only swept by retention).
+
+        Plus one advisory (never auto-applied): ``rebucket`` when the
+        largest bucket holds more than ``skew_ratio`` x the median
+        bucket's bytes -- hash-bucket skew that compaction cannot fix;
+        at ingest time the salting path (operators.apply dedup=salted)
+        is the non-rewrite alternative."""
+        m = self.manifest()
+        entries = self.file_entries()
+        per: dict[int, dict[str, int]] = {}
+        for ent in entries:
+            st = per.setdefault(
+                ent["bucket"],
+                {"n_data": 0, "n_delta": 0, "bytes_data": 0, "bytes_delta": 0},
+            )
+            k = "data" if ent["kind"] == "data" else "delta"
+            st[f"n_{k}"] += 1
+            st[f"bytes_{k}"] += ent["size_bytes"] or 0
+
+        actions: list[dict[str, Any]] = []
+        frag = sorted(
+            b for b, st in per.items()
+            if st["n_data"] + st["n_delta"] > max_files_per_bucket
+        )
+        if frag:
+            actions.append({
+                "action": "compact",
+                "reason": "fragmentation",
+                "buckets": frag,
+                "detail": f"live file count > {max_files_per_bucket}",
+            })
+        backlog = sorted(
+            b for b, st in per.items()
+            if b not in set(frag) and st["n_delta"] > 0
+            and st["bytes_delta"] > delta_bytes_ratio * max(st["bytes_data"], 1)
+        )
+        if backlog:
+            actions.append({
+                "action": "compact",
+                "reason": "delta_backlog",
+                "buckets": backlog,
+                "detail": f"delta bytes > {delta_bytes_ratio:g} x base bytes",
+            })
+        small = sorted(
+            b for b, st in per.items()
+            if b not in set(frag) and b not in set(backlog)
+            and st["n_data"] > 1
+            and st["bytes_data"] / st["n_data"] < small_file_bytes
+        )
+        if small:
+            actions.append({
+                "action": "compact",
+                "reason": "small_files",
+                "buckets": small,
+                "detail": f"mean base file < {small_file_bytes} bytes",
+            })
+
+        mdir = os.path.join(self.root, MANIFEST_DIR)
+        n_manifests = sum(
+            1 for name in self.fs.listdir(mdir)
+            if name.startswith("v") and name.endswith(".json")
+        )
+        if n_manifests > keep_last:
+            actions.append({
+                "action": "expire",
+                "reason": "retention",
+                "keep_last": keep_last,
+                "detail": f"{n_manifests} snapshots on disk > keep_last={keep_last}",
+            })
+
+        sizes = sorted(
+            st["bytes_data"] + st["bytes_delta"] for st in per.values()
+        )
+        if len(sizes) >= 2 and sizes[-1] > skew_ratio * max(
+            sizes[len(sizes) // 2], 1
+        ):
+            actions.append({
+                "action": "rebucket",
+                "reason": "skew",
+                "advisory": True,
+                "detail": (
+                    f"largest bucket {sizes[-1]}B > {skew_ratio:g}x median "
+                    f"{sizes[len(sizes) // 2]}B; rebucket() or salted ingest"
+                ),
+            })
+
+        return {
+            "table": self.root,
+            "version": m["version"],
+            "n_buckets_live": len(per),
+            "n_files": len(entries),
+            "n_manifests": n_manifests,
+            "actions": actions,
+        }
+
+    def maintain(
+        self, spark: SparkSession, apply: bool = False, **thresholds: Any
+    ) -> dict[str, Any]:
+        """Run ``plan_maintenance`` and (with ``apply=True``) execute
+        the non-advisory actions: one targeted ``compact`` over the
+        union of flagged buckets, then ``expire_snapshots``. Rebucket
+        stays advisory -- it rewrites the whole table and changes its
+        layout, a decision for the operator. Each executed action
+        records its outcome in the returned plan; maintenance is
+        semantics-preserving (compact materializes the resolved state,
+        expire only drops unreferenced history), which the tests assert
+        by diffing the resolved read across the run."""
+        plan = self.plan_maintenance(**thresholds)
+        if not apply:
+            return plan
+        compact_buckets = sorted({
+            b for a in plan["actions"]
+            if a["action"] == "compact" for b in a["buckets"]
+        })
+        if compact_buckets:
+            v = self.compact(spark, buckets=compact_buckets)
+            for a in plan["actions"]:
+                if a["action"] == "compact":
+                    a["applied_version"] = v
+        for a in plan["actions"]:
+            if a["action"] == "expire":
+                a["result"] = self.expire_snapshots(keep_last=a["keep_last"])
+        return plan
 
     # ------------------------------------------------------------------
     def _new_commit_dir(self, version_hint: int) -> tuple[str, str]:
