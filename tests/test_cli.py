@@ -518,3 +518,59 @@ def test_cli_maintain_plan_and_apply(spark, tmp_path, capsys):
                               "--max-files-per-bucket", "3", "--keep-last", "3"])
     assert rc == 0
     assert [a for a in again["actions"] if not a.get("advisory")] == []
+
+
+def test_cli_analyze_and_describe_stats(spark, tmp_path, capsys):
+    """`analyze` computes NDV/null stats into the manifest; `describe`
+    surfaces them."""
+    root = str(tmp_path / "lake")
+    src = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        [(f"u{i}", f"v{i % 5}") for i in range(100)], "url string, val string"
+    ).write.parquet(src)
+    rc, _ = _run(capsys, ["copy", "--source", src, "--table-root", root,
+                          "--key", "url", "--buckets", "2"])
+    assert rc == 0
+    rc, stats = _run(capsys, ["analyze", "--table-root", root])
+    assert rc == 0 and stats["n_rows"] == 100
+    assert abs(stats["columns"]["val"]["ndv"] - 5) <= 2
+    rc, desc = _run(capsys, ["describe", "--table-root", root])
+    assert rc == 0
+    assert desc["table_stats"]["columns"]["url"]["n_nulls"] == 0
+    assert desc["last_operation"] == "analyze"
+    rc, sub = _run(capsys, ["analyze", "--table-root", root, "--columns", "val"])
+    assert rc == 0 and list(sub["columns"]) == ["val"]
+
+
+def test_cli_overwrite_where(spark, tmp_path, capsys):
+    """`overwrite-where` atomically replaces the matching slice with a
+    parquet replacement; contract violations exit 2 without a commit."""
+    root = str(tmp_path / "lake")
+    src = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        [(f"u{i}", f"old{i % 2}") for i in range(10)], "url string, val string"
+    ).write.parquet(src)
+    rc, _ = _run(capsys, ["copy", "--source", src, "--table-root", root,
+                          "--key", "url", "--buckets", "2"])
+    assert rc == 0
+    repl = str(tmp_path / "repl.parquet")
+    spark.createDataFrame(
+        [("u100", "old0")], "url string, val string"
+    ).write.parquet(repl)
+    rc, out = _run(capsys, ["overwrite-where", "--table-root", root,
+                            "--source", repl, "--predicate", "val = 'old0'"])
+    assert rc == 0 and out["rows_deleted"] == 5 and out["rows_inserted"] == 1
+    from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
+        LakeTable,
+    )
+    t = LakeTable.load(root)
+    got = {(r["url"], r["val"]) for r in t.read(spark).collect()}
+    assert got == {(f"u{i}", "old1") for i in range(10) if i % 2} | {("u100", "old0")}
+    # replacement rows violating the predicate exit 2, version unchanged
+    v = t.current_version()
+    bad = str(tmp_path / "bad.parquet")
+    spark.createDataFrame([("x", "nope")], "url string, val string") \
+        .write.parquet(bad)
+    rc, _ = _run(capsys, ["overwrite-where", "--table-root", root,
+                          "--source", bad, "--predicate", "val = 'old0'"])
+    assert rc == 2 and t.current_version() == v

@@ -1050,3 +1050,147 @@ def test_compact_explicit_bucket_targeting(spark, tmp_table_root):
     remaining = [b for b in delta_buckets[1:] if m2["deltas"].get(str(b))]
     assert remaining == delta_buckets[1:]
     assert state(spark, t) == before
+
+
+def test_analyze_table_stats(spark, tmp_table_root):
+    """analyze(): one-job HLL NDV + exact null counts per column, stored
+    as a metadata-only commit that read_changes treats as a no-op."""
+    t = mk(spark, tmp_table_root, bucket_count=4)
+    rows = [(f"u{i}", f"v{i % 10}" if i % 5 else None, "I", i)
+            for i in range(200)]
+    t.merge(spark, batch(spark, rows), batch_id=0)
+    stats = t.analyze(spark)
+    assert stats["n_rows"] == 200
+    cs = stats["columns"]
+    assert cs["url"]["n_nulls"] == 0
+    assert cs["val"]["n_nulls"] == 40  # every i % 5 == 0
+    # HLL m=64 -> ~13% relative error; generous test bounds
+    assert abs(cs["url"]["ndv"] - 200) <= 60
+    assert abs(cs["val"]["ndv"] - 10) <= 3
+
+    m = t.manifest()
+    assert m["table_stats"]["analyzed_version"] == stats["analyzed_version"]
+    assert (m.get("summary") or {}).get("operation") == "analyze"
+
+    # the stats commit is a data no-op: a change window crossing it
+    # still takes the fast path and reports only the real merge
+    pre = t.current_version()
+    t.merge(spark, batch(spark, [("zz", "n", "I", 999)]), batch_id=1)
+    ch = t.read_changes(spark, pre)
+    assert ch.count() == 1
+
+    sub = t.analyze(spark, columns=["val"])
+    assert list(sub["columns"]) == ["val"]
+    with pytest.raises(ValueError):
+        t.analyze(spark, columns=["nope"])
+
+
+def test_analyze_all_null_and_binary_columns(spark, tmp_table_root):
+    """Degenerate columns: all-NULL gives ndv=0 with exact null count;
+    binary payloads hash via base64 (no lossy string cast)."""
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("blob", T.BinaryType()),
+        T.StructField("empty", T.StringType()),
+    ])
+    t = LakeTable.create(tmp_table_root, schema, key="url", bucket_count=2)
+    df = spark.createDataFrame(
+        [(f"u{i}", bytes([i % 7]) * 3, None) for i in range(50)], schema
+    )
+    t.append(spark, df)
+    stats = t.analyze(spark)
+    assert stats["columns"]["empty"] == {"ndv": 0, "n_nulls": 50}
+    assert abs(stats["columns"]["blob"]["ndv"] - 7) <= 2
+    assert stats["columns"]["url"]["n_nulls"] == 0
+
+
+# ======================================================================
+# overwrite_where (REPLACE WHERE backfill)
+# ======================================================================
+
+
+def _ow_seed(spark, root):
+    t = LakeTable.create(root, SCHEMA, key="url", bucket_count=4,
+                         merge_mode="mor")
+    t.merge(spark, batch(spark, [(f"u{i}", f"old{i % 3}", "I", i)
+                                 for i in range(12)]), batch_id=0)
+    return t
+
+
+def test_overwrite_where_replaces_slice_atomically(spark, tmp_table_root):
+    """One commit deletes the matching slice and inserts the
+    replacement; the final state is declaratively old-where-not-matched
+    + df."""
+    t = _ow_seed(spark, tmp_table_root)
+    v0 = t.current_version()
+    repl = spark.createDataFrame(
+        [("u100", "old0"), ("u101", "old0")], "url string, val string")
+    v, n_del, n_ins = t.overwrite_where(spark, repl, predicate="val = 'old0'")
+    assert v == v0 + 1 and n_ins == 2
+    assert n_del == 4  # i % 3 == 0 for i in 0..11
+    got = {(r["url"], r["val"]) for r in t.read(spark).collect()}
+    expect = {(f"u{i}", f"old{i % 3}") for i in range(12) if i % 3 != 0}
+    expect |= {("u100", "old0"), ("u101", "old0")}
+    assert got == expect
+    a = t.manifest()["audit"]
+    assert a["operation"] == "overwrite"
+    assert a["rows_deleted"] == 4 and a["rows_applied"] == 2
+
+
+def test_overwrite_where_key_outside_slice_converges_lww(spark, tmp_table_root):
+    """A key whose current row does NOT match the predicate still
+    converges to the replacement row (delta stamp wins LWW) instead of
+    duplicating."""
+    t = _ow_seed(spark, tmp_table_root)
+    # u1 currently has val='old1' (not matching); replace the old0
+    # slice with a row for u1 that DOES satisfy the predicate
+    repl = spark.createDataFrame([("u1", "old0")], "url string, val string")
+    v, n_del, n_ins = t.overwrite_where(spark, repl, predicate="val = 'old0'")
+    assert v is not None and n_ins == 1
+    rows = t.read(spark).filter(F.col("url") == "u1").collect()
+    assert len(rows) == 1 and rows[0]["val"] == "old0"
+    # compaction folds the replacement delta without changing state
+    before = {(r["url"], r["val"]) for r in t.read(spark).collect()}
+    t.compact(spark, all_deltas=True)
+    assert {(r["url"], r["val"]) for r in t.read(spark).collect()} == before
+
+
+def test_overwrite_where_validates_replacement_rows(spark, tmp_table_root):
+    """A replacement row violating the predicate aborts the commit
+    cleanly (REPLACE WHERE contract)."""
+    t = _ow_seed(spark, tmp_table_root)
+    v0 = t.current_version()
+    bad = spark.createDataFrame([("u200", "oldX")], "url string, val string")
+    with pytest.raises(ValueError, match="do not satisfy"):
+        t.overwrite_where(spark, bad, predicate="val = 'old0'")
+    assert t.current_version() == v0
+    assert t.validate()["ok"]
+
+
+def test_overwrite_where_fence_and_insert_only(spark, tmp_table_root):
+    """batch_id makes the backfill exactly-once; a slice with no
+    current matches still commits the pure insert."""
+    t = _ow_seed(spark, tmp_table_root)
+    repl = spark.createDataFrame([("zz1", "fresh")], "url string, val string")
+    v, n_del, n_ins = t.overwrite_where(
+        spark, repl, predicate="val = 'fresh'", batch_id=77)
+    assert v is not None and n_del == 0 and n_ins == 1
+    again = t.overwrite_where(
+        spark, repl, predicate="val = 'fresh'", batch_id=77)
+    assert again == (None, 0, 0)  # fenced replay is a no-op
+    assert t.read(spark).filter(F.col("url") == "zz1").count() == 1
+
+
+def test_overwrite_where_read_changes_net(spark, tmp_table_root):
+    """A change window crossing an overwrite reports the net effect:
+    deletes for removed keys, upserts for replacements."""
+    t = _ow_seed(spark, tmp_table_root)
+    pre = t.current_version()
+    repl = spark.createDataFrame([("u0", "new0")], "url string, val string")
+    t.overwrite_where(spark, repl,
+                      predicate="url in ('u0', 'u3', 'u6', 'u9')")
+    ch = t.read_changes(spark, pre)
+    got = {(r["url"], r["_change_type"]) for r in ch.collect()}
+    # u0/u3/u6/u9 matched; u0 replaced (upsert), the rest deleted
+    assert got == {("u0", "upsert"), ("u3", "delete"),
+                   ("u6", "delete"), ("u9", "delete")}

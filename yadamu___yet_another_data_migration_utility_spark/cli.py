@@ -492,7 +492,17 @@ def cmd_describe(args) -> int:
         or (m.get("audit") or {}).get("operation"),
         "committed_at": m.get("committed_at"),
         "refs": m.get("refs", {}),
+        "table_stats": m.get("table_stats"),
     }, sort_keys=True))
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    table = _table(args)
+    spark = _spark(args.cpus)
+    cols = _tables_arg(args.columns) if args.columns else None
+    stats = table.analyze(spark, columns=cols)
+    print(json.dumps(stats, sort_keys=True))
     return 0
 
 
@@ -608,6 +618,34 @@ def _cmd_rewrite_where(args, assignments: dict | None) -> int:
 
 def cmd_delete_where(args) -> int:
     return _cmd_rewrite_where(args, None)
+
+
+def cmd_overwrite_where(args) -> int:
+    t = _table(args)
+    m = t.manifest()
+    types = {f["name"]: f["type"] for f in m["schema"]["fields"]}
+    ranges, err = _parse_range_args(args.range, types)
+    if err:
+        print(err, file=sys.stderr)
+        return 2
+    if not args.predicate and not ranges:
+        print("error: need --predicate and/or --range", file=sys.stderr)
+        return 2
+    if not os.path.exists(args.source):
+        print(f"error: source not found: {args.source}", file=sys.stderr)
+        return 2
+    spark = _spark(args.cpus)
+    df = spark.read.parquet(args.source)
+    try:
+        v, n_del, n_ins = t.overwrite_where(
+            spark, df, predicate=args.predicate, ranges=ranges or None,
+            batch_id=args.batch_id)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(json.dumps({"version": v, "rows_deleted": n_del,
+                      "rows_inserted": n_ins}, sort_keys=True))
+    return 0
 
 
 def cmd_update_where(args) -> int:
@@ -832,6 +870,14 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.set_defaults(fn=cmd_expire)
 
+    sp = sub.add_parser("analyze", help="per-column NDV + null-count statistics "
+                                        "(HyperLogLog) stored as a metadata commit")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--columns", default=None,
+                    help="comma-separated subset (default: every payload column)")
+    common(sp)
+    sp.set_defaults(fn=cmd_analyze)
+
     sp = sub.add_parser("maintain", help="advise (default) or apply table maintenance: "
                                          "targeted compact + retention from manifest stats")
     sp.add_argument("--table-root", required=True)
@@ -972,6 +1018,24 @@ def build_parser() -> argparse.ArgumentParser:
                          "files that can match (repeatable)")
     common(sp)
     sp.set_defaults(fn=cmd_delete_where)
+
+    sp = sub.add_parser("overwrite-where",
+                        help="REPLACE WHERE backfill: atomically delete the "
+                             "matching slice and insert a parquet replacement")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--source", required=True,
+                    help="parquet path with the replacement rows (must all "
+                         "satisfy the predicate)")
+    sp.add_argument("--predicate", default=None,
+                    help="SQL boolean expression over the table's columns")
+    sp.add_argument("--range", action="append", default=[],
+                    metavar="COL:LO..HI",
+                    help="inclusive bound; also prunes the rewrite to "
+                         "files that can match (repeatable)")
+    sp.add_argument("--batch-id", type=int, default=None,
+                    help="optional fence id: a replayed backfill is a no-op")
+    common(sp)
+    sp.set_defaults(fn=cmd_overwrite_where)
 
     sp = sub.add_parser("update-where",
                         help="predicate UPDATE: file-pruned copy-on-write "

@@ -737,6 +737,80 @@ def cdc_predicate_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_backfill_overwrite",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn FROM chg
+    )
+    SELECT url, event_type, value, ts
+    FROM last
+    WHERE rn = 1 AND op <> 'D' AND url NOT LIKE 'https://site3.%'
+    UNION ALL
+    SELECT DISTINCT url, 'backfill' AS event_type,
+           CAST(1.0 AS DOUBLE) AS value,
+           TIMESTAMP '2024-01-01 00:00:00' AS ts
+    FROM chg WHERE url LIKE 'https://site3.%'
+    """,
+)
+def cdc_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic BACKFILL (REPLACE WHERE): replay the changelog into a
+    lake table in one fenced batch, then ``overwrite_where`` replaces
+    the site3 domain slice in ONE commit -- every current site3 row
+    deleted, a regenerated row per site3 url (from the changelog's
+    distinct url set, so urls whose last event was a delete come back
+    too) inserted. The predicate is a pure function of the key, the
+    canonical re-ingest shape ("re-crawl domain X"); the oracle is the
+    declarative union of untouched-last-state and the regenerated
+    slice, proving delete+insert atomicity and exact slice boundaries.
+    Delta: INSERT ... REPLACE WHERE; Iceberg: overwrite(); no
+    reference analogue (insert-only per job).
+
+    Scale note: the rewrite half reads only files the zone maps cannot
+    prove disjoint from the slice; the insert half is one bucketed
+    delta write stamped above the LSN watermark (key-outside-slice
+    safety is tested engine-side); untouched files move by manifest
+    reference."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_ow_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(root, schema, key="url", bucket_count=16, overwrite=True)
+    apply_batch(table, chg, batch_id=0, run_extract=False)
+    repl = (
+        chg.filter(F.col("url").like("https://site3.%"))
+        .select("url").distinct()
+        .select(
+            "url",
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+            F.lit(1.0).alias("value"),
+            F.lit("backfill").alias("event_type"),
+        )
+    )
+    table.overwrite_where(spark, repl,
+                          predicate="url like 'https://site3.%'",
+                          batch_id=1)
+    return table.read(spark, public=True).select("url", "event_type", "value", "ts")
+
+
+@_register(
     "cdc_mirror_replicate",
     f"""
     WITH chg AS ({_CDC_SQL_SRC}),

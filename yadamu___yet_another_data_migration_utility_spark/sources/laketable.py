@@ -773,7 +773,7 @@ class LakeTable:
             m = _mf(v)
             audit = m.get("audit") or {}
             op = audit.get("operation") or m.get("summary", {}).get("operation")
-            if not (op in ("skip", "tag", "untag")
+            if not (op in ("skip", "tag", "untag", "analyze")
                     or (op == "merge" and audit.get("mode") == "mor")):
                 fast_ok = False
             v = m["parent"]
@@ -1721,6 +1721,195 @@ class LakeTable:
         return self._rewrite_where(
             spark, "update_where", predicate, ranges, assignments=assignments)
 
+    def overwrite_where(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        predicate: str | None = None,
+        ranges: dict[str, tuple] | None = None,
+        batch_id: int | None = None,
+    ) -> tuple[int | None, int, int]:
+        """REPLACE WHERE -- the atomic backfill primitive ("re-ingest
+        day X"): delete every current row matching the predicate/ranges
+        AND insert ``df``'s rows, in ONE commit (Delta: INSERT ...
+        REPLACE WHERE; Iceberg: overwrite). Returns
+        ``(new_version | None, rows_deleted, rows_inserted)`` --
+        ``None`` when nothing matched and ``df`` is empty.
+
+        Contract (Delta REPLACE WHERE parity): every inserted row must
+        satisfy the predicate, validated in the same Spark pass --
+        otherwise the commit aborts cleanly. That makes the result
+        declarative: new state = old rows where NOT matched + ``df``.
+
+        Key safety: replacement rows land as DELTA rows stamped with a
+        fresh ``_lsn`` above the audit-chain watermark, NOT as blind
+        base files. A key that also lives OUTSIDE the slice (possible
+        whenever the predicate is not a pure function of the key)
+        therefore converges by the engine's normal LWW resolution --
+        the replacement wins -- instead of silently duplicating in a
+        plain-scanned bucket. Matching old rows are physically removed
+        by the same zone-map-pruned copy-on-write rewrite delete_where
+        uses (candidate files rewritten, disjoint files carried by
+        reference, delta-touched candidate buckets folded whole).
+
+        ``batch_id`` (optional) rides the fence ledger, making a
+        replayed backfill exactly-once like any merge batch.
+
+        Scale: cost is O(matching files) + O(df) -- the rewrite reads
+        only files the zone maps cannot prove disjoint, and the insert
+        is one partitionBy-bucket delta write; untouched data moves by
+        manifest reference. Downstream ``read_changes`` windows
+        crossing this commit take the exact snapshot-diff path (an
+        overwrite is not an append-only mor merge)."""
+        if predicate is None and not ranges:
+            raise ValueError(
+                "overwrite_where needs a predicate and/or ranges (an "
+                "unconditional replace of the whole table should be "
+                "explicit: pass predicate='true')")
+        from pyspark.sql import Observation
+
+        m = self.manifest()
+        if batch_id is not None and str(batch_id) in m["applied_batches"]:
+            return None, 0, 0
+        schema = T.StructType.fromJson(m["schema"])
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        plain_rel, delta_buckets = self._plan_scan(m, None, ranges, tz=tz)
+
+        def _cond() -> F.Column:
+            cond = F.lit(True)
+            for col, (lo, hi) in (ranges or {}).items():
+                if lo is not None:
+                    cond = cond & (F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    cond = cond & (F.col(col) <= F.lit(hi))
+            if predicate is not None:
+                cond = cond & F.expr(predicate)
+            return F.coalesce(cond, F.lit(False))
+
+        key, nb = m["key"], m["bucket_count"]
+        stamp = self.lsn_high_watermark() + 1
+
+        # ---- survivors: rewrite candidate files without matched rows
+        out_dirs: list[str] = []
+        new_base: dict[str, list[str]] = {}
+        n_hit = 0
+        zone: dict[str, Any] = {}
+        if plain_rel or delta_buckets:
+            parts: list[DataFrame] = []
+            if plain_rel:
+                files = [self.fs.spark_path(os.path.join(self.root, f))
+                         for f in plain_rel]
+                parts.append(spark.read.schema(schema).parquet(*files))
+            if delta_buckets:
+                rs = T.StructType(list(schema.fields)
+                                  + [T.StructField(DELETED_COL, T.BooleanType())])
+                files = (self._files(m, delta_buckets)
+                         + self._files(m, delta_buckets, "deltas"))
+                raw = spark.read.schema(rs).parquet(*files)
+                parts.append(_resolve(raw, key, schema))
+            cand = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+            obs = Observation(f"overwrite_{m['version'] + 1}")
+            out = cand.observe(obs, F.sum(_cond().cast("long")).alias("hits"))
+            out = out.filter(~_cond())
+            new_base, _, base_dir = self._write_bucketed(spark, out, m)
+            out_dirs.append(base_dir)
+            n_hit = int(obs.get["hits"] or 0)
+            z, zz = _footer_stats(self.fs, self.root, new_base, schema=schema)
+            zone.update(zz)
+
+        # ---- replacement rows: delta write stamped above the chain
+        ins = _align(df, schema)
+        ins = ins.withColumn(LSN_COL, F.lit(stamp).cast("long"))
+        ins = ins.withColumn(DELETED_COL, F.lit(False))
+        iobs = Observation(f"overwrite_ins_{m['version'] + 1}")
+        ins_dir, ins_rel = self._new_commit_dir(m["version"] + 1)
+        with _ts_micros(spark):
+            (
+                ins.withColumn("_b", _bucket_expr(key, nb))
+                .observe(
+                    iobs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum((~_cond()).cast("long")).alias("bad"),
+                )
+                .write.partitionBy("_b")
+                .parquet(self.fs.spark_path(ins_dir))
+            )
+        out_dirs.append(ins_dir)
+        got = iobs.get
+        n_ins, n_bad = int(got["n"] or 0), int(got["bad"] or 0)
+        if n_bad:
+            for d in out_dirs:
+                self.fs.rmtree(d)
+            raise ValueError(
+                f"{n_bad} replacement row(s) do not satisfy the overwrite "
+                "predicate (REPLACE WHERE contract: df must be a subset of "
+                "the slice being replaced)")
+        if n_hit == 0 and n_ins == 0:
+            for d in out_dirs:
+                self.fs.rmtree(d)
+            return None, 0, 0
+        new_delta = _list_bucket_files(self.fs, ins_dir, ins_rel)
+        _, zz = _footer_stats(self.fs, self.root, new_delta, schema=schema)
+        zone.update(zz)
+
+        plain_set = set(plain_rel)
+        buckets: dict[str, list[str]] = {}
+        for b, fl in m["buckets"].items():
+            carry = [] if int(b) in delta_buckets else \
+                [f for f in fl if f not in plain_set]
+            buckets[b] = carry + new_base.get(b, [])
+        for b, fl in new_base.items():
+            buckets.setdefault(b, fl)
+        deltas = {k: list(fl) for k, fl in m.get("deltas", {}).items()}
+        for b in delta_buckets:
+            deltas[str(b)] = []
+        for b, fl in new_delta.items():
+            deltas[b] = deltas.get(b, []) + fl
+        applied = dict(m["applied_batches"])
+        v = m["version"] + 1
+        if batch_id is not None:
+            applied[str(batch_id)] = {"version": v, "op": "overwrite"}
+        manifest = {
+            **m,
+            "version": v,
+            "parent": m["version"],
+            "buckets": buckets,
+            "deltas": deltas,
+            "applied_batches": _cap(applied),
+            "lsn_high": max(m.get("lsn_high") or 0, stamp),
+            "audit": {
+                "batch_id": batch_id,
+                "operation": "overwrite",
+                "rows_in": n_ins,
+                "rows_applied": n_ins,
+                "rows_deleted": n_hit,
+                "min_lsn": stamp,
+                "max_lsn": stamp,
+                "version": v,
+            },
+            "lineage": [],
+            "stats": {**_inherit_stats(m), **zone},
+            "summary": {
+                "operation": "overwrite",
+                "rows_deleted": n_hit,
+                "rows_inserted": n_ins,
+                "predicate": predicate,
+                "ranges": {c: [None if b is None else str(b) for b in bb]
+                           for c, bb in (ranges or {}).items()},
+                "files_rewritten": len(plain_rel),
+                "buckets_folded": len(delta_buckets),
+            },
+            "committed_at": _utc_now_iso(),
+        }
+        try:
+            # like compact/delete_where: rewrites a snapshot, no rebase
+            self._write_manifest(manifest, expected_parent=m["version"])
+        except CommitConflict:
+            for d in out_dirs:
+                self.fs.rmtree(d)
+            raise
+        return v, n_hit, n_ins
+
     def _rewrite_where(
         self, spark, op, predicate, ranges, assignments,
     ) -> tuple[int | None, int]:
@@ -2358,6 +2547,134 @@ class LakeTable:
             if a["action"] == "expire":
                 a["result"] = self.expire_snapshots(keep_last=a["keep_last"])
         return plan
+
+    # ------------------------------------------------------------------
+    def analyze(
+        self, spark: SparkSession, columns: list[str] | None = None,
+    ) -> dict[str, Any]:
+        """ANALYZE TABLE: per-column null counts and an NDV
+        (number-of-distinct-values) estimate over the RESOLVED current
+        snapshot, recorded in the manifest as a metadata-only commit
+        and surfaced by ``describe`` / ``table_stats``. Iceberg
+        analogue: ``compute_table_stats`` persisting per-column theta
+        sketches in puffin files; the estimator here is a deterministic
+        md5 HyperLogLog (m=64 registers per column, ~13% relative
+        error) with the standard linear-counting small-range correction
+        -- applied driver-side, where using ln() is safe (no DuckDB
+        oracle has to reproduce it).
+
+        Cost: ONE Spark job regardless of table width or height. The
+        scan stacks the requested columns into (column, value) pairs;
+        the register aggregation is algebraic, so partial agg collapses
+        every partition to <= 64 small integers per column before the
+        shuffle -- O(columns x 64) bytes on the wire for a 10^10-row
+        table. The stats commit carries no data files: readers,
+        ``read_changes`` and ``mirror`` treat it as a no-op (same
+        contract as tag/untag), and it rebases freely onto concurrent
+        commits.
+
+        NDV feeds the optimizer-adjacent decisions this engine makes
+        by hand at 100 TB: whether a dimension side is broadcastable,
+        whether a merge key is skewed enough to salt
+        (``plan_maintenance``'s rebucket advisory is bytes-based; NDV
+        per key column is the row-based complement), and how many
+        buckets a rebucket should target."""
+        import math
+
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        engine_cols = {LSN_COL, DELETED_COL}
+        names = [f.name for f in schema.fields if f.name not in engine_cols]
+        if columns is not None:
+            unknown = set(columns) - set(names)
+            if unknown:
+                raise ValueError(f"unknown columns: {sorted(unknown)}")
+            names = [n for n in names if n in set(columns)]
+        if not names:
+            raise ValueError("no columns to analyze")
+
+        hll_m, rest_bits = 64, 54  # 60-bit md5 hash: 6 bucket bits + 54
+        pairs = []
+        for n in names:
+            dt = schema[n].dataType
+            sval = (F.base64(F.col(n)) if isinstance(dt, T.BinaryType)
+                    else F.col(n).cast("string"))
+            pairs.append(F.struct(F.lit(n).alias("c"), sval.alias("s")))
+        ex = (
+            self.read(spark)
+            .select(F.explode(F.array(*pairs)).alias("p"))
+            .select("p.c", "p.s")
+        )
+        hv = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+        tagged = ex.select(
+            "c", "s", hv.alias("hv")
+        ).select(
+            "c", "s",
+            (F.col("hv") % hll_m).alias("b"),
+            F.expr(f"hv DIV {hll_m}").alias("rest"),
+        )
+        rho = F.when(F.col("s").isNull(), None).otherwise(
+            F.when(F.col("rest") == 0, F.lit(rest_bits + 1)).otherwise(
+                F.lit(rest_bits) - F.length(F.bin("rest")) + 1
+            )
+        )
+        g1 = tagged.groupBy(
+            "c", F.when(F.col("s").isNull(), None).otherwise(F.col("b")).alias("b")
+        ).agg(
+            F.max(rho).alias("mreg"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        per_col = g1.groupBy("c").agg(
+            F.sum("n").alias("n_rows"),
+            F.sum(F.when(F.col("b").isNull(), F.col("n")).otherwise(0)).alias(
+                "n_nulls"
+            ),
+            F.count(F.when(F.col("b").isNotNull(), 1)).alias("nonzero"),
+            F.sum(
+                F.when(
+                    F.col("b").isNotNull(),
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), {rest_bits} + 1 - mreg)"),
+                )
+            ).alias("denom"),
+        ).collect()
+
+        scale = 1 << (rest_bits + 1)
+        alpha = 0.709 * hll_m * hll_m
+        n_rows = 0
+        colstats: dict[str, dict[str, int]] = {}
+        for r in per_col:
+            n_rows = max(n_rows, r["n_rows"])
+            nonzero = r["nonzero"]
+            empties = hll_m - nonzero
+            denom = (r["denom"] or 0) + empties * scale
+            est = alpha * scale / denom
+            if est <= 2.5 * hll_m and empties > 0:
+                est = hll_m * math.log(hll_m / empties)  # linear counting
+            colstats[r["c"]] = {
+                "ndv": int(round(est)),
+                "n_nulls": int(r["n_nulls"] or 0),
+            }
+        table_stats = {
+            "analyzed_version": m["version"],
+            "n_rows": int(n_rows),
+            "columns": colstats,
+        }
+
+        def build(mp: dict[str, Any]) -> dict[str, Any]:
+            v = mp["version"] + 1
+            return {
+                **mp,
+                "version": v,
+                "parent": mp["version"],
+                "table_stats": table_stats,
+                "audit": None,
+                "lineage": [],
+                "summary": {"operation": "analyze", "columns": names},
+                "committed_at": _utc_now_iso(),
+            }
+
+        committed = self._commit_with_rebase(m, build)
+        return {"version": committed["version"], **table_stats}
 
     # ------------------------------------------------------------------
     def _new_commit_dir(self, version_hint: int) -> tuple[str, str]:
