@@ -1171,10 +1171,16 @@ def test_overwrite_where_fence_and_insert_only(spark, tmp_table_root):
     """batch_id makes the backfill exactly-once; a slice with no
     current matches still commits the pure insert."""
     t = _ow_seed(spark, tmp_table_root)
+    base_before = dict(t.manifest()["buckets"])
     repl = spark.createDataFrame([("zz1", "fresh")], "url string, val string")
     v, n_del, n_ins = t.overwrite_where(
         spark, repl, predicate="val = 'fresh'", batch_id=77)
     assert v is not None and n_del == 0 and n_ins == 1
+    # no real match -> the speculative rewrite is dropped and every old
+    # base file is carried by reference, not rewritten
+    m = t.manifest()
+    assert m["summary"]["files_rewritten"] == 0
+    assert m["buckets"] == base_before
     again = t.overwrite_where(
         spark, repl, predicate="val = 'fresh'", batch_id=77)
     assert again == (None, 0, 0)  # fenced replay is a no-op

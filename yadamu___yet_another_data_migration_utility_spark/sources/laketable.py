@@ -1812,10 +1812,18 @@ class LakeTable:
             out = cand.observe(obs, F.sum(_cond().cast("long")).alias("hits"))
             out = out.filter(~_cond())
             new_base, _, base_dir = self._write_bucketed(spark, out, m)
-            out_dirs.append(base_dir)
             n_hit = int(obs.get["hits"] or 0)
-            z, zz = _footer_stats(self.fs, self.root, new_base, schema=schema)
-            zone.update(zz)
+            if n_hit == 0:
+                # zone maps over-approximate: the candidates held no real
+                # match, so the speculative rewrite is identical data --
+                # drop it and carry every old file by reference instead
+                self.fs.rmtree(base_dir)
+                new_base, plain_rel, delta_buckets = {}, [], []
+            else:
+                out_dirs.append(base_dir)
+                _, zz = _footer_stats(
+                    self.fs, self.root, new_base, schema=schema)
+                zone.update(zz)
 
         # ---- replacement rows: delta write stamped above the chain
         ins = _align(df, schema)
