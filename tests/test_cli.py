@@ -574,3 +574,22 @@ def test_cli_overwrite_where(spark, tmp_path, capsys):
     rc, _ = _run(capsys, ["overwrite-where", "--table-root", root,
                           "--source", bad, "--predicate", "val = 'old0'"])
     assert rc == 2 and t.current_version() == v
+
+
+def test_cli_rename_column(spark, tmp_path, capsys):
+    root = str(tmp_path / "lake")
+    src = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        [(f"u{i}", f"v{i}") for i in range(6)], "url string, val string"
+    ).write.parquet(src)
+    rc, _ = _run(capsys, ["copy", "--source", src, "--table-root", root,
+                          "--key", "url", "--buckets", "2"])
+    assert rc == 0
+    rc, out = _run(capsys, ["rename-column", "--table-root", root,
+                            "--column", "val", "--to", "body"])
+    assert rc == 0 and out["renamed"] == "val"
+    rc, desc = _run(capsys, ["describe", "--table-root", root])
+    assert rc == 0 and "body" in desc["schema"] and "val" not in desc["schema"]
+    rc, _ = _run(capsys, ["rename-column", "--table-root", root,
+                          "--column", "nope", "--to", "x"])
+    assert rc == 2

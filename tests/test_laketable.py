@@ -1072,12 +1072,16 @@ def test_analyze_table_stats(spark, tmp_table_root):
     assert m["table_stats"]["analyzed_version"] == stats["analyzed_version"]
     assert (m.get("summary") or {}).get("operation") == "analyze"
 
-    # the stats commit is a data no-op: a change window crossing it
-    # still takes the fast path and reports only the real merge
-    pre = t.current_version()
-    t.merge(spark, batch(spark, [("zz", "n", "I", 999)]), batch_id=1)
-    ch = t.read_changes(spark, pre)
-    assert ch.count() == 1
+    # the stats commit is a data no-op: a window CROSSING it (pre is
+    # captured before analyze below) stays on the O(changes) delta
+    # fast path -- observable because a fast-path delete carries its
+    # tombstone lsn (the diff path folds it to NULL)
+    pre = stats["analyzed_version"]
+    assert pre < t.current_version()  # the analyze commit is inside the window
+    t.merge(spark, batch(spark, [("u0", None, "D", 999)]), batch_id=1)
+    ch = {(r["url"], r["_lsn"], r["_change_type"])
+          for r in t.read_changes(spark, pre).collect()}
+    assert ch == {("u0", 999, "delete")}, ch  # lsn present => fast path
 
     sub = t.analyze(spark, columns=["val"])
     assert list(sub["columns"]) == ["val"]
@@ -1109,19 +1113,24 @@ def test_analyze_all_null_and_binary_columns(spark, tmp_table_root):
 # ======================================================================
 
 
-def _ow_seed(spark, root):
+def _ow_seed(spark, root, mode="mor"):
     t = LakeTable.create(root, SCHEMA, key="url", bucket_count=4,
-                         merge_mode="mor")
+                         merge_mode=mode)
     t.merge(spark, batch(spark, [(f"u{i}", f"old{i % 3}", "I", i)
                                  for i in range(12)]), batch_id=0)
+    if mode == "cow":
+        assert not any(t.manifest().get("deltas", {}).values())
     return t
 
 
-def test_overwrite_where_replaces_slice_atomically(spark, tmp_table_root):
+@pytest.mark.parametrize("mode", MODES)
+def test_overwrite_where_replaces_slice_atomically(spark, tmp_table_root, mode):
     """One commit deletes the matching slice and inserts the
     replacement; the final state is declaratively old-where-not-matched
-    + df."""
-    t = _ow_seed(spark, tmp_table_root)
+    + df -- in BOTH merge modes (mor: replacements as stamped deltas;
+    cow: insert-touched buckets rewritten whole, table stays
+    delta-free so the next cow merge is not blocked)."""
+    t = _ow_seed(spark, tmp_table_root, mode)
     v0 = t.current_version()
     repl = spark.createDataFrame(
         [("u100", "old0"), ("u101", "old0")], "url string, val string")
@@ -1135,13 +1144,21 @@ def test_overwrite_where_replaces_slice_atomically(spark, tmp_table_root):
     a = t.manifest()["audit"]
     assert a["operation"] == "overwrite"
     assert a["rows_deleted"] == 4 and a["rows_applied"] == 2
+    if mode == "cow":
+        # the table stayed delta-free: the next cow merge must work
+        assert not any(t.manifest().get("deltas", {}).values())
+    t.merge(spark, batch(spark, [("after", "x", "I", 500)]), batch_id=9)
+    assert t.read(spark).filter(F.col("url") == "after").count() == 1
 
 
-def test_overwrite_where_key_outside_slice_converges_lww(spark, tmp_table_root):
+@pytest.mark.parametrize("mode", MODES)
+def test_overwrite_where_key_outside_slice_converges_lww(
+        spark, tmp_table_root, mode):
     """A key whose current row does NOT match the predicate still
-    converges to the replacement row (delta stamp wins LWW) instead of
-    duplicating."""
-    t = _ow_seed(spark, tmp_table_root)
+    converges to the replacement row (the fresh stamp wins LWW) instead
+    of duplicating -- on cow via the whole-bucket fold, on mor via the
+    delta resolution."""
+    t = _ow_seed(spark, tmp_table_root, mode)
     # u1 currently has val='old1' (not matching); replace the old0
     # slice with a row for u1 that DOES satisfy the predicate
     repl = spark.createDataFrame([("u1", "old0")], "url string, val string")
@@ -1200,3 +1217,91 @@ def test_overwrite_where_read_changes_net(spark, tmp_table_root):
     # u0/u3/u6/u9 matched; u0 replaced (upsert), the rest deleted
     assert got == {("u0", "upsert"), ("u3", "delete"),
                    ("u6", "delete"), ("u9", "delete")}
+
+
+def test_plan_maintenance_retention_respects_tag_floor(spark, tmp_table_root):
+    """A pinned tag extends the expire horizon, so the advisor must not
+    report retention work expire_snapshots cannot perform -- otherwise
+    maintain --apply never converges."""
+    t = mk(spark, tmp_table_root, bucket_count=2, merge_mode="mor")
+    for i in range(6):
+        t.merge(spark, batch(spark, [(f"u{i}", "v", "I", i)]), batch_id=i)
+    t.tag("pin", version=1)
+    plan = t.plan_maintenance(max_files_per_bucket=100, keep_last=3)
+    assert not any(a["reason"] == "retention" for a in plan["actions"]), plan
+    t.untag("pin")
+    plan2 = t.plan_maintenance(max_files_per_bucket=100, keep_last=3)
+    exp = [a for a in plan2["actions"] if a["reason"] == "retention"]
+    assert exp and "horizon" in exp[0]["detail"], plan2
+
+
+# ======================================================================
+# rename_column / register
+# ======================================================================
+
+
+def test_rename_column_payload(spark, tmp_table_root):
+    """Full-rewrite rename: state preserved under the new name, old
+    snapshots keep the old name, later merges use the new schema."""
+    t = mk(spark, tmp_table_root)
+    t.merge(spark, batch(spark, [("a", "v1", "I", 1), ("b", "v2", "I", 2)]),
+            batch_id=0)
+    v_old = t.current_version()
+    v = t.rename_column(spark, "val", "payload")
+    assert v == v_old + 1
+    got = {(r["url"], r["payload"]) for r in t.read(spark).collect()}
+    assert got == {("a", "v1"), ("b", "v2")}
+    # time travel reads the OLD name from the old snapshot's files
+    old = t.read(spark, version=v_old)
+    assert "val" in old.columns and "payload" not in old.columns
+    # a merge in the new schema works
+    nb = spark.createDataFrame([("c", "v3", "I", 3)],
+                               "url string, payload string, op string, lsn long")
+    t.merge(spark, nb, batch_id=1)
+    assert t.read(spark).filter(F.col("payload") == "v3").count() == 1
+    # errors
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column(spark, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column(spark, "url", "payload")
+    with pytest.raises(ValueError, match="engine columns"):
+        t.rename_column(spark, "_lsn", "lsn2")
+
+
+def test_rename_merge_key_keeps_placement(spark, tmp_table_root):
+    """Renaming the MERGE KEY: same values hash to the same buckets, the
+    manifest key follows, merges keyed on the new name hit the right
+    rows, and the deep fsck's bucket-placement invariant holds."""
+    t = mk(spark, tmp_table_root, bucket_count=4)
+    t.merge(spark, batch(spark, [(f"u{i}", "v1", "I", i) for i in range(16)]),
+            batch_id=0)
+    t.compact(spark, all_deltas=True)
+    dist_before = {b: len(fl) for b, fl in t.manifest()["buckets"].items() if fl}
+    t.rename_column(spark, "url", "page_url")
+    m = t.manifest()
+    assert m["key"] == "page_url"
+    dist_after = {b: len(fl) for b, fl in m["buckets"].items() if fl}
+    assert set(dist_before) == set(dist_after)  # same buckets occupied
+    upd = spark.createDataFrame([("u3", "v2", "U", 100)],
+                                "page_url string, val string, op string, lsn long")
+    t.merge(spark, upd, batch_id=1)
+    rows = t.read(spark).filter(F.col("page_url") == "u3").collect()
+    assert len(rows) == 1 and rows[0]["val"] == "v2"
+    fsck = t.validate(spark, deep=True)
+    assert fsck["ok"], fsck
+
+
+def test_register_temp_view(spark, tmp_table_root):
+    """register() exposes the resolved snapshot to Spark SQL; a pinned
+    version view stays at its snapshot."""
+    t = mk(spark, tmp_table_root)
+    t.merge(spark, batch(spark, [("a", "v1", "I", 1)]), batch_id=0)
+    v1 = t.current_version()
+    t.register(spark, "pages_now")
+    assert spark.sql("SELECT count(*) n FROM pages_now").collect()[0]["n"] == 1
+    t.merge(spark, batch(spark, [("b", "v2", "I", 2)]), batch_id=1)
+    t.register(spark, "pages_pinned", version=v1)
+    t.register(spark, "pages_now")  # refresh to head
+    assert spark.sql("SELECT count(*) n FROM pages_now").collect()[0]["n"] == 2
+    assert spark.sql("SELECT count(*) n FROM pages_pinned").collect()[0]["n"] == 1
+    assert "_lsn" not in spark.table("pages_now").columns

@@ -332,6 +332,18 @@ def cmd_drop_column(args) -> int:
     return 0
 
 
+def cmd_rename_column(args) -> int:
+    table = _table(args)
+    spark = _spark(args.cpus)
+    try:
+        v = table.rename_column(spark, args.column, args.to)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(json.dumps({"renamed": args.column, "to": args.to, "version": v}))
+    return 0
+
+
 def cmd_history(args) -> int:
     # audit entries live in the manifests -- no Spark session needed
     for row in _table(args).audit_entries():
@@ -902,6 +914,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--column", required=True)
     common(sp)
     sp.set_defaults(fn=cmd_drop_column)
+
+    sp = sub.add_parser("rename-column", help="rename a column, the merge key "
+                                              "included (full rewrite; no field IDs)")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--column", required=True)
+    sp.add_argument("--to", required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_rename_column)
 
     sp = sub.add_parser("history", help="commit audit trail as JSON lines")
     sp.add_argument("--table-root", required=True)

@@ -34,8 +34,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.sketchlib import (
+    MD5_LONG_SQL as _MD5_LONG_SQL,
+    hll_denom_term,
+    hll_rho,
+    md5_long as _md5_long,
+)
 from .catalog import _register, load
-from .textops import _MD5_LONG_SQL, _md5_long
 
 HLL_M = 64           # registers per sketch (2^6)
 HLL_REST_BITS = 54   # md5-long is 60 bits; 6 go to the bucket index
@@ -45,7 +50,7 @@ _ALPHA_EXPR = "0.709 * {m} * {m}".format(m=HLL_M)
 
 CMS_W = 32           # counter width per hash row
 CMS_D = 3            # independent hash rows
-CMS_PROBES = 8       # probe users (deterministic shard: user_id % 19 == 0)
+CMS_PROBE_MOD = 19   # probe shard: user_id % CMS_PROBE_MOD == 0
 
 _HLL_SQL = f"""
     WITH h AS (
@@ -112,15 +117,11 @@ def events_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hv") % HLL_M).alias("bucket"),
         F.expr(f"hv DIV {HLL_M}").alias("rest"),
     )
-    rho = F.when(F.col("rest") == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
-        F.lit(HLL_REST_BITS) - F.length(F.bin("rest")) + 1
-    )
+    rho = hll_rho(F.col("rest"), HLL_REST_BITS)
     regs = parts.groupBy("event_type", "bucket").agg(F.max(rho).alias("m"))
     sums = regs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("nonzero"),
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_REST_BITS} + 1 - m)")
-        ).alias("denom_used"),
+        F.sum(hll_denom_term("m", HLL_REST_BITS)).alias("denom_used"),
     )
     exact = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -150,7 +151,7 @@ _CMS_SQL = f"""
       GROUP BY 1, 2
     ),
     probes AS (
-      SELECT DISTINCT user_id FROM events WHERE user_id % 19 = 0
+      SELECT DISTINCT user_id FROM events WHERE user_id % {CMS_PROBE_MOD} = 0
     ),
     probe_cells AS (
       SELECT p.user_id, r.r,
@@ -166,7 +167,7 @@ _CMS_SQL = f"""
     ),
     exact AS (
       SELECT user_id, COUNT(*) AS exact_cnt FROM events
-      WHERE user_id % 19 = 0 GROUP BY user_id
+      WHERE user_id % {CMS_PROBE_MOD} = 0 GROUP BY user_id
     )
     SELECT e.user_id, e.exact_cnt, est.cms_est,
            CAST(est.cms_est - e.exact_cnt AS BIGINT) AS overcount
@@ -179,7 +180,7 @@ def events_user_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch over event users: a 3x32 grid of
     integer counters (cell = md5('cms{{row}}:'+user) % 32, value =
     SUM of hits), queried for a deterministic probe shard
-    (user_id % 19 = 0) as MIN over the 3 rows -- always >= the true
+    (user_id % CMS_PROBE_MOD = 0) as MIN over the 3 rows -- always >= the true
     count, so `overcount` is the per-probe bias the sketch admits.
     Integer-only end to end; the oracle checks every counter the
     probes touch.
@@ -204,7 +205,7 @@ def events_user_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r", cell(F.col("user_id"), F.col("r")).alias("c")
     ).agg(F.count(F.lit(1)).alias("cnt"))
     probes = (
-        ev.filter(F.col("user_id") % 19 == 0).select("user_id").distinct()
+        ev.filter(F.col("user_id") % CMS_PROBE_MOD == 0).select("user_id").distinct()
     )
     probe_cells = probes.crossJoin(F.broadcast(rows)).select(
         "user_id", "r", cell(F.col("user_id"), F.col("r")).alias("c")
@@ -215,7 +216,7 @@ def events_user_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").alias("cms_est"))
     )
     exact = (
-        ev.filter(F.col("user_id") % 19 == 0)
+        ev.filter(F.col("user_id") % CMS_PROBE_MOD == 0)
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
     )

@@ -105,14 +105,11 @@ def shingles(df: DataFrame) -> DataFrame:
     )
 
 
-def _md5_long(c: F.Column) -> F.Column:
-    """60-bit hash from md5 -- identical in Spark and DuckDB
-    (CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) on the DuckDB
-    side)."""
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
-
-
-_MD5_LONG_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+# the md5->60-bit hash contract lives in functions/sketchlib.py (ONE
+# spelling, shared with the sketch queries and the engine's ANALYZE);
+# re-exported under the module-local names every query here uses
+from ..functions.sketchlib import MD5_LONG_SQL as _MD5_LONG_SQL  # noqa: E402
+from ..functions.sketchlib import md5_long as _md5_long  # noqa: E402
 
 
 # ======================================================================

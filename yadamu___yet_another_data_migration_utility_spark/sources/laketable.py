@@ -157,6 +157,23 @@ class MergeResult:
         return dict(self.__dict__)
 
 
+
+def _where_cond(predicate: str | None,
+                ranges: dict[str, tuple] | None) -> "F.Column":
+    """SQL-semantics match condition shared by delete_where /
+    update_where / overwrite_where: inclusive range bounds AND the
+    predicate, with NULL evaluations coalesced to no-match."""
+    cond = F.lit(True)
+    for col, (lo, hi) in (ranges or {}).items():
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+    if predicate is not None:
+        cond = cond & F.expr(predicate)
+    return F.coalesce(cond, F.lit(False))
+
+
 class LakeTable:
     """A transactional hash-bucketed parquet table with MERGE semantics."""
 
@@ -1741,15 +1758,18 @@ class LakeTable:
         otherwise the commit aborts cleanly. That makes the result
         declarative: new state = old rows where NOT matched + ``df``.
 
-        Key safety: replacement rows land as DELTA rows stamped with a
-        fresh ``_lsn`` above the audit-chain watermark, NOT as blind
-        base files. A key that also lives OUTSIDE the slice (possible
-        whenever the predicate is not a pure function of the key)
-        therefore converges by the engine's normal LWW resolution --
-        the replacement wins -- instead of silently duplicating in a
-        plain-scanned bucket. Matching old rows are physically removed
-        by the same zone-map-pruned copy-on-write rewrite delete_where
-        uses (candidate files rewritten, disjoint files carried by
+        Key safety: replacement rows carry a fresh ``_lsn`` above the
+        audit-chain watermark, so a key that also lives OUTSIDE the
+        slice (possible whenever the predicate is not a pure function
+        of the key) converges by the engine's normal LWW resolution --
+        the replacement wins -- instead of silently duplicating.
+        On a mor table the replacements land as DELTA rows (O(df), no
+        bucket fold); on a cow table -- which must stay delta-free for
+        its next merge -- every bucket the replacements touch joins
+        the rewrite whole and the result is LWW-resolved into plain
+        base files. Matching old rows are physically removed by the
+        same zone-map-pruned copy-on-write rewrite delete_where uses
+        (candidate files rewritten, disjoint files carried by
         reference, delta-touched candidate buckets folded whole).
 
         ``batch_id`` (optional) rides the fence ledger, making a
@@ -1776,100 +1796,154 @@ class LakeTable:
         plain_rel, delta_buckets = self._plan_scan(m, None, ranges, tz=tz)
 
         def _cond() -> F.Column:
-            cond = F.lit(True)
-            for col, (lo, hi) in (ranges or {}).items():
-                if lo is not None:
-                    cond = cond & (F.col(col) >= F.lit(lo))
-                if hi is not None:
-                    cond = cond & (F.col(col) <= F.lit(hi))
-            if predicate is not None:
-                cond = cond & F.expr(predicate)
-            return F.coalesce(cond, F.lit(False))
+            return _where_cond(predicate, ranges)
 
         key, nb = m["key"], m["bucket_count"]
         stamp = self.lsn_high_watermark() + 1
+        mode = m.get("merge_mode", "cow")
 
-        # ---- survivors: rewrite candidate files without matched rows
+        ins = _align(df, schema)
+        ins = ins.withColumn(LSN_COL, F.lit(stamp).cast("long"))
+        ins = ins.withColumn(DELETED_COL, F.lit(False))
+
         out_dirs: list[str] = []
         new_base: dict[str, list[str]] = {}
-        n_hit = 0
+        new_delta: dict[str, list[str]] = {}
+        n_hit = n_ins = 0
         zone: dict[str, Any] = {}
-        if plain_rel or delta_buckets:
+        fold = sorted(delta_buckets)
+
+        if mode == "cow":
+            # a cow table must stay delta-free (the next cow merge
+            # refuses outstanding deltas), so replacement rows integrate
+            # through the base rewrite instead: every bucket they touch
+            # is rewritten WHOLE -- LWW resolution must see any existing
+            # row of an inserted key even when the slice predicate does
+            # not cover it. One tiny probe job (<= bucket_count rows)
+            # also validates the REPLACE WHERE contract BEFORE any write.
+            probe = (
+                ins.groupBy(_bucket_expr(key, nb).alias("b"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum((~_cond()).cast("long")).alias("bad"))
+                .collect()
+            )
+            n_ins = sum(int(r["n"]) for r in probe)
+            n_bad = sum(int(r["bad"] or 0) for r in probe)
+            if n_bad:
+                raise ValueError(
+                    f"{n_bad} replacement row(s) do not satisfy the "
+                    "overwrite predicate (REPLACE WHERE contract: df must "
+                    "be a subset of the slice being replaced)")
+            fold = sorted(set(delta_buckets)
+                          | {int(r["b"]) for r in probe})
+            fold_files = {f for b in fold
+                          for f in m["buckets"].get(str(b), [])}
+            plain_rel = [f for f in plain_rel if f not in fold_files]
+
+        # ---- old rows: candidate files minus matched rows -------------
+        survivors = None
+        obs = None
+        if plain_rel or fold:
             parts: list[DataFrame] = []
             if plain_rel:
                 files = [self.fs.spark_path(os.path.join(self.root, f))
                          for f in plain_rel]
                 parts.append(spark.read.schema(schema).parquet(*files))
-            if delta_buckets:
+            if fold:
                 rs = T.StructType(list(schema.fields)
                                   + [T.StructField(DELETED_COL, T.BooleanType())])
-                files = (self._files(m, delta_buckets)
-                         + self._files(m, delta_buckets, "deltas"))
-                raw = spark.read.schema(rs).parquet(*files)
-                parts.append(_resolve(raw, key, schema))
-            cand = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-            obs = Observation(f"overwrite_{m['version'] + 1}")
-            out = cand.observe(obs, F.sum(_cond().cast("long")).alias("hits"))
-            out = out.filter(~_cond())
-            new_base, _, base_dir = self._write_bucketed(spark, out, m)
-            n_hit = int(obs.get["hits"] or 0)
-            if n_hit == 0:
-                # zone maps over-approximate: the candidates held no real
-                # match, so the speculative rewrite is identical data --
-                # drop it and carry every old file by reference instead
-                self.fs.rmtree(base_dir)
-                new_base, plain_rel, delta_buckets = {}, [], []
-            else:
-                out_dirs.append(base_dir)
-                _, zz = _footer_stats(
-                    self.fs, self.root, new_base, schema=schema)
-                zone.update(zz)
+                files = (self._files(m, fold)
+                         + self._files(m, fold, "deltas"))
+                if files:
+                    raw = spark.read.schema(rs).parquet(*files)
+                    parts.append(_resolve(raw, key, schema))
+            if parts:
+                cand = (parts[0] if len(parts) == 1
+                        else parts[0].unionByName(parts[1]))
+                obs = Observation(f"overwrite_{m['version'] + 1}")
+                survivors = cand.observe(
+                    obs, F.sum(_cond().cast("long")).alias("hits")
+                ).filter(~_cond())
 
-        # ---- replacement rows: delta write stamped above the chain
-        ins = _align(df, schema)
-        ins = ins.withColumn(LSN_COL, F.lit(stamp).cast("long"))
-        ins = ins.withColumn(DELETED_COL, F.lit(False))
-        iobs = Observation(f"overwrite_ins_{m['version'] + 1}")
-        ins_dir, ins_rel = self._new_commit_dir(m["version"] + 1)
-        with _ts_micros(spark):
-            (
-                ins.withColumn("_b", _bucket_expr(key, nb))
-                .observe(
-                    iobs,
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum((~_cond()).cast("long")).alias("bad"),
+        if mode == "cow":
+            # rewrite = survivors + replacements, LWW-resolved (the
+            # fresh stamp wins any key collision), written as base files
+            branches = []
+            if survivors is not None:
+                branches.append(
+                    survivors.withColumn(DELETED_COL, F.lit(False)))
+            branches.append(ins)
+            combined = branches[0]
+            for b2 in branches[1:]:
+                combined = combined.unionByName(b2)
+            out = _resolve(combined, key, schema)
+            new_base, _, base_dir = self._write_bucketed(spark, out, m)
+            out_dirs.append(base_dir)
+            n_hit = int(obs.get["hits"] or 0) if obs is not None else 0
+            if n_hit == 0 and n_ins == 0:
+                self.fs.rmtree(base_dir)
+                return None, 0, 0
+            _, zz = _footer_stats(self.fs, self.root, new_base, schema=schema)
+            zone.update(zz)
+        else:
+            # mor: survivors rewrite as base; replacements land as delta
+            # rows (O(df), no bucket fold needed -- readers resolve)
+            if survivors is not None:
+                new_base, _, base_dir = self._write_bucketed(
+                    spark, survivors, m)
+                n_hit = int(obs.get["hits"] or 0)
+                if n_hit == 0:
+                    # zone maps over-approximate: the candidates held no
+                    # real match, so the speculative rewrite is identical
+                    # data -- drop it, carry every old file by reference
+                    self.fs.rmtree(base_dir)
+                    new_base, plain_rel, fold = {}, [], []
+                else:
+                    out_dirs.append(base_dir)
+                    _, zz = _footer_stats(
+                        self.fs, self.root, new_base, schema=schema)
+                    zone.update(zz)
+            iobs = Observation(f"overwrite_ins_{m['version'] + 1}")
+            ins_dir, ins_rel = self._new_commit_dir(m["version"] + 1)
+            with _ts_micros(spark):
+                (
+                    ins.withColumn("_b", _bucket_expr(key, nb))
+                    .observe(
+                        iobs,
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum((~_cond()).cast("long")).alias("bad"),
+                    )
+                    .write.partitionBy("_b")
+                    .parquet(self.fs.spark_path(ins_dir))
                 )
-                .write.partitionBy("_b")
-                .parquet(self.fs.spark_path(ins_dir))
-            )
-        out_dirs.append(ins_dir)
-        got = iobs.get
-        n_ins, n_bad = int(got["n"] or 0), int(got["bad"] or 0)
-        if n_bad:
-            for d in out_dirs:
-                self.fs.rmtree(d)
-            raise ValueError(
-                f"{n_bad} replacement row(s) do not satisfy the overwrite "
-                "predicate (REPLACE WHERE contract: df must be a subset of "
-                "the slice being replaced)")
-        if n_hit == 0 and n_ins == 0:
-            for d in out_dirs:
-                self.fs.rmtree(d)
-            return None, 0, 0
-        new_delta = _list_bucket_files(self.fs, ins_dir, ins_rel)
-        _, zz = _footer_stats(self.fs, self.root, new_delta, schema=schema)
-        zone.update(zz)
+            out_dirs.append(ins_dir)
+            got = iobs.get
+            n_ins, n_bad = int(got["n"] or 0), int(got["bad"] or 0)
+            if n_bad:
+                for d in out_dirs:
+                    self.fs.rmtree(d)
+                raise ValueError(
+                    f"{n_bad} replacement row(s) do not satisfy the "
+                    "overwrite predicate (REPLACE WHERE contract: df must "
+                    "be a subset of the slice being replaced)")
+            if n_hit == 0 and n_ins == 0:
+                for d in out_dirs:
+                    self.fs.rmtree(d)
+                return None, 0, 0
+            new_delta = _list_bucket_files(self.fs, ins_dir, ins_rel)
+            _, zz = _footer_stats(self.fs, self.root, new_delta, schema=schema)
+            zone.update(zz)
 
         plain_set = set(plain_rel)
         buckets: dict[str, list[str]] = {}
         for b, fl in m["buckets"].items():
-            carry = [] if int(b) in delta_buckets else \
+            carry = [] if int(b) in fold else \
                 [f for f in fl if f not in plain_set]
             buckets[b] = carry + new_base.get(b, [])
         for b, fl in new_base.items():
             buckets.setdefault(b, fl)
         deltas = {k: list(fl) for k, fl in m.get("deltas", {}).items()}
-        for b in delta_buckets:
+        for b in fold:
             deltas[str(b)] = []
         for b, fl in new_delta.items():
             deltas[b] = deltas.get(b, []) + fl
@@ -1899,13 +1973,14 @@ class LakeTable:
             "stats": {**_inherit_stats(m), **zone},
             "summary": {
                 "operation": "overwrite",
+                "mode": mode,
                 "rows_deleted": n_hit,
                 "rows_inserted": n_ins,
                 "predicate": predicate,
                 "ranges": {c: [None if b is None else str(b) for b in bb]
                            for c, bb in (ranges or {}).items()},
                 "files_rewritten": len(plain_rel),
-                "buckets_folded": len(delta_buckets),
+                "buckets_folded": len(fold),
             },
             "committed_at": _utc_now_iso(),
         }
@@ -1949,16 +2024,7 @@ class LakeTable:
         if not plain_rel and not delta_buckets:
             return None, 0
 
-        cond = F.lit(True)
-        if ranges:
-            for col, (lo, hi) in ranges.items():
-                if lo is not None:
-                    cond = cond & (F.col(col) >= F.lit(lo))
-                if hi is not None:
-                    cond = cond & (F.col(col) <= F.lit(hi))
-        if predicate is not None:
-            cond = cond & F.expr(predicate)
-        matched = F.coalesce(cond, F.lit(False))
+        matched = _where_cond(predicate, ranges)
 
         parts: list[DataFrame] = []
         if plain_rel:
@@ -2287,6 +2353,79 @@ class LakeTable:
             raise
         return manifest["version"]
 
+    def rename_column(self, spark: SparkSession, old: str, new: str) -> int:
+        """Rename a column (Iceberg: ALTER TABLE RENAME COLUMN) as a
+        FULL-REWRITE commit. This format carries no Iceberg field IDs,
+        so a metadata-only rename would detach the name from the
+        physical parquet columns -- every existing file would read NULL
+        under the new name; the rewrite re-materializes the snapshot
+        instead. Renaming the MERGE KEY is allowed: bucket placement
+        hashes the column's VALUES, not its name, so the layout is
+        unchanged and the manifest key follows the rename. Older
+        snapshots keep the old name (time travel reads THEIR files); a
+        later batch still producing the old name becomes a fresh
+        additive column -- update producers together with the rename
+        (the staged-source mapping layer, operators/mapping.py, is the
+        rename-at-the-edge alternative that avoids the rewrite).
+        Scale: O(table) rewrite like drop_column -- run as maintenance."""
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        if old not in schema.fieldNames():
+            raise ValueError(f"no column {old!r} in table schema")
+        if new in schema.fieldNames():
+            raise ValueError(f"column {new!r} already exists")
+        if old == LSN_COL or new.startswith("_"):
+            raise ValueError(
+                f"cannot rename engine columns or use a _-prefixed name")
+        new_schema = T.StructType([
+            T.StructField(new if f.name == old else f.name, f.dataType,
+                          f.nullable) for f in schema.fields
+        ])
+        new_key = new if m["key"] == old else m["key"]
+        df = self.read(spark, version=m["version"]).withColumnRenamed(old, new)
+        # bucket under the RENAMED key: same values -> same placement
+        new_files, n_rows, out_dir = self._write_bucketed(
+            spark, df, {**m, "key": new_key})
+        _, zone = _footer_stats(self.fs, self.root, new_files,
+                                schema=new_schema)
+        manifest = {
+            **m,
+            "version": m["version"] + 1,
+            "parent": m["version"],
+            "schema": new_schema.jsonValue(),
+            "key": new_key,
+            "buckets": new_files,
+            "deltas": {},
+            "audit": None,
+            "lineage": [],
+            "stats": zone,
+            "summary": {
+                "operation": "rename_column",
+                "from": old,
+                "to": new,
+                "rows_written": n_rows,
+            },
+            "committed_at": _utc_now_iso(),
+        }
+        try:
+            # like compact/rebucket: rewrites a snapshot, cannot rebase
+            self._write_manifest(manifest, expected_parent=m["version"])
+        except CommitConflict:
+            self.fs.rmtree(out_dir)
+            raise
+        return manifest["version"]
+
+    def register(self, spark: SparkSession, name: str,
+                 version: int | str | None = None) -> None:
+        """Expose the resolved snapshot to Spark SQL as a temp view:
+        ``t.register(spark, "pages"); spark.sql("SELECT ... FROM
+        pages")``. The view captures THIS snapshot's plan (mor
+        resolution included) -- re-register after new commits to see
+        them, or register a pinned ``version=``/tag for reproducible
+        SQL sessions."""
+        self.read(spark, version=version, public=True) \
+            .createOrReplaceTempView(name)
+
     def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
         """Retention maintenance (Iceberg ``expire_snapshots``): drop
         manifests older than the newest ``keep_last`` versions and
@@ -2490,23 +2629,43 @@ class LakeTable:
             })
 
         mdir = os.path.join(self.root, MANIFEST_DIR)
-        n_manifests = sum(
-            1 for name in self.fs.listdir(mdir)
-            if name.startswith("v") and name.endswith(".json")
-        )
-        if n_manifests > keep_last:
+        manifest_versions = []
+        for name in self.fs.listdir(mdir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    manifest_versions.append(int(name[1:-5]))
+                except ValueError:
+                    pass
+        n_manifests = len(manifest_versions)
+        # mirror expire_snapshots' actual horizon: keep_last newest,
+        # extended down to the oldest tagged version -- otherwise a
+        # pinned tag makes the finding a permanent no-op action and
+        # maintain --apply never converges
+        horizon = m["version"] - keep_last + 1
+        floor = min(m.get("refs", {}).values(), default=None)
+        if floor is not None:
+            horizon = min(horizon, floor)
+        n_expirable = sum(1 for v in manifest_versions if v < horizon)
+        if n_expirable > 0:
             actions.append({
                 "action": "expire",
                 "reason": "retention",
                 "keep_last": keep_last,
-                "detail": f"{n_manifests} snapshots on disk > keep_last={keep_last}",
+                "detail": (
+                    f"{n_expirable} of {n_manifests} snapshots below the "
+                    f"retention horizon (keep_last={keep_last}"
+                    + (f", tag-pinned floor v{floor}" if floor is not None
+                       else "") + ")"
+                ),
             })
 
         sizes = sorted(
             st["bytes_data"] + st["bytes_delta"] for st in per.values()
         )
+        # LOWER median: with 2 buckets the upper-middle IS the max, which
+        # could never exceed skew_ratio x itself
         if len(sizes) >= 2 and sizes[-1] > skew_ratio * max(
-            sizes[len(sizes) // 2], 1
+            sizes[(len(sizes) - 1) // 2], 1
         ):
             actions.append({
                 "action": "rebucket",
@@ -2587,7 +2746,9 @@ class LakeTable:
         (``plan_maintenance``'s rebucket advisory is bytes-based; NDV
         per key column is the row-based complement), and how many
         buckets a rebucket should target."""
-        import math
+        from ..functions.sketchlib import (
+            hll_denom_term, hll_estimate, hll_rho, md5_long,
+        )
 
         m = self.manifest()
         schema = T.StructType.fromJson(m["schema"])
@@ -2609,11 +2770,14 @@ class LakeTable:
                     else F.col(n).cast("string"))
             pairs.append(F.struct(F.lit(n).alias("c"), sval.alias("s")))
         ex = (
-            self.read(spark)
+            # pinned to THIS manifest: self.read(spark) would re-plan the
+            # head, and a concurrent commit between manifest() and the
+            # scan would make analyzed_version lie about what was counted
+            self.read(spark, version=m["version"])
             .select(F.explode(F.array(*pairs)).alias("p"))
             .select("p.c", "p.s")
         )
-        hv = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+        hv = md5_long(F.col("s"))
         tagged = ex.select(
             "c", "s", hv.alias("hv")
         ).select(
@@ -2622,9 +2786,7 @@ class LakeTable:
             F.expr(f"hv DIV {hll_m}").alias("rest"),
         )
         rho = F.when(F.col("s").isNull(), None).otherwise(
-            F.when(F.col("rest") == 0, F.lit(rest_bits + 1)).otherwise(
-                F.lit(rest_bits) - F.length(F.bin("rest")) + 1
-            )
+            hll_rho(F.col("rest"), rest_bits)
         )
         g1 = tagged.groupBy(
             "c", F.when(F.col("s").isNull(), None).otherwise(F.col("b")).alias("b")
@@ -2639,25 +2801,16 @@ class LakeTable:
             ),
             F.count(F.when(F.col("b").isNotNull(), 1)).alias("nonzero"),
             F.sum(
-                F.when(
-                    F.col("b").isNotNull(),
-                    F.expr(f"shiftleft(CAST(1 AS BIGINT), {rest_bits} + 1 - mreg)"),
-                )
+                F.when(F.col("b").isNotNull(),
+                       hll_denom_term("mreg", rest_bits))
             ).alias("denom"),
         ).collect()
 
-        scale = 1 << (rest_bits + 1)
-        alpha = 0.709 * hll_m * hll_m
         n_rows = 0
         colstats: dict[str, dict[str, int]] = {}
         for r in per_col:
             n_rows = max(n_rows, r["n_rows"])
-            nonzero = r["nonzero"]
-            empties = hll_m - nonzero
-            denom = (r["denom"] or 0) + empties * scale
-            est = alpha * scale / denom
-            if est <= 2.5 * hll_m and empties > 0:
-                est = hll_m * math.log(hll_m / empties)  # linear counting
+            est = hll_estimate(r["nonzero"], r["denom"], hll_m, rest_bits)
             colstats[r["c"]] = {
                 "ndv": int(round(est)),
                 "n_nulls": int(r["n_nulls"] or 0),
