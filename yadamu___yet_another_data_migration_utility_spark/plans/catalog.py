@@ -811,6 +811,68 @@ def cdc_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_sql_over_lake",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn FROM chg
+    ),
+    cur AS (SELECT * FROM last WHERE rn = 1 AND op <> 'D')
+    SELECT event_type,
+           COUNT(*) AS n_pages,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+             AS value_sum
+    FROM cur GROUP BY event_type
+    """,
+)
+def cdc_sql_over_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface over a lake table: replay the changelog in one
+    fenced batch, ``register()`` the resolved snapshot as a temp view,
+    and answer with PURE Spark SQL (spark.sql over the view) -- what an
+    analyst actually runs against the ingested table. The oracle
+    recomputes the same aggregate over the declarative LWW final state,
+    so a match proves the view exposes exactly the resolved snapshot
+    (mor delta resolution included, engine columns hidden).
+
+    Scale: the view is a plan alias, not a materialization -- Catalyst
+    sees straight through to the bucket-pruned parquet scan + LWW
+    resolve, so SQL consumers inherit every pushdown the read path
+    has. DECIMAL sum keeps the aggregate order-independent and
+    engine-exact."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_sql_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(root, schema, key="url", bucket_count=16, overwrite=True)
+    apply_batch(table, chg, batch_id=0, run_extract=False)
+    table.register(spark, "lake_pages_sql")
+    return spark.sql("""
+        SELECT event_type,
+               COUNT(*) AS n_pages,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+                 AS value_sum
+        FROM lake_pages_sql GROUP BY event_type
+    """)
+
+
+@_register(
     "cdc_mirror_replicate",
     f"""
     WITH chg AS ({_CDC_SQL_SRC}),
