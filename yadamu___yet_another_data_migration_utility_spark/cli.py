@@ -37,11 +37,21 @@ stateless per-job; a lake table needs day-2 operations):
              clustering rows by a sort key)
     expire   snapshot retention: drop manifests/data older than the
              last N versions
+    maintain advisor: inspect the manifest for fragmentation / delta
+             backlog / small files / retention pressure (+ an advisory
+             skew flag) and, with --apply, run the targeted compact +
+             expire it recommends (pure metadata to plan; converges)
+    analyze  per-column NDV (one-job HyperLogLog) + exact null counts
+             over the resolved snapshot, persisted as a metadata-only
+             commit and shown by describe -- the broadcastability /
+             skew / bucket-sizing input
     rebucket rewrite the table under a new bucket count (layout
              evolution as the table grows)
     drop-column  drop a payload column as a full-rewrite purge (no
              field IDs -> a metadata-only drop could resurrect values;
              old snapshots keep the column, expire completes the purge)
+    rename-column  rename a column (the merge key included -- buckets
+             hash values, so placement survives) as a full rewrite
     history  the commit audit trail as JSON lines (one per commit)
     lineage  per-(version, batch, bucket) applied LSN ranges as JSON
              lines (no Spark session)
@@ -68,11 +78,22 @@ stateless per-job; a lake table needs day-2 operations):
              pruned rewrite assigning columns from SQL expressions over
              the old row; updated rows get a fresh LSN so the change
              wins downstream (mirror converges)
+    overwrite-where  REPLACE WHERE backfill: atomically delete the
+             matching slice and insert a parquet replacement in ONE
+             commit (replacement rows must satisfy the predicate;
+             --batch-id makes a replayed backfill exactly-once)
     mirror   incremental table replication: first run seeds a replica
              from a source snapshot, every later run catches it up
              through the CDC tail (cursor = the replica's own fence
              ledger); the reference's whole-database COPY made
              incremental and exactly-once
+    dedup-ingest  streaming near-dup-filtered document ingest against a
+             persisted MinHash signature index (survivors + signatures
+             commit under one fence)
+    plan     EXPLAIN-for-files: which files a --range scan would read
+             after zone-map pruning (no Spark session)
+    lookup   bucket-pruned point read(s) by key (--version/tag composes)
+    snapshots / files  Iceberg-style metadata tables as JSON lines
 
 Every Spark verb builds the standard engine session (session.get_spark)
 and reads/writes plain paths, so s3a:// URIs work where Hadoop is

@@ -146,3 +146,48 @@ def olap_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("running_value"),
         F.row_number().over(w).alias("seq"),
     )
+
+
+@_register(
+    "events_windowed_topk",
+    """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+             COUNT(*) AS n_events,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+               AS value_sum
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, user_id, n_events, value_sum, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+                                       ORDER BY n_events DESC, user_id) AS rank
+          FROM daily)
+    WHERE rank <= 2
+    """,
+)
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per time window (the 'trending' query): daily top-2 users
+    by event count with a deterministic (count DESC, user_id) tiebreak.
+    Day keys are emitted as yyyy-MM-dd STRINGS -- DuckDB DATE and Spark
+    date stringify differently through the compare layers.
+
+    Scale: the pre-aggregation is algebraic (map-side combine collapses
+    the 10^10-event scan to |days x users| partials), and the ranked
+    window partitions BY DAY -- thousands of independent groups, never
+    a global order. This is the shape TakeOrderedAndProject cannot
+    cover (top-k per group, not overall); the per-group row count
+    after pre-agg is bounded by the user population, so no group
+    funnels the corpus through one task."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(_dec("value", 18, 6)), 4).cast("double").alias("value_sum"),
+    )
+    w = W.partitionBy("day").orderBy(F.col("n_events").desc(), "user_id")
+    return (
+        daily.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("day", "user_id", "n_events", "value_sum", "rank")
+    )
