@@ -405,6 +405,12 @@ def test_follow_changes_randomized_op_sequence_converges(spark, tmp_path):
                                     stop_at_version=t.current_version())
             polls += 1
             assert snap(t2) == snap(t), f"diverged at step {step}"
+    # deterministic coverage regardless of the seed's draw: one final
+    # backfill whose replacement key collides with a live row outside
+    # the slice, then a closing poll must converge through it
+    repl = spark.createDataFrame([("u1", f"ow{lsn}"), (f"nw{lsn}", f"ow{lsn}")],
+                                 "url string, val string")
+    t.overwrite_where(spark, repl, predicate="val like 'ow%'")
     cursor = follow_changes(spark, t, cursor, consume, poll_seconds=0.01,
                             stop_at_version=t.current_version())
     assert snap(t2) == snap(t)
@@ -510,8 +516,10 @@ def test_mirror_reseeds_after_interrupted_create_and_carries_evolution(
 def test_follow_changes_stress_with_rewrites_and_tags(spark, tmp_path):
     """Second randomized CDC-loop stress, biased to the NEW day-2 ops:
     the writer interleaves merges with delete_where, update_where,
-    compactions and tag/untag; a tail consumer applies every window
-    through the real merge. The copy must equal the source at every
+    overwrite_where (REPLACE WHERE backfills whose replacement keys
+    collide with live rows outside the slice), compactions and
+    tag/untag; a tail consumer applies every window through the real
+    merge. The copy must equal the source at every
     poll. The writer allocates LSNs strictly above the audit chain
     after each rewrite (a monotonic WAL always satisfies this)."""
     import random
@@ -546,9 +554,9 @@ def test_follow_changes_stress_with_rewrites_and_tags(spark, tmp_path):
     def snap(tbl):
         return {(r["url"], r["val"]) for r in tbl.read(spark).collect()}
 
-    ops = ["merge", "merge", "delete_where", "update_where", "compact",
-           "tag", "poll"]
-    for step in range(14):
+    ops = ["merge", "merge", "delete_where", "update_where", "overwrite",
+           "compact", "tag", "poll"]
+    for step in range(18):
         op = rng.choice(ops)
         if op == "merge":
             rows = {}
@@ -565,6 +573,15 @@ def test_follow_changes_stress_with_rewrites_and_tags(spark, tmp_path):
             t.update_where(spark, {"val": "concat(val, '+')"},
                            predicate=f"url like 'u{rng.randint(0, 2)}%'")
             lsn += 50
+        elif op == "overwrite":
+            rows = {}
+            for _ in range(rng.randint(1, 2)):
+                u = f"u{rng.randint(0, 30)}"
+                rows[u] = (u, f"ow{lsn}")
+            repl = spark.createDataFrame(
+                list(rows.values()), "url string, val string")
+            t.overwrite_where(spark, repl, predicate="val like 'ow%'")
+            lsn += 50
         elif op == "compact":
             t.compact(spark, all_deltas=True)
         elif op == "tag":
@@ -578,6 +595,12 @@ def test_follow_changes_stress_with_rewrites_and_tags(spark, tmp_path):
                                     stop_at_version=t.current_version())
             polls += 1
             assert snap(t2) == snap(t), f"diverged at step {step}"
+    # deterministic coverage regardless of the seed's draw: one final
+    # backfill whose replacement key collides with a live row outside
+    # the slice, then a closing poll must converge through it
+    repl = spark.createDataFrame([("u1", f"ow{lsn}"), (f"nw{lsn}", f"ow{lsn}")],
+                                 "url string, val string")
+    t.overwrite_where(spark, repl, predicate="val like 'ow%'")
     cursor = follow_changes(spark, t, cursor, consume, poll_seconds=0.01,
                             stop_at_version=t.current_version())
     assert snap(t2) == snap(t)
