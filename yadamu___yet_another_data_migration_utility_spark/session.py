@@ -43,21 +43,36 @@ def get_spark(
     coalescing, which is enabled here for exactly that reason.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if master is None:
+    # Under spark-submit (the north rule's cluster launch path:
+    # `spark-submit --py-files pkg.zip ... cli.py <verb>`) the JVM
+    # gateway already exists and --master/--driver-memory were decided
+    # by the submit command; forcing local[N] here would fight the
+    # cluster manager. Detected via the gateway env the PythonRunner
+    # exports; every SQL conf below still applies per-session.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         # local[N] => N parallel tasks; more partitions than that only
         # adds scheduling overhead at this scale. AQE coalesces down
-        # when partitions are small, splits when skewed.
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if n == "*" else int(n)
+        # when partitions are small, splits when skewed. On a cluster
+        # (master decided by spark-submit) size to ~2-3x total cores --
+        # the env override below -- and rely on AQE coalescing.
+        if master is None:
+            shuffle_partitions = int(
+                os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus)))
+        else:
+            n = (master[master.find("[") + 1 : master.find("]")]
+                 if "[" in master else str(cpus))
+            shuffle_partitions = cpus if n == "*" else int(n)
 
     mem = (extra_conf or {}).get(
         "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g")
     )
 
     builder = (
-        SparkSession.builder.master(master)
+        (SparkSession.builder if master is None
+         else SparkSession.builder.master(master))
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -69,22 +84,27 @@ def get_spark(
         # int64 micros (Iceberg/Delta's encoding): legacy INT96 carries
         # no footer min/max, which would blind LakeTable's zone maps
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        .config("spark.driver.memory", mem)
-        # fixed pre-touched heap: G1 heap growth under many concurrent
-        # tasks stalls this sandbox's VM for tens of seconds (measured
-        # 83s vs 1.3s for an identical pass); pay the page-fault cost
-        # once at startup instead
-        .config(
-            "spark.driver.extraJavaOptions",
-            f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC",
-        )
-        .config("spark.ui.enabled", "false")
         # 256 MB matches bench.py (one config everywhere, ADVICE r1):
         # covers the dedup winner set of a 10^7-event micro-batch
         # (~2M keys x ~60 B); past that AQE falls back to shuffle join.
         # The apply path broadcasts its winner set explicitly anyway.
         .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
     )
+    if not under_submit:
+        # driver JVM sizing only applies when WE launch the JVM; under
+        # spark-submit these are submit-time flags and would be ignored.
+        # Fixed pre-touched heap: G1 heap growth under many concurrent
+        # tasks stalls this sandbox's VM for tens of seconds (measured
+        # 83s vs 1.3s for an identical pass); pay the page-fault cost
+        # once at startup instead.
+        builder = (
+            builder.config("spark.driver.memory", mem)
+            .config(
+                "spark.driver.extraJavaOptions",
+                f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+            )
+            .config("spark.ui.enabled", "false")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
