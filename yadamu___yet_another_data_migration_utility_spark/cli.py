@@ -112,7 +112,14 @@ import sys
 def _spark(cpus: int | None):
     from .session import get_spark
 
-    master = f"local[{cpus}]" if cpus else None
+    # --cpus shapes the LOCAL master only; under spark-submit the
+    # cluster manager owns the master and forcing local[N] here would
+    # silently collapse the job into the client JVM
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if cpus and under_submit:
+        print("warning: --cpus ignored under spark-submit "
+              "(the submitted --master wins)", file=sys.stderr)
+    master = f"local[{cpus}]" if cpus and not under_submit else None
     return get_spark("yadamu_cli", master=master)
 
 

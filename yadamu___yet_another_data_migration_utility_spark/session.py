@@ -56,11 +56,14 @@ def get_spark(
         # local[N] => N parallel tasks; more partitions than that only
         # adds scheduling overhead at this scale. AQE coalesces down
         # when partitions are small, splits when skewed. On a cluster
-        # (master decided by spark-submit) size to ~2-3x total cores --
-        # the env override below -- and rely on AQE coalescing.
+        # (master decided by spark-submit) the SUBMITTED conf wins:
+        # leave the setting alone unless SPARK_GRAFT_SHUFFLE_PARTITIONS
+        # explicitly overrides -- clobbering a --conf
+        # spark.sql.shuffle.partitions=600 with a local default would
+        # under-parallelize every shuffle on the fleet.
         if master is None:
-            shuffle_partitions = int(
-                os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus)))
+            env_n = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+            shuffle_partitions = int(env_n) if env_n else None
         else:
             n = (master[master.find("[") + 1 : master.find("]")]
                  if "[" in master else str(cpus))
@@ -74,7 +77,6 @@ def get_spark(
         (SparkSession.builder if master is None
          else SparkSession.builder.master(master))
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -90,6 +92,9 @@ def get_spark(
         # The apply path broadcasts its winner set explicitly anyway.
         .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
     )
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions))
     if not under_submit:
         # driver JVM sizing only applies when WE launch the JVM; under
         # spark-submit these are submit-time flags and would be ignored.
