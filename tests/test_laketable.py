@@ -161,6 +161,31 @@ def test_mor_merge_is_o_batch_not_o_table(spark, tmp_table_root):
     assert state(spark, t) == {(f"u{i}", "v1", i + 1) for i in range(1, 64)} | {("u0", "v2", 100)}
 
 
+def test_write_distribution_bounds_files_per_commit(spark, tmp_table_root):
+    """Hash write-distribution: however many upstream tasks feed a
+    commit, the file count is O(buckets), not O(tasks x buckets) --
+    merge caps at ceil(cores/buckets) files per bucket (salted split
+    for hot buckets), append/cow rewrites at exactly ONE file per
+    bucket. At 1000 executors this is the difference between 32 and
+    32,000 objects per commit."""
+    t = mk(spark, tmp_table_root, bucket_count=4, merge_mode="mor")
+    rows = [(f"u{i}", "v1", "I", i + 1) for i in range(400)]
+    src = batch(spark, rows).repartition(16)  # many upstream tasks
+    t.merge(spark, src, batch_id=0)
+    m = t.manifest()
+    dp = spark.sparkContext.defaultParallelism
+    cap = max(1, -(-dp // 4))
+    for b, files in m["deltas"].items():
+        assert len(files) <= cap, (b, files)
+    # append: one file per bucket, exactly
+    t2 = LakeTable.create(tmp_table_root + "_a", SCHEMA, key="url",
+                          bucket_count=4)
+    t2.append(spark, batch(spark, rows).drop("op", "lsn").repartition(16),
+              batch_id=0)
+    for b, files in t2.manifest()["buckets"].items():
+        assert len(files) == 1, (b, files)
+
+
 def test_mor_compact_folds_deltas(spark, tmp_table_root):
     """compact() folds delta files into the base, clears the delta
     lists, drops winning tombstones physically, and preserves state."""
@@ -1021,11 +1046,23 @@ def test_plan_maintenance_delta_backlog_and_skew(spark, tmp_table_root):
     plan = t.plan_maintenance(max_files_per_bucket=10, keep_last=10)
     assert any(a["reason"] == "delta_backlog" for a in plan["actions"]), plan
 
-    # skew: all keys identical -> one bucket holds everything
+    # skew: all keys identical -> one bucket holds everything. The
+    # payload must be INCOMPRESSIBLE (md5 chains) -- with hash write
+    # distribution each bucket is one file, so a repetitive payload
+    # would dictionary-encode below the parquet footer floor and the
+    # byte-ratio detector (correctly) would not fire.
+    import hashlib
+
+    def blob(j):
+        return "".join(
+            hashlib.md5(f"{j}:{k}".encode()).hexdigest() for k in range(150)
+        )
+
     t2 = LakeTable.create(tmp_table_root + "_skew", SCHEMA, key="url",
                           bucket_count=8, merge_mode="mor")
     t2.append(spark, spark.createDataFrame(
-        [("hot", "x" * 5000)] * 50 + [(f"u{j}", "y") for j in range(20)],
+        [("hot", blob(j)) for j in range(50)]
+        + [(f"u{j}", "y") for j in range(20)],
         "url string, val string"))
     plan2 = t2.plan_maintenance()
     assert any(a["action"] == "rebucket" and a.get("advisory")

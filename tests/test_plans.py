@@ -103,8 +103,10 @@ def test_mor_apply_plan_is_single_stage_no_payload_shuffle(spark, tmp_path):
     must contain exactly ONE Exchange -- the NARROW winner aggregation
     inside the broadcast build (its parquet scan must prune the html
     payload) -- and join winners via BroadcastHashJoin LeftSemi. The
-    wide payload is never shuffled; the delta write adds no repartition
-    (partitionBy splits per task)."""
+    wide payload shuffles exactly once, inside the delta write
+    (_distribute_delta: hash write-distribution, files O(buckets) not
+    O(tasks x buckets)); this gate covers the apply pipeline above
+    it."""
     from yadamu___yet_another_data_migration_utility_spark.fixtures.changelog import (
         changelog_df,
     )

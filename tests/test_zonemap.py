@@ -71,8 +71,10 @@ def test_append_files_prune_by_time_range(spark, tmp_path):
     full = n_files(t.plan_files())
     feb = t.plan_files(ranges={"ts": FEB_RANGE})
     assert not feb["delta_resolved"]
-    # only the Feb append's files survive the plan
-    assert 0 < n_files(feb) <= full // 3
+    # only the Feb append's files survive the plan: every survivor
+    # comes from ONE commit dir (batch 1's), and files were dropped
+    assert 0 < n_files(feb) < full
+    assert len({f.split("/")[1] for f in feb["plain"]}) == 1
     assert_read_equals_filter(spark, t, {"ts": FEB_RANGE})
     got = t.read(spark, ranges={"ts": FEB_RANGE})
     assert got.count() == 8

@@ -138,6 +138,35 @@ def _bucket_expr(key: str, n: int):
     return F.pmod(F.xxhash64(F.col(key)), F.lit(n)).cast("int")
 
 
+def _distribute_delta(df: DataFrame, key: str, nb: int, spark) -> DataFrame:
+    """Cluster a merge batch to ~one write task per touched bucket
+    before the ``partitionBy("_b")`` delta write (Iceberg:
+    ``write.distribution-mode=hash``, the default for MERGE). Without
+    it every task writes a file into every bucket it sees -- O(tasks x
+    buckets) files per commit, which on a 1000-executor cluster is
+    tens of thousands of tiny objects per batch (manifest bloat, read
+    amplification, one S3 PUT each); with it the count is O(buckets).
+    Locally it halves the isolated partitioned-write cost (fewer
+    files through the Hadoop commit protocol -- 0.54s -> 0.27s for a
+    cached 20k-row batch at 8 cores; end-to-end merges are dominated
+    by computing the batch, so the local wall-clock is a wash).
+
+    When the cluster has more slots than buckets, a key-derived salt
+    splits each bucket across ``ceil(cores/nb)`` tasks so a hot domain
+    (skewed bucket) cannot serialize the write -- the north-star's
+    explicit repartition-by-url-hash + skew salting. The salt seed
+    differs from the bucket hash so the split is independent of
+    bucket placement."""
+    dp = spark.sparkContext.defaultParallelism
+    if dp > nb:
+        k = -(-dp // nb)  # ceil
+        salt = F.pmod(F.xxhash64(F.col(key), F.lit(-7)), F.lit(k))
+        return df.repartition(dp, F.col("_b"), salt)
+    # hashing on _b alone sends each bucket wholly to one task: file
+    # count == touched buckets, task count capped at 2x cores
+    return df.repartition(min(nb, 2 * dp), "_b")
+
+
 @dataclass
 class MergeResult:
     """Outcome of one merge/append commit (audit row)."""
@@ -1175,7 +1204,9 @@ class LakeTable:
         """Merge-on-read: ONE Spark job writes the batch as per-bucket
         delta files (upsert rows + ``_deleted`` tombstones); readers /
         ``compact()`` resolve. Cost is O(batch) regardless of table
-        size -- no target read, no bucket rewrite, no payload shuffle.
+        size -- no target read, no bucket rewrite; the only shuffle is
+        the O(batch) hash write-distribution (``_distribute_delta``),
+        which bounds the commit's file count at O(buckets).
         Per-bucket lineage comes from the parquet footers of the files
         just written (row counts + ``_lsn`` min/max): driver-side
         O(files), no second job."""
@@ -1200,7 +1231,10 @@ class LakeTable:
         out_dir, rel_dir = self._new_commit_dir(m["version"] + 1)
         with _ts_micros(spark):
             (
-                delta.withColumn("_b", _bucket_expr(key, nb))
+                _distribute_delta(
+                    delta.withColumn("_b", _bucket_expr(key, nb)),
+                    key, nb, spark,
+                )
                 .observe(
                     obs,
                     F.count(F.lit(1)).alias("n"),
@@ -1386,12 +1420,11 @@ class LakeTable:
                 ]
 
             # ---- write touched buckets (the only job over the
-            # resolution; no persist needed). The writer splits each
-            # task's rows into per-bucket files via partitionBy, so no
-            # extra repartition-by-bucket shuffle is needed. Each commit
-            # REPLACES the touched buckets' file lists in the manifest,
-            # so counts never accumulate; compact() exists for
-            # pathological cases. ----------------
+            # resolution; no persist needed). _write_bucketed clusters
+            # on _b so each rewritten bucket is exactly one file. Each
+            # commit REPLACES the touched buckets' file lists in the
+            # manifest, so counts never accumulate; compact() exists
+            # for pathological cases. ----------------
             new_files, n_out, out_dir = self._write_bucketed(
                 spark, result, {**m, "schema": table_schema.jsonValue()}
             )
@@ -1573,7 +1606,7 @@ class LakeTable:
             len(fat), _bucket_expr(m["key"], m["bucket_count"])
         )
         new_files, _, out_dir = self._write_bucketed(
-            spark, df, m, sort_within=sort_within_buckets
+            spark, df, m, sort_within=sort_within_buckets, distribute=False
         )
         _, zone = _footer_stats(
             self.fs, self.root, new_files,
@@ -1633,7 +1666,8 @@ class LakeTable:
             _bucket_expr(m["key"], nb),
         )
         m_new = {**m, "bucket_count": nb}
-        new_files, n_rows, out_dir = self._write_bucketed(spark, df, m_new)
+        new_files, n_rows, out_dir = self._write_bucketed(
+            spark, df, m_new, distribute=False)
         _, zone = _footer_stats(
             self.fs, self.root, new_files,
             schema=T.StructType.fromJson(m["schema"]))
@@ -2853,10 +2887,17 @@ class LakeTable:
     def _write_bucketed(
         self, spark: SparkSession, df: DataFrame, m: dict[str, Any],
         sort_within: list[str] | None = None,
+        distribute: bool = True,
     ) -> tuple[dict[str, list[str]], int, str]:
         """Write df partitioned by bucket under a fresh commit dir;
         return ({bucket: [relative file paths]}, row count (via
         observe, no extra job), absolute out_dir for abort cleanup).
+
+        ``distribute``: hash-cluster on ``_b`` first (one partition per
+        bucket, task count capped at 2x cores) so every rewritten
+        bucket lands in exactly ONE file instead of one per upstream
+        task -- base files stay compacted by construction. Callers
+        that already shaped the input (compact, rebucket) opt out.
 
         ``sort_within``: per-partition sort by (_b, *sort_within) --
         the _b prefix satisfies the partitioned writer's required
@@ -2868,6 +2909,9 @@ class LakeTable:
         out_dir, rel = self._new_commit_dir(m["version"] + 1)
         obs = Observation(f"write_{os.path.basename(rel)}")
         out = df.withColumn("_b", _bucket_expr(key, nb))
+        if distribute:
+            dp = spark.sparkContext.defaultParallelism
+            out = out.repartition(min(nb, 2 * dp), "_b")
         if sort_within:
             out = out.sortWithinPartitions("_b", *sort_within)
         with _ts_micros(spark):
