@@ -593,3 +593,56 @@ def test_cli_rename_column(spark, tmp_path, capsys):
     rc, _ = _run(capsys, ["rename-column", "--table-root", root,
                           "--column", "nope", "--to", "x"])
     assert rc == 2
+
+
+def test_cli_stage_publish_abort(spark, tmp_path, capsys):
+    """WAP as verbs: stage a changelog batch invisibly, see it in
+    describe, publish it; abort works for a second staged batch."""
+    from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
+        LakeTable,
+    )
+
+    src = str(tmp_path / "seed.parquet")
+    spark.createDataFrame(
+        [(f"u{i}", "v1") for i in range(8)], "url string, val string"
+    ).write.parquet(src)
+    root = str(tmp_path / "lake")
+    rc, _ = _run(capsys, ["copy", "--source", src, "--table-root", root,
+                          "--key", "url", "--buckets", "4"])
+    assert rc == 0
+
+    log = str(tmp_path / "batch.parquet")
+    spark.createDataFrame(
+        [("u0", "v2", "U", 100), ("u9", "v1", "I", 101)],
+        "url string, val string, op string, lsn long",
+    ).write.parquet(log)
+    rc, out = _run(capsys, ["stage", "--table-root", root,
+                            "--log-path", log, "--batch-id", "1"])
+    assert rc == 0 and out["staged"] and out["rows_in"] == 2
+
+    t = LakeTable.load(root)
+    assert t.read(spark).count() == 8  # still invisible
+    rc, out = _run(capsys, ["describe", "--table-root", root])
+    assert [s["batch_id"] for s in out["staged"]] == [1]
+
+    rc, out = _run(capsys, ["publish", "--table-root", root,
+                            "--batch-id", "1"])
+    assert rc == 0 and out["published"] and out["rows_applied"] == 2
+    assert t.read(spark).count() == 9
+
+    rc, out = _run(capsys, ["stage", "--table-root", root,
+                            "--log-path", log, "--batch-id", "2"])
+    assert rc == 0
+    rc, out = _run(capsys, ["abort-staged", "--table-root", root,
+                            "--batch-id", "2"])
+    assert rc == 0 and out["aborted"]
+    rc, out = _run(capsys, ["describe", "--table-root", root])
+    assert out["staged"] == []
+    # publishing an already-applied batch is a clean no-op
+    rc, out = _run(capsys, ["stage", "--table-root", root,
+                            "--log-path", log, "--batch-id", "3"])
+    assert rc == 0
+    t.merge(spark, spark.read.parquet(log), batch_id=3)
+    rc, out = _run(capsys, ["publish", "--table-root", root,
+                            "--batch-id", "3"])
+    assert rc == 0 and out["published"] is False

@@ -329,6 +329,42 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_stage(args) -> int:
+    """Write-audit-publish: stage a changelog batch without exposing
+    it. Audit with `lookup`/SQL over `publish --dry-run`-style reads
+    (read_staged), then `publish` or `abort-staged`."""
+    table = _table(args)
+    spark = _spark(args.cpus)
+    df = spark.read.parquet(args.log_path)
+    frag = table.stage_merge(spark, df, batch_id=args.batch_id)
+    print(json.dumps({
+        "staged": True, "batch_id": frag["batch_id"],
+        "rows_in": frag["rows_in"], "rows_deleted": frag["rows_deleted"],
+        "min_lsn": frag["min_lsn"], "max_lsn": frag["max_lsn"],
+        "buckets": len(frag["files"]),
+    }))
+    return 0
+
+
+def cmd_publish(args) -> int:
+    table = _table(args)
+    res = table.publish_staged(args.batch_id)
+    if res is None:
+        print(json.dumps({"published": False,
+                          "reason": "batch already applied elsewhere"}))
+        return 0
+    print(json.dumps({"published": True, **res.as_dict()}))
+    return 0
+
+
+def cmd_abort_staged(args) -> int:
+    table = _table(args)
+    had = any(s["batch_id"] == args.batch_id for s in table.list_staged())
+    table.abort_staged(args.batch_id)
+    print(json.dumps({"aborted": had, "batch_id": args.batch_id}))
+    return 0
+
+
 def cmd_maintain(args) -> int:
     table = _table(args)
     # planning is pure metadata; only --apply needs a SparkSession
@@ -533,6 +569,11 @@ def cmd_describe(args) -> int:
         "committed_at": m.get("committed_at"),
         "refs": m.get("refs", {}),
         "table_stats": m.get("table_stats"),
+        "staged": [
+            {"batch_id": s["batch_id"], "status": s["status"],
+             "rows_in": s.get("rows_in"), "staged_at": s["staged_at"]}
+            for s in t.list_staged()
+        ],
     }, sort_keys=True))
     return 0
 
@@ -909,6 +950,30 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--keep-last", type=int, default=10)
     common(sp)
     sp.set_defaults(fn=cmd_expire)
+
+    sp = sub.add_parser("stage", help="write-audit-publish: stage a parquet "
+                                      "changelog batch (op/lsn columns) "
+                                      "invisibly; publish or abort later")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--log-path", required=True,
+                    help="parquet changelog batch to stage")
+    sp.add_argument("--batch-id", type=int, required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_stage)
+
+    sp = sub.add_parser("publish", help="link a staged batch into the table "
+                                        "(fenced merge commit; rebases past "
+                                        "intervening commits)")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--batch-id", type=int, required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_publish)
+
+    sp = sub.add_parser("abort-staged", help="drop a staged batch and its files")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--batch-id", type=int, required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_abort_staged)
 
     sp = sub.add_parser("analyze", help="per-column NDV + null-count statistics "
                                         "(HyperLogLog) stored as a metadata commit")

@@ -494,6 +494,75 @@ def cdc_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_wap_publish",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn FROM chg
+    )
+    SELECT url, lsn AS last_lsn, event_type, value, ts
+    FROM last WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish over the real engine (Iceberg WAP /
+    spark.wap.id; reference analogue: YADAMU only exposes a copy after
+    its rollback window closes, src/YADAMU/common/yadamuDBI.js
+    transaction wrappers). Replay batches 0-2 live, STAGE batch 3
+    (invisible), let batch 4 land live IN BETWEEN (publish must
+    rebase past it), audit the staged rows, then publish. The final
+    state must equal the plain declarative LWW oracle -- proving the
+    staged path neither loses, duplicates, nor reorders events."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_wap_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(root, schema, key="url", bucket_count=16,
+                             overwrite=True)
+    bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    per = max(1, (hi - lo + 1 + 4) // 5)
+
+    def part(b):
+        return chg.filter(
+            (F.col("lsn") >= lo + b * per) & (F.col("lsn") < lo + (b + 1) * per)
+        )
+
+    for b in range(3):
+        apply_batch(table, part(b), batch_id=b, run_extract=False)
+    frag = table.stage_merge(spark, part(3), batch_id=3)
+    apply_batch(table, part(4), batch_id=4, run_extract=False)  # intervening
+    # the AUDIT: staged rows stay inside batch 3's LSN window and are
+    # invisible -- the fence must not know batch 3 yet
+    assert not table.is_applied(3) and table.is_applied(4)
+    assert frag["min_lsn"] >= lo + 3 * per and frag["max_lsn"] < lo + 4 * per
+    res = table.publish_staged(3)
+    assert res is not None and not res.fenced
+    return (
+        table.read(spark)
+        .withColumnRenamed("_lsn", "last_lsn")
+        .select("url", "last_lsn", "event_type", "value", "ts")
+    )
+
+
+@_register(
     "cdc_incremental_read",
     f"""
     WITH chg AS ({_CDC_SQL_SRC}),

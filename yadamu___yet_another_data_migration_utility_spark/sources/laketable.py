@@ -1514,6 +1514,273 @@ class LakeTable:
             agg["max_lsn"], len(touched), dt,
         )
 
+    # ------------------------------------------------------------------
+    # write-audit-publish (WAP) -- staged merges
+    # ------------------------------------------------------------------
+    def _staged_fragment_path(self, batch_id: int) -> str:
+        return os.path.join(
+            self.root, MANIFEST_DIR, f"staged-{int(batch_id)}.json")
+
+    def stage_merge(
+        self,
+        spark: SparkSession,
+        batch_df: DataFrame,
+        batch_id: int,
+        op_col: str = "op",
+        lsn_col: str = "lsn",
+        collect_lineage: bool = True,
+    ) -> dict[str, Any]:
+        """Write-audit-publish, the WRITE half (Iceberg analogue:
+        staging a snapshot under ``spark.wap.id`` / committing to a
+        branch before fast-forward). The batch's delta files are
+        written and summarized exactly as ``merge`` would, but NOTHING
+        is linked into the manifest chain: readers, time travel and
+        ``read_changes`` cannot see the batch until ``publish_staged``.
+        In between, ``read_staged`` exposes the staged rows for
+        validation queries -- the AUDIT half lives in user code.
+
+        Protocol (all through the FS seam, cluster-safe):
+        1. claim ``manifests/staged-{batch}.json`` with put_if_absent
+           (a placeholder, status="writing") -- double-staging a batch
+           is a clean conflict, and retention can never race the data
+           write because the fragment exists before any file does;
+        2. ONE Spark job writes the delta files under
+           ``data/staged-{batch}-{uuid}`` (hash write-distribution,
+           same shape as merge);
+        3. the fragment is finalized (status="staged") with the file
+           list, audit numbers, lineage and zone stats.
+
+        Restricted to merge-on-read tables: a staged copy-on-write
+        rewrite would capture base files as of stage time and could
+        not be rebased past intervening commits -- the same reason
+        Iceberg's WAP cherry-pick only fast-forwards append/delta
+        snapshots. Returns the fragment dict."""
+        from pyspark.sql import Observation
+
+        m = self.manifest()
+        if m.get("merge_mode", "cow") != "mor":
+            raise RuntimeError(
+                "stage_merge requires merge_mode='mor' (a staged cow "
+                "rewrite cannot be rebased past intervening commits)")
+        if str(batch_id) in m["applied_batches"]:
+            raise ValueError(f"batch {batch_id} is already applied")
+        frag_path = self._staged_fragment_path(batch_id)
+        rel_dir = os.path.join(
+            DATA_DIR, f"staged-{int(batch_id)}-{uuid.uuid4().hex[:8]}")
+        out_dir = os.path.join(self.root, rel_dir)
+        # claim FIRST: the fragment's existence shields the directory
+        # from retention's orphan sweep while the Spark job runs
+        self.fs.put_if_absent(frag_path, json.dumps({
+            "status": "writing", "batch_id": batch_id, "dir": rel_dir,
+            "staged_at": _utc_now_iso(),
+        }))
+        try:
+            table_schema = _evolved_schema(m, batch_df, op_col, lsn_col)
+            src = batch_df.withColumnRenamed(lsn_col, LSN_COL)
+            src = _align(src, table_schema, keep=[op_col])
+            delta = src.withColumn(
+                DELETED_COL, F.col(op_col) == "D").drop(op_col)
+            key, nb = m["key"], m["bucket_count"]
+            obs = Observation(f"stage_{batch_id}")
+            with _ts_micros(spark):
+                (
+                    _distribute_delta(
+                        delta.withColumn("_b", _bucket_expr(key, nb)),
+                        key, nb, spark,
+                    )
+                    .observe(
+                        obs,
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.col(DELETED_COL).cast("long")).alias("dels"),
+                        F.min(LSN_COL).alias("mn"),
+                        F.max(LSN_COL).alias("mx"),
+                    )
+                    .write.partitionBy("_b")
+                    .parquet(self.fs.spark_path(out_dir))
+                )
+            got = obs.get
+            new_files = _list_bucket_files(self.fs, out_dir, rel_dir)
+            per_bucket, zone = _footer_stats(
+                self.fs, self.root, new_files, schema=table_schema)
+            lineage = [
+                {"batch_id": batch_id, "bucket": int(b), **fstats}
+                for b, fstats in per_bucket.items()
+            ] if collect_lineage else []
+        except Exception:
+            if self.fs.exists(out_dir):
+                self.fs.rmtree(out_dir)
+            self.fs.remove(frag_path)
+            raise
+        frag = {
+            "status": "staged",
+            "batch_id": batch_id,
+            "dir": rel_dir,
+            "base_version": m["version"],
+            "base_schema": m["schema"],
+            "schema": table_schema.jsonValue(),
+            "files": new_files,
+            "rows_in": got["n"] or 0,
+            "rows_deleted": got["dels"] or 0,
+            "min_lsn": got["mn"],
+            "max_lsn": got["mx"],
+            "lineage": lineage,
+            "stats": zone,
+            "staged_at": _utc_now_iso(),
+        }
+        self.fs.put_atomic(frag_path, json.dumps(frag))
+        return frag
+
+    def list_staged(self) -> list[dict[str, Any]]:
+        """All staged fragments (status 'writing' means a stage is in
+        flight or crashed mid-write -- ``abort_staged`` clears it)."""
+        mdir = os.path.join(self.root, MANIFEST_DIR)
+        out = []
+        for name in sorted(self.fs.listdir(mdir)):
+            if name.startswith("staged-") and name.endswith(".json"):
+                out.append(json.loads(
+                    self.fs.read_text(os.path.join(mdir, name))))
+        return out
+
+    def _staged_fragment(self, batch_id: int) -> dict[str, Any]:
+        p = self._staged_fragment_path(batch_id)
+        if not self.fs.exists(p):
+            raise FileNotFoundError(
+                f"no staged batch {batch_id} (already published or "
+                f"aborted?)")
+        frag = json.loads(self.fs.read_text(p))
+        if frag.get("status") != "staged":
+            raise RuntimeError(
+                f"staged batch {batch_id} is incomplete (crashed "
+                f"mid-stage); abort_staged({batch_id}) and re-stage")
+        return frag
+
+    def read_staged(self, spark: SparkSession, batch_id: int) -> DataFrame:
+        """The staged batch's raw delta rows (payload + ``_lsn`` +
+        ``_deleted``) -- the surface audit queries run against before
+        ``publish_staged``. Reads only the staged files; no manifest
+        resolution (the batch is not part of any snapshot yet)."""
+        frag = self._staged_fragment(batch_id)
+        schema = T.StructType.fromJson(frag["schema"]).add(
+            DELETED_COL, T.BooleanType())
+        files = [
+            self.fs.spark_path(os.path.join(self.root, f))
+            for fl in frag["files"].values() for f in fl
+        ]
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*files)
+
+    def abort_staged(self, batch_id: int) -> None:
+        """Drop a staged batch: delete its data directory, then the
+        fragment. Idempotent and crash-safe in both orders -- a dir
+        that loses its fragment becomes sweepable by retention; a
+        fragment whose dir is gone is detected here and by publish."""
+        p = self._staged_fragment_path(batch_id)
+        if not self.fs.exists(p):
+            return
+        frag = json.loads(self.fs.read_text(p))
+        d = os.path.join(self.root, frag["dir"])
+        if self.fs.exists(d):
+            self.fs.rmtree(d)
+        self.fs.remove(p)
+
+    def publish_staged(
+        self, batch_id: int,
+        extra_audit: dict[str, Any] | None = None,
+    ) -> MergeResult | None:
+        """Write-audit-publish, the PUBLISH half: link the staged delta
+        files into the manifest chain as a fenced mor merge commit.
+        Composes with any commit that landed since the stage (another
+        merge, an append, a compact -- the staged files were not part
+        of what it folded) via the same optimistic rebase as live
+        merges; only a schema change since stage time aborts
+        (RebaseError). Exactly-once holds: if the batch was fenced by
+        another path meanwhile, returns None and cleans the staged
+        artifacts (keeping them only if that commit references these
+        very files -- the crashed-republish case).
+
+        The staged directory becomes a permanent data dir on publish
+        (the files are referenced in place; no rename/copy -- the
+        S3-safe property)."""
+        t0 = time.monotonic()
+        frag = self._staged_fragment(batch_id)
+        new_files: dict[str, list[str]] = frag["files"]
+        n_in, dels = frag["rows_in"], frag["rows_deleted"]
+        m = self.manifest()
+        already = str(batch_id) in m["applied_batches"]
+
+        def build(mp: dict[str, Any]) -> dict[str, Any]:
+            if mp["schema"] == frag["schema"]:
+                schema_json = frag["schema"]
+            elif mp["schema"] == frag["base_schema"]:
+                schema_json = frag["schema"]  # additive evolution applies
+            else:
+                raise RebaseError(
+                    "schema changed since the batch was staged; abort "
+                    "and re-stage")
+            v = mp["version"] + 1
+            deltas = {k: list(fl) for k, fl in mp.get("deltas", {}).items()}
+            for b, files in new_files.items():
+                deltas[b] = deltas.get(b, []) + files
+            applied = dict(mp["applied_batches"])
+            applied[str(batch_id)] = {"version": v, "op": "merge"}
+            audit = {
+                "batch_id": batch_id,
+                "operation": "merge",
+                "mode": "mor",
+                "staged": True,
+                "rows_in": n_in,
+                "rows_applied": n_in - dels,
+                "rows_deleted": dels,
+                "min_lsn": frag["min_lsn"],
+                "max_lsn": frag["max_lsn"],
+                "touched_buckets": len(new_files),
+                "version": v,
+                **(extra_audit or {}),
+            }
+            return {
+                **mp,
+                "version": v,
+                "parent": mp["version"],
+                "schema": schema_json,
+                "deltas": deltas,
+                "applied_batches": _cap(applied),
+                "lsn_high": max(mp.get("lsn_high") or 0,
+                                frag["max_lsn"] or 0),
+                "audit": audit,
+                "lineage": frag["lineage"],
+                "stats": {**_inherit_stats(mp), **frag["stats"]},
+                "summary": {"operation": "merge", "mode": "mor",
+                            "rows_written": n_in, "staged": True},
+                "committed_at": _utc_now_iso(),
+            }
+
+        committed = None if already else self._commit_with_rebase(
+            m, build, batch_id=batch_id)
+        dt = int((time.monotonic() - t0) * 1000)
+        if committed is None:
+            # fenced elsewhere. If that commit references OUR files
+            # (a publish that crashed between commit and fragment
+            # cleanup, then re-ran), the dir is live data -- drop only
+            # the fragment; otherwise drop both.
+            head = self.manifest()
+            ours = {f for fl in new_files.values() for f in fl}
+            referenced = ours & {
+                f for fl in head.get("deltas", {}).values() for f in fl}
+            if not referenced:
+                d = os.path.join(self.root, frag["dir"])
+                if self.fs.exists(d):
+                    self.fs.rmtree(d)
+            self.fs.remove(self._staged_fragment_path(batch_id))
+            return None if not referenced else MergeResult(
+                batch_id, head["applied_batches"][str(batch_id)]["version"],
+                True, n_in, n_in - dels, dels, frag["min_lsn"],
+                frag["max_lsn"], len(new_files), dt)
+        self.fs.remove(self._staged_fragment_path(batch_id))
+        return MergeResult(
+            batch_id, committed["version"], False, n_in, n_in - dels,
+            dels, frag["min_lsn"], frag["max_lsn"], len(new_files), dt)
+
     def record_skip(
         self, batch_id: int, extra_audit: dict[str, Any] | None = None
     ) -> int | None:
@@ -2540,7 +2807,19 @@ class LakeTable:
         commit_dirs = []
         if self.fs.isdir(ddir):
             for name in sorted(self.fs.listdir(ddir)):
-                if name.startswith("c"):
+                if name.startswith("staged-"):
+                    # WAP dirs: shielded while their fragment exists
+                    # (stage in flight or awaiting audit). Once the
+                    # fragment is gone the dir is either published
+                    # data (files protected below) or abort/crash
+                    # debris (swept here).
+                    try:
+                        bid = int(name.split("-")[1])
+                    except (IndexError, ValueError):
+                        continue
+                    if not self.fs.exists(self._staged_fragment_path(bid)):
+                        commit_dirs.append(os.path.join(ddir, name))
+                elif name.startswith("c"):
                     try:
                         dv = int(name[1:].split("-", 1)[0])
                     except ValueError:
