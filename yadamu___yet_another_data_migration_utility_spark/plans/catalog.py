@@ -494,6 +494,82 @@ def cdc_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_schema_evolution",
+    f"""
+    WITH chg0 AS ({_CDC_SQL_SRC}),
+    bounds AS (SELECT MIN(lsn) AS lo, MAX(lsn) AS hi FROM chg0),
+    cut AS (SELECT lo + 3 * ((hi - lo + 1 + 4) // 5) AS c FROM bounds),
+    chg AS (
+      SELECT c.* FROM chg0 c, cut
+      WHERE c.lsn < cut.c
+         OR substr(md5(c.url), 1, 1) IN ('0','2','4','6','8','a','c','e')
+    ),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn FROM chg
+    )
+    SELECT l.url, l.lsn AS last_lsn, l.event_type, l.value,
+           CASE WHEN l.lsn >= cut.c
+                THEN substr(md5(l.url), 1, 2) END AS lang
+    FROM last l, cut WHERE l.rn = 1 AND l.op <> 'D'
+    """,
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution MID-STREAM (the north-star requirement;
+    Iceberg: mergeSchema on write): batches 0-2 carry the original
+    4-column payload, batches 3-4 arrive with a NEW ``lang`` column --
+    and touch only half the key space (md5-even urls), so the final
+    table holds BOTH populations: evolved winners with ``lang`` set and
+    pre-evolution winners surfacing the new column as a typed NULL.
+    The merge path widens the table schema in the same commit. The
+    oracle replicates exactly that: winner per url over the same
+    filtered stream, ``lang`` populated only when the winning event is
+    post-cut."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_evo_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(root, schema, key="url", bucket_count=16,
+                             overwrite=True)
+    bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    per = max(1, (hi - lo + 1 + 4) // 5)
+    for b in range(5):
+        batch = chg.filter(
+            (F.col("lsn") >= lo + b * per) & (F.col("lsn") < lo + (b + 1) * per)
+        )
+        if b >= 3:  # the stream evolves: a new column appears, and the
+            # late source only emits for half the keys (md5-even), so
+            # pre-evolution winners survive with lang = typed NULL
+            batch = batch.filter(
+                F.substring(F.md5(F.col("url")), 1, 1).isin(
+                    *"02468ace")
+            ).withColumn("lang", F.substring(F.md5(F.col("url")), 1, 2))
+        apply_batch(table, batch, batch_id=b, run_extract=False)
+    return (
+        table.read(spark)
+        .withColumnRenamed("_lsn", "last_lsn")
+        .select("url", "last_lsn", "event_type", "value", "lang")
+    )
+
+
+@_register(
     "cdc_wap_publish",
     f"""
     WITH chg AS ({_CDC_SQL_SRC}),

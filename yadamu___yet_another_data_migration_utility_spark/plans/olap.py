@@ -191,3 +191,46 @@ def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 2)
         .select("day", "user_id", "n_events", "value_sum", "rank")
     )
+
+
+@_register(
+    "olap_value_percentiles",
+    """
+    WITH cd AS (
+      SELECT event_type, value,
+             CUME_DIST() OVER (PARTITION BY event_type ORDER BY value) AS cd
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           MIN(CASE WHEN cd >= 0.5 THEN value END) AS p50,
+           MIN(CASE WHEN cd >= 0.9 THEN value END) AS p90,
+           MIN(CASE WHEN cd >= 0.99 THEN value END) AS p99
+    FROM cd GROUP BY event_type
+    """,
+)
+def olap_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE percentiles per group via the ANSI
+    ``percentile_disc(p) WITHIN GROUP (ORDER BY v)`` aggregate (the
+    monitoring-dashboard staple). Discrete -- the result is an actual
+    data value, so the cross-engine compare is exact where an
+    interpolated ``percentile_cont`` would differ in the last ulp; the
+    oracle replicates the ANSI definition (smallest value whose
+    cumulative distribution reaches p) with a window, pinning Spark's
+    semantics rather than trusting DuckDB's rounding convention.
+
+    Scale: one shuffle on event_type; percentile_disc aggregates
+    buffer per-group sorted values -- bounded by group cardinality
+    (here 5 groups), the same cost class as Spark's own percentile. A
+    sketch alternative (t-digest/KLL) is the approximate path at
+    unbounded group width."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+        """
+    )
