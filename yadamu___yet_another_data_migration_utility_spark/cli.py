@@ -317,8 +317,10 @@ def cmd_compact(args) -> int:
     table = _table(args)
     spark = _spark(args.cpus)
     sort_by = _tables_arg(args.sort_by) if args.sort_by else None
+    zorder = _tables_arg(args.zorder_by) if args.zorder_by else None
     v = table.compact(spark, max_files_per_bucket=args.max_files_per_bucket,
-                      all_deltas=args.all_deltas, sort_within_buckets=sort_by)
+                      all_deltas=args.all_deltas, sort_within_buckets=sort_by,
+                      zorder_by=zorder)
     print(json.dumps({"compacted": v is not None, "version": v}))
     return 0
 
@@ -942,6 +944,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fold every bucket holding ANY delta (full fold)")
     sp.add_argument("--sort-by", default=None,
                     help="comma-separated columns to cluster rewritten buckets by")
+    sp.add_argument("--zorder-by", default=None,
+                    help="comma-separated columns for Morton (z-order) "
+                         "clustering of rewritten buckets (multi-column "
+                         "row-group pruning); excludes --sort-by")
     common(sp)
     sp.set_defaults(fn=cmd_compact)
 

@@ -167,6 +167,91 @@ def _distribute_delta(df: DataFrame, key: str, nb: int, spark) -> DataFrame:
     return df.repartition(min(nb, 2 * dp), "_b")
 
 
+def _znorm_expr(name: str, dt: T.DataType) -> "F.Column":
+    """Map a column to a DOUBLE axis for z-order ranking. Numeric /
+    boolean cast directly; timestamps become epoch seconds; dates
+    become epoch days. Strings/complex are rejected -- interleaving
+    hashed strings would destroy the locality z-order exists for."""
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.col(name).cast("double")
+    if isinstance(dt, T.DateType):
+        return F.datediff(F.col(name), F.to_date(F.lit("1970-01-01"))
+                          ).cast("double")
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                       T.FloatType, T.DoubleType, T.DecimalType,
+                       T.BooleanType)):
+        return F.col(name).cast("double")
+    raise ValueError(
+        f"zorder_by column {name!r}: unsupported type {dt.simpleString()} "
+        f"(numeric, timestamp or date only)")
+
+
+def _zorder_expr(ranked: list["F.Column"], bits: int) -> "F.Column":
+    """Interleave k ``bits``-wide integer ranks into one Morton key
+    (bit j of column i lands at position j*k + i). Pure Catalyst bit
+    algebra -- k*bits shift/mask/or nodes, all whole-stage codegen; no
+    UDF. k*bits must fit a signed long (<= 63)."""
+    k = len(ranked)
+    if k * bits > 63:
+        raise ValueError(f"zorder: {k} columns x {bits} bits exceeds 63")
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(ranked):
+        cl = c.cast("long")
+        for b in range(bits):
+            z = z.bitwiseOR(F.shiftleft(
+                F.shiftright(cl, b).bitwiseAND(F.lit(1)), b * k + i))
+    return z
+
+
+def _zorder_key(df: DataFrame, cols: list[str],
+                schema: T.StructType) -> "F.Column":
+    """Z-order sort key over ``cols`` (Delta OPTIMIZE ZORDER / Iceberg
+    z-order rewrite strategy). Each column is normalized to a double
+    axis, linearly binned into 2^bits cells over its [min, max] (ONE
+    column-pruned agg job -- reads only these columns, negligible next
+    to the full-payload rewrite it serves), and the cell ids are
+    bit-interleaved. Sorting a rewrite by this key gives every parquet
+    row group a tight bounding box in ALL the dimensions at once, so
+    pushed-down range predicates on ANY of them skip row groups --
+    where a lexicographic sort serves only its leading column. NULLs
+    rank as cell 0 (co-located, never scattered)."""
+    types = {f.name: f.dataType for f in schema.fields}
+    for c in cols:
+        if c not in types:
+            raise ValueError(f"zorder_by: no column {c!r} in table schema")
+    bits = max(1, 63 // max(1, len(cols)))
+    bits = min(bits, 16)
+    norm = {c: _znorm_expr(c, types[c]) for c in cols}
+    row = df.select(*[
+        e for c in cols
+        for e in (F.min(norm[c]).alias(f"lo_{c}"),
+                  F.max(norm[c]).alias(f"hi_{c}"))
+    ]).collect()[0]
+    n_cells = 1 << bits
+    ranked = []
+    for c in cols:
+        lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+        if lo is None or hi is None or not (hi > lo):
+            ranked.append(F.lit(0))  # empty / constant / all-NULL axis
+            continue
+        # linear bin into [0, n_cells): floor((v - lo) / cell_width),
+        # clamped (the max value would otherwise land in cell n_cells)
+        cell = (float(hi) - float(lo)) / n_cells
+        ranked.append(
+            F.when(norm[c].isNull(), F.lit(0)).otherwise(
+                F.least(
+                    F.greatest(
+                        F.floor((norm[c] - F.lit(float(lo))) / F.lit(cell))
+                        .cast("long"),
+                        F.lit(0),
+                    ),
+                    F.lit(n_cells - 1),
+                )
+            )
+        )
+    return _zorder_expr(ranked, bits).alias("_z")
+
+
 @dataclass
 class MergeResult:
     """Outcome of one merge/append commit (audit row)."""
@@ -1828,6 +1913,7 @@ class LakeTable:
         all_deltas: bool = False,
         sort_within_buckets: list[str] | None = None,
         buckets: list[int] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int | None:
         """Fold delta files into the base and rewrite buckets holding
         too many files (Iceberg: rewrite_data_files; reference analogue:
@@ -1849,7 +1935,21 @@ class LakeTable:
 
         ``buckets``: explicit target list (e.g. from plan_maintenance)
         -- overrides the count/delta heuristics; buckets with no live
-        files are ignored."""
+        files are ignored.
+
+        ``zorder_by``: cluster each rewritten bucket by a MORTON
+        (bit-interleaved) key over these columns instead of a
+        lexicographic sort (Delta OPTIMIZE ZORDER / Iceberg z-order
+        rewrite strategy). A lexicographic sort gives tight row-group
+        bounds only on its LEADING column; the z-key bounds every
+        listed dimension at once, so pushed-down range predicates on
+        ANY of them skip row groups. Costs one extra column-pruned agg
+        pass (per-axis min/max) over the selected buckets -- reading
+        2-4 thin columns, negligible next to the full-payload rewrite.
+        Mutually exclusive with ``sort_within_buckets``."""
+        if zorder_by and sort_within_buckets:
+            raise ValueError(
+                "pass either sort_within_buckets or zorder_by, not both")
         m = self.manifest()
         deltas = m.get("deltas", {})
         all_buckets = set(m["buckets"]) | {b for b, fl in deltas.items() if fl}
@@ -1869,11 +1969,16 @@ class LakeTable:
         if not fat:
             return None
         # read() resolves deltas for the selected buckets already
+        sort_within = sort_within_buckets
+        if zorder_by:
+            sort_within = [_zorder_key(
+                self.read(spark, buckets=fat), list(zorder_by),
+                T.StructType.fromJson(m["schema"]))]
         df = self.read(spark, buckets=fat).repartition(
             len(fat), _bucket_expr(m["key"], m["bucket_count"])
         )
         new_files, _, out_dir = self._write_bucketed(
-            spark, df, m, sort_within=sort_within_buckets, distribute=False
+            spark, df, m, sort_within=sort_within, distribute=False
         )
         _, zone = _footer_stats(
             self.fs, self.root, new_files,
@@ -3165,7 +3270,7 @@ class LakeTable:
 
     def _write_bucketed(
         self, spark: SparkSession, df: DataFrame, m: dict[str, Any],
-        sort_within: list[str] | None = None,
+        sort_within: list | None = None,  # column names or Columns
         distribute: bool = True,
     ) -> tuple[dict[str, list[str]], int, str]:
         """Write df partitioned by bucket under a fresh commit dir;
