@@ -646,3 +646,54 @@ def test_cli_stage_publish_abort(spark, tmp_path, capsys):
     rc, out = _run(capsys, ["publish", "--table-root", root,
                             "--batch-id", "3"])
     assert rc == 0 and out["published"] is False
+
+
+def test_cli_branch_lifecycle(spark, tmp_path, capsys):
+    import pyspark.sql.types as T
+
+    from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
+        LakeTable,
+    )
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("val", T.StringType()),
+    ])
+    root = str(tmp_path / "t")
+    t = LakeTable.create(root, schema, key="url", bucket_count=4,
+                         merge_mode="mor")
+    t.merge(spark, spark.createDataFrame(
+        [("a", "v1", "I", 1)], "url string, val string, op string, lsn long"),
+        batch_id=0)
+    fork = t.current_version()
+
+    rc, out = _run(capsys, ["branch", "--table-root", root, "--create", "dev"])
+    assert rc == 0 and out == {"created": "dev", "fork_version": fork}
+
+    # commit on the branch through a CLI verb (--branch routes _table)
+    b = t.for_branch("dev")
+    b.merge(spark, spark.createDataFrame(
+        [("a", "v2", "U", 2)], "url string, val string, op string, lsn long"),
+        batch_id=1)
+    rc, out = _run(capsys, ["lookup", "--table-root", root, "--key", "a",
+                            "--branch", "dev"])
+    assert rc == 0 and out["rows"][0]["val"] == "v2"
+    rc, out = _run(capsys, ["lookup", "--table-root", root, "--key", "a"])
+    assert rc == 0 and out["rows"][0]["val"] == "v1"  # main unchanged
+
+    rc, out = _run(capsys, ["branch", "--table-root", root])
+    assert rc == 0 and out["branches"] == {
+        "dev": {"fork_version": fork, "head": fork + 1}}
+
+    rc, out = _run(capsys, ["branch", "--table-root", root,
+                            "--fast-forward", "dev"])
+    assert rc == 0 and out == {"fast_forwarded": "dev", "version": fork + 1}
+    rc, out = _run(capsys, ["lookup", "--table-root", root, "--key", "a"])
+    assert rc == 0 and out["rows"][0]["val"] == "v2"
+
+    # clean errors: unknown branch on --drop and through --branch
+    rc, _ = _run(capsys, ["branch", "--table-root", root, "--drop", "dev"])
+    assert rc == 2
+    rc, _ = _run(capsys, ["describe", "--table-root", root,
+                          "--branch", "dev"])
+    assert rc == 2

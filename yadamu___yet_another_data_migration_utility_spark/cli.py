@@ -310,7 +310,10 @@ def cmd_dedup_ingest(args) -> int:
 def _table(args):
     from .sources.laketable import LakeTable
 
-    return LakeTable.load(args.table_root)
+    t = LakeTable.load(args.table_root)
+    if getattr(args, "branch", None):
+        t = t.for_branch(args.branch)  # ValueError on unknown -> usage error
+    return t
 
 
 def cmd_compact(args) -> int:
@@ -669,6 +672,36 @@ def cmd_tag(args) -> int:
     return 0
 
 
+def cmd_branch(args) -> int:
+    """Writable refs (Iceberg branches): --create forks an isolated
+    line of commits, --fast-forward publishes it back onto main (and
+    drops it), --drop abandons it, default lists. Other verbs take a
+    ``--branch NAME`` to read or commit against a branch. All
+    manifest-only (no Spark job)."""
+    from .sources.laketable import RebaseError
+
+    t = _table(args)
+    try:
+        if args.create:
+            b = t.create_branch(args.create, version=args.version)
+            print(json.dumps({"created": args.create,
+                              "fork_version": b.fork_version()},
+                             sort_keys=True))
+        elif args.fast_forward:
+            v = t.fast_forward(args.fast_forward)
+            print(json.dumps({"fast_forwarded": args.fast_forward,
+                              "version": v}, sort_keys=True))
+        elif args.drop:
+            t.drop_branch(args.drop)
+            print(json.dumps({"dropped": args.drop}, sort_keys=True))
+        else:
+            print(json.dumps({"branches": t.branches()}, sort_keys=True))
+    except (ValueError, FileExistsError, RebaseError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    return 0
+
+
 def _cmd_rewrite_where(args, assignments: dict | None) -> int:
     """Shared body of the delete-where / update-where verbs (one
     condition-and-output frame; the engine call differs)."""
@@ -848,6 +881,10 @@ def build_parser() -> argparse.ArgumentParser:
             sp.add_argument("--passphrase", default=None)
             sp.add_argument("--salt", default=None)
 
+    def branch_opt(sp):
+        sp.add_argument("--branch", default=None, metavar="NAME",
+                        help="run against this branch instead of main")
+
     sp = sub.add_parser("export", help="parquet tables -> monolithic JSON document")
     sp.add_argument("--dir", required=True, help="directory of <table>.parquet")
     sp.add_argument("--tables", required=True, help="comma-separated table names")
@@ -949,6 +986,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "clustering of rewritten buckets (multi-column "
                          "row-group pruning); excludes --sort-by")
     common(sp)
+    branch_opt(sp)
     sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser("expire", help="snapshot retention: drop old versions")
@@ -1024,6 +1062,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("history", help="commit audit trail as JSON lines")
     sp.add_argument("--table-root", required=True)
+    branch_opt(sp)
     sp.set_defaults(fn=cmd_history, cpus=None)
 
     sp = sub.add_parser("lineage", help="per-(version, batch, bucket) applied "
@@ -1034,11 +1073,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("describe", help="table status from the manifest "
                                          "(schema, layout, delta pressure)")
     sp.add_argument("--table-root", required=True)
+    branch_opt(sp)
     sp.set_defaults(fn=cmd_describe, cpus=None)
 
     sp = sub.add_parser("snapshots", help="Iceberg-style snapshots metadata "
                                           "table as JSON lines")
     sp.add_argument("--table-root", required=True)
+    branch_opt(sp)
     sp.set_defaults(fn=cmd_snapshots, cpus=None)
 
     sp = sub.add_parser("files", help="Iceberg-style files metadata table "
@@ -1047,6 +1088,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table-root", required=True)
     sp.add_argument("--version", type=_version_arg, default=None,
                     help="snapshot version or tag name (default: current)")
+    branch_opt(sp)
     sp.set_defaults(fn=cmd_files, cpus=None)
 
     sp = sub.add_parser("tag", help="named snapshot refs: --set pins a "
@@ -1059,7 +1101,22 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--delete", default=None, metavar="NAME")
     sp.add_argument("--version", type=int, default=None,
                     help="target version for --set (default: head)")
+    branch_opt(sp)
     sp.set_defaults(fn=cmd_tag, cpus=None)
+
+    sp = sub.add_parser("branch", help="writable refs: --create forks an "
+                                       "isolated line of commits, "
+                                       "--fast-forward publishes it onto "
+                                       "main, --drop abandons it, default "
+                                       "lists")
+    sp.add_argument("--table-root", required=True)
+    g = sp.add_mutually_exclusive_group()
+    g.add_argument("--create", default=None, metavar="NAME")
+    g.add_argument("--fast-forward", default=None, metavar="NAME")
+    g.add_argument("--drop", default=None, metavar="NAME")
+    sp.add_argument("--version", type=int, default=None,
+                    help="fork point for --create (default: head)")
+    sp.set_defaults(fn=cmd_branch, cpus=None, branch=None)
 
     sp = sub.add_parser(
         "lookup",
@@ -1072,6 +1129,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--version", type=_version_arg, default=None,
                     help="version number or tag name")
     common(sp)
+    branch_opt(sp)
     sp.set_defaults(fn=cmd_lookup)
 
     sp = sub.add_parser(
@@ -1088,6 +1146,7 @@ def build_parser() -> argparse.ArgumentParser:
              "empty for an open end; timestamps/dates in ISO format "
              "(e.g. ts:2020-03-01T12:30:00..2020-04-01)",
     )
+    branch_opt(sp)
     sp.set_defaults(fn=cmd_plan, cpus=None)
 
     sp = sub.add_parser("validate", help="table fsck: manifest chain, file "
@@ -1096,6 +1155,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table-root", required=True)
     sp.add_argument("--deep", action="store_true")
     common(sp)
+    branch_opt(sp)
     sp.set_defaults(fn=cmd_validate)
 
     sp = sub.add_parser("changes", help="incremental CDC-out window -> parquet")
@@ -1107,6 +1167,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="drop engine columns (inspection only -- not safely applyable)")
     sp.add_argument("--overwrite", action="store_true")
     common(sp)
+    branch_opt(sp)
     sp.set_defaults(fn=cmd_changes)
 
     sp = sub.add_parser("rollup", help="continuous aggregate: seed on first "
@@ -1136,6 +1197,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="inclusive bound; also prunes the rewrite to "
                          "files that can match (repeatable)")
     common(sp)
+    branch_opt(sp)
     sp.set_defaults(fn=cmd_delete_where)
 
     sp = sub.add_parser("overwrite-where",
@@ -1170,6 +1232,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="inclusive bound; also prunes the rewrite to "
                          "files that can match (repeatable)")
     common(sp)
+    branch_opt(sp)
     sp.set_defaults(fn=cmd_update_where)
 
     sp = sub.add_parser("mirror", help="incremental replica: seed on first "

@@ -639,6 +639,80 @@ def cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_branch_publish",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn FROM chg
+    )
+    SELECT url, lsn AS last_lsn, event_type, value, ts
+    FROM last WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch-then-fast-forward over the real engine (Iceberg writable
+    branches; reference analogue: YADAMU publishes a staged copy only
+    when the whole job succeeds, src/YADAMU/common/yadamuDBI.js
+    transaction wrappers). Replay batches 0-2 live on main, then apply
+    batches 3-4 on an isolated BRANCH (main's readers still see the
+    batch-2 state), audit the branch (fences, isolation), and
+    fast-forward. The final main state must equal the plain declarative
+    LWW oracle -- multi-commit staging neither loses, duplicates, nor
+    reorders events, and the adopted commits carry their fences so a
+    replayed batch stays exactly-once after the publish."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_branch_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(root, schema, key="url", bucket_count=16,
+                             overwrite=True)
+    bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    per = max(1, (hi - lo + 1 + 4) // 5)
+
+    def part(b):
+        return chg.filter(
+            (F.col("lsn") >= lo + b * per) & (F.col("lsn") < lo + (b + 1) * per)
+        )
+
+    for b in range(3):
+        apply_batch(table, part(b), batch_id=b, run_extract=False)
+    main_head = table.current_version()
+    br = table.create_branch("ingest-audit")
+    for b in (3, 4):
+        apply_batch(br, part(b), batch_id=b, run_extract=False)
+    # the AUDIT: branch fenced both batches; main saw neither commit
+    assert br.is_applied(3) and br.is_applied(4)
+    assert table.current_version() == main_head
+    assert not table.is_applied(3) and not table.is_applied(4)
+    table.fast_forward("ingest-audit")
+    # adopted fences keep replays exactly-once on main
+    assert table.is_applied(3) and table.is_applied(4)
+    return (
+        table.read(spark)
+        .withColumnRenamed("_lsn", "last_lsn")
+        .select("url", "last_lsn", "event_type", "value", "ts")
+    )
+
+
+@_register(
     "cdc_incremental_read",
     f"""
     WITH chg AS ({_CDC_SQL_SRC}),

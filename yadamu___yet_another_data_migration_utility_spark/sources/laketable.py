@@ -117,6 +117,9 @@ FORMAT_VERSION = 2
 MANIFEST_DIR = "manifests"
 DATA_DIR = "data"
 CURRENT = "_current"
+BRANCHES_SUBDIR = "branches"  # manifests/branches/<name>/v*.json
+BRANCH_META = "_branch.json"  # per-branch metadata: {"fork_version": N}
+MAIN_BRANCH = "main"
 # Internal engine columns stored in the table alongside user columns.
 LSN_COL = "_lsn"  # last applied LSN per key -> LSN-monotonic idempotent merge
 DELETED_COL = "_deleted"  # mor tombstone marker (delta files only)
@@ -291,9 +294,19 @@ def _where_cond(predicate: str | None,
 class LakeTable:
     """A transactional hash-bucketed parquet table with MERGE semantics."""
 
-    def __init__(self, root: str, fs: LocalFS | None = None):
+    def __init__(self, root: str, fs: LocalFS | None = None,
+                 branch: str = MAIN_BRANCH):
         self.root = root
         self.fs = fs or LocalFS()
+        #: which line of history this handle reads and commits to. The
+        #: default is main; ``for_branch`` returns a view bound to a
+        #: named branch (Iceberg: ``branch_<name>`` refs). All read and
+        #: commit paths route through ``_manifest_path``/``_mdir`` so
+        #: the SAME machinery (name-CAS publish, optimistic rebase,
+        #: fence ledger, zone maps) runs per-branch with no special
+        #: cases.
+        self.branch = branch
+        self._fork: int | None = None  # lazy fork_version cache (branch views)
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -384,7 +397,37 @@ class LakeTable:
     # ------------------------------------------------------------------
     # manifest I/O
     # ------------------------------------------------------------------
+    def _branch_dir(self, name: str) -> str:
+        return os.path.join(self.root, MANIFEST_DIR, BRANCHES_SUBDIR, name)
+
+    def _mdir(self) -> str:
+        """The manifest directory THIS view commits to: ``manifests/``
+        for main, ``manifests/branches/<name>/`` for a branch view."""
+        if self.branch == MAIN_BRANCH:
+            return os.path.join(self.root, MANIFEST_DIR)
+        return self._branch_dir(self.branch)
+
+    def fork_version(self) -> int:
+        """The main-line version this branch forked from (branch views
+        only). Versions <= fork resolve in MAIN's manifest dir; versions
+        above it live in the branch's own dir -- one shared, monotonic
+        numbering, so parent chains, audit walks, ``read_changes`` and
+        ``version_as_of`` cross the fork seamlessly."""
+        if self.branch == MAIN_BRANCH:
+            raise ValueError("main has no fork point")
+        if self._fork is None:
+            try:
+                meta = json.loads(self.fs.read_text(
+                    os.path.join(self._mdir(), BRANCH_META)))
+            except FileNotFoundError:
+                raise ValueError(
+                    f"unknown branch {self.branch!r} at {self.root}") from None
+            self._fork = int(meta["fork_version"])
+        return self._fork
+
     def _manifest_path(self, v: int) -> str:
+        if self.branch != MAIN_BRANCH and v > self.fork_version():
+            return os.path.join(self._mdir(), f"v{v:012d}.json")
         return os.path.join(self.root, MANIFEST_DIR, f"v{v:012d}.json")
 
     def current_version(self) -> int:
@@ -393,8 +436,17 @@ class LakeTable:
         are the commit CAS), so roll forward past the hint. The probe is
         O(commits since the last pointer write), normally zero: it only
         walks after a crash between manifest publish and pointer write,
-        or a pointer write that lost an update race."""
-        v = int(self.fs.read_text(os.path.join(self.root, MANIFEST_DIR, CURRENT)).strip())
+        or a pointer write that lost an update race. On a branch view
+        the walk starts at the branch's own hint (or its fork point for
+        a fresh branch) and probes the branch dir."""
+        cur = os.path.join(self._mdir(), CURRENT)
+        if self.branch == MAIN_BRANCH:
+            v = int(self.fs.read_text(cur).strip())
+        else:
+            fork = self.fork_version()
+            v = (int(self.fs.read_text(cur).strip())
+                 if self.fs.exists(cur) else fork)
+            v = max(v, fork)
         while self.fs.exists(self._manifest_path(v + 1)):
             v += 1
         return v
@@ -481,6 +533,129 @@ class LakeTable:
 
         return self._commit_with_rebase(m, build)["version"]
 
+    # ------------------------------------------------------------------
+    # branches (Iceberg writable refs): an isolated line of commits that
+    # fast-forwards back onto main
+    # ------------------------------------------------------------------
+    def _require_main(self, op: str) -> None:
+        if self.branch != MAIN_BRANCH:
+            raise ValueError(
+                f"{op} must run on the main view, not branch {self.branch!r}")
+
+    def for_branch(self, name: str) -> "LakeTable":
+        """A view of this table bound to branch ``name`` -- every read
+        (read/lookup/plan_files/read_changes/time travel) and every
+        commit (merge/append/compact/delete_where/...) on the returned
+        handle targets the branch's line of history; main is untouched
+        until ``fast_forward``. ``for_branch("main")`` returns the main
+        view."""
+        if name == MAIN_BRANCH:
+            return LakeTable(self.root, fs=self.fs)
+        t = LakeTable(self.root, fs=self.fs, branch=name)
+        t.fork_version()  # raises ValueError when the branch is unknown
+        return t
+
+    def create_branch(self, name: str,
+                      version: int | str | None = None) -> "LakeTable":
+        """Create branch ``name`` at ``version`` (default: main head) --
+        Iceberg's ``CREATE BRANCH``: a WRITABLE named ref. Commits on
+        the branch land in the branch's own manifest namespace under
+        the SAME monotonic version numbering (first branch commit =
+        fork+1), write their data into the shared data root, and run
+        the full commit protocol (name-CAS, rebase, fencing)
+        per-branch. Existence is itself a name-CAS (put-if-absent of
+        the branch metadata), so two concurrent creates race safely.
+        A live branch PINS main's retention at its fork point (like a
+        tag) -- drop stale branches or they block expiry. Returns the
+        branch view."""
+        self._require_main("create_branch")
+        if not name or name.isdigit() or name == MAIN_BRANCH or not all(
+                c.isalnum() or c in "._-" for c in name):
+            raise ValueError(
+                f"bad branch name {name!r}: need [A-Za-z0-9._-]+, "
+                "not all digits, not 'main'")
+        m = self.manifest()
+        if isinstance(version, str):
+            version = self.resolve_ref(version)
+        fork = m["version"] if version is None else int(version)
+        self.manifest(fork)  # must exist (raises if expired/unknown)
+        bdir = self._branch_dir(name)
+        self.fs.makedirs(bdir)
+        meta = {"fork_version": fork, "created_at": _utc_now_iso()}
+        try:
+            self.fs.put_if_absent(
+                os.path.join(bdir, BRANCH_META), json.dumps(meta))
+        except CommitConflict:
+            raise FileExistsError(
+                f"branch {name!r} already exists at {self.root}") from None
+        return self.for_branch(name)
+
+    def branches(self) -> dict[str, dict[str, int]]:
+        """Live branches: ``{name: {fork_version, head}}``. Driver-side
+        listing; half-created branches (crash between mkdir and the
+        metadata put) are skipped -- a retried create completes them."""
+        broot = os.path.join(self.root, MANIFEST_DIR, BRANCHES_SUBDIR)
+        out: dict[str, dict[str, int]] = {}
+        if not self.fs.isdir(broot):
+            return out
+        for name in sorted(self.fs.listdir(broot)):
+            if not self.fs.exists(os.path.join(self._branch_dir(name),
+                                               BRANCH_META)):
+                continue
+            b = LakeTable(self.root, fs=self.fs, branch=name)
+            out[name] = {"fork_version": b.fork_version(),
+                         "head": b.current_version()}
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        """Delete branch ``name`` (metadata + branch manifests). Data
+        files written by branch-only commits become orphans under
+        version-prefixed commit dirs at or above the fork; they age out
+        of ``expire_snapshots`` the same way crashed-commit debris
+        does, once main's retained horizon passes them."""
+        self._require_main("drop_branch")
+        bdir = self._branch_dir(name)
+        if not self.fs.exists(os.path.join(bdir, BRANCH_META)):
+            raise ValueError(f"unknown branch {name!r}")
+        self.fs.rmtree(bdir)
+
+    def fast_forward(self, name: str) -> int:
+        """Publish branch ``name`` onto main (Iceberg
+        ``fast_forward``): adopt the branch's commits fork+1..head as
+        main's own, PRESERVING every manifest byte-for-byte -- version
+        numbers, parent chain, audit rows, fence ledger and lineage all
+        carry over, so downstream ``read_changes``/``follow_changes``
+        cursors continue across the publish without a seam.
+
+        Atomicity rides the same name-CAS as every commit: each branch
+        manifest is put-if-absent at main's path for that version. If
+        main committed anything after the fork, the FIRST put conflicts
+        with different content and the whole fast-forward aborts with
+        ``RebaseError`` (branch diverged; main is left exactly as it
+        was -- a byte-identical prefix from a crashed earlier attempt
+        is recognized and skipped, making the operation resumable and
+        idempotent). On success the branch is dropped. Returns main's
+        new head version."""
+        self._require_main("fast_forward")
+        br = self.for_branch(name)
+        fork, bhead = br.fork_version(), br.current_version()
+        for v in range(fork + 1, bhead + 1):
+            txt = self.fs.read_text(br._manifest_path(v))
+            path = os.path.join(self.root, MANIFEST_DIR, f"v{v:012d}.json")
+            try:
+                self.fs.put_if_absent(path, txt)
+            except CommitConflict:
+                if self.fs.read_text(path) != txt:
+                    raise RebaseError(
+                        f"cannot fast-forward {name!r}: main diverged at "
+                        f"v{v} (rebase by re-branching from the new head)"
+                    ) from None
+        if bhead > fork:
+            self.fs.put_atomic(
+                os.path.join(self.root, MANIFEST_DIR, CURRENT), str(bhead))
+        self.drop_branch(name)
+        return bhead
+
     def version_as_of(self, ts) -> int:
         """``TIMESTAMP AS OF``: the newest version whose commit landed
         at or before ``ts`` (datetime; naive = UTC, matching the
@@ -539,7 +714,7 @@ class LakeTable:
                 f"commit conflict: version v{v} was already committed by another "
                 f"writer (expected parent v{expected_parent})"
             ) from None
-        self.fs.put_atomic(os.path.join(self.root, MANIFEST_DIR, CURRENT), str(v))
+        self.fs.put_atomic(os.path.join(self._mdir(), CURRENT), str(v))
         # deferred import: operators/__init__ imports apply which imports
         # this module (cycle at module-load time only)
         from ..operators import trace
@@ -1642,6 +1817,11 @@ class LakeTable:
         snapshots. Returns the fragment dict."""
         from pyspark.sql import Observation
 
+        # staging fragments and their shielded data dirs are keyed by
+        # batch_id in MAIN's namespace; on a branch, just merge -- the
+        # branch IS the staging area (audit with read, publish with
+        # fast_forward)
+        self._require_main("stage_merge")
         m = self.manifest()
         if m.get("merge_mode", "cow") != "mor":
             raise RuntimeError(
@@ -2866,10 +3046,19 @@ class LakeTable:
         Driver-side O(retained files + files on disk); no Spark job."""
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        self._require_main("expire_snapshots")
         current = self.current_version()
         # tags pin history: retention never crosses the oldest tagged
-        # version (Iceberg: expire_snapshots keeps referenced snapshots)
-        floor = min(self.manifest().get("refs", {}).values(), default=None)
+        # version (Iceberg: expire_snapshots keeps referenced snapshots).
+        # Live BRANCHES pin their fork point the same way: the fork
+        # manifest must stay readable (a fresh branch's head IS the fork
+        # manifest) and keeping main's horizon at or below every fork
+        # also keeps the commit-dir sweep below any branch data dir
+        # (branch commits write c{v>fork}-* dirs) -- so branch data and
+        # in-flight branch writers are structurally out of sweep range.
+        pins = list(self.manifest().get("refs", {}).values())
+        pins.extend(b["fork_version"] for b in self.branches().values())
+        floor = min(pins, default=None)
         retained: list[dict[str, Any]] = []
         v: int | None = current
         while v is not None and (
@@ -3060,7 +3249,9 @@ class LakeTable:
         # pinned tag makes the finding a permanent no-op action and
         # maintain --apply never converges
         horizon = m["version"] - keep_last + 1
-        floor = min(m.get("refs", {}).values(), default=None)
+        pins = list(m.get("refs", {}).values())
+        pins.extend(b["fork_version"] for b in self.branches().values())
+        floor = min(pins, default=None)
         if floor is not None:
             horizon = min(horizon, floor)
         n_expirable = sum(1 for v in manifest_versions if v < horizon)
