@@ -697,3 +697,41 @@ def test_cli_branch_lifecycle(spark, tmp_path, capsys):
     rc, _ = _run(capsys, ["describe", "--table-root", root,
                           "--branch", "dev"])
     assert rc == 2
+
+
+def test_cli_rollback(spark, tmp_path, capsys):
+    import pyspark.sql.types as T
+
+    from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
+        LakeTable,
+    )
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("val", T.StringType()),
+    ])
+    root = str(tmp_path / "t")
+    t = LakeTable.create(root, schema, key="url", bucket_count=4,
+                         merge_mode="mor")
+    t.merge(spark, spark.createDataFrame(
+        [("a", "v1", "I", 1)], "url string, val string, op string, lsn long"),
+        batch_id=0)
+    good = t.current_version()
+    t.merge(spark, spark.createDataFrame(
+        [("a", "BAD", "U", 2)], "url string, val string, op string, lsn long"),
+        batch_id=1)
+
+    rc, out = _run(capsys, ["rollback", "--table-root", root,
+                            "--to", str(good)])
+    assert rc == 0 and out["rolled_back_to"] == good
+    rc, out = _run(capsys, ["lookup", "--table-root", root, "--key", "a"])
+    assert rc == 0 and out["rows"][0]["val"] == "v1"
+    # bad target is a clean error, and tag names resolve
+    rc, _ = _run(capsys, ["rollback", "--table-root", root, "--to", "999"])
+    assert rc == 2
+    rc, _ = _run(capsys, ["tag", "--table-root", root, "--set", "pre-fix",
+                          "--version", str(good)])
+    assert rc == 0
+    rc, out = _run(capsys, ["rollback", "--table-root", root,
+                            "--to", "pre-fix"])
+    assert rc == 0 and out["rolled_back_to"] == good

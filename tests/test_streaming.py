@@ -517,9 +517,11 @@ def test_follow_changes_stress_with_rewrites_and_tags(spark, tmp_path):
     """Second randomized CDC-loop stress, biased to the NEW day-2 ops:
     the writer interleaves merges with delete_where, update_where,
     overwrite_where (REPLACE WHERE backfills whose replacement keys
-    collide with live rows outside the slice), compactions and
-    tag/untag; a tail consumer applies every window through the real
-    merge. The copy must equal the source at every
+    collide with live rows outside the slice), compactions, tag/untag
+    and SNAPSHOT ROLLBACKS (revert to the last polled version -- the
+    change window crossing the revert is NULL-stamped and the tail
+    must converge through it); a tail consumer applies every window
+    through the real merge. The copy must equal the source at every
     poll. The writer allocates LSNs strictly above the audit chain
     after each rewrite (a monotonic WAL always satisfies this)."""
     import random
@@ -542,6 +544,7 @@ def test_follow_changes_stress_with_rewrites_and_tags(spark, tmp_path):
     t.merge(spark, batch(seed_rows), batch_id=0)
     t2.merge(spark, batch(seed_rows), batch_id=0)
     cursor, lsn, bid, polls, tagged = t.current_version(), 100, 1, 0, False
+    savepoint, rollbacks = t.current_version(), 0
 
     def consume(df, since, until):
         ch = df.select(
@@ -555,7 +558,7 @@ def test_follow_changes_stress_with_rewrites_and_tags(spark, tmp_path):
         return {(r["url"], r["val"]) for r in tbl.read(spark).collect()}
 
     ops = ["merge", "merge", "delete_where", "update_where", "overwrite",
-           "compact", "tag", "poll"]
+           "compact", "tag", "rollback", "poll"]
     for step in range(18):
         op = rng.choice(ops)
         if op == "merge":
@@ -590,10 +593,17 @@ def test_follow_changes_stress_with_rewrites_and_tags(spark, tmp_path):
             else:
                 t.tag("stress")
             tagged = not tagged
+        elif op == "rollback":
+            if t.current_version() > savepoint:
+                t.rollback_to(savepoint)
+                rollbacks += 1
+                lsn += 50  # stay above the revert's lsn_high bump
+            savepoint = t.current_version()
         else:
             cursor = follow_changes(spark, t, cursor, consume, poll_seconds=0.01,
                                     stop_at_version=t.current_version())
             polls += 1
+            savepoint = t.current_version()
             assert snap(t2) == snap(t), f"diverged at step {step}"
     # deterministic coverage regardless of the seed's draw: one final
     # backfill whose replacement key collides with a live row outside
@@ -605,3 +615,4 @@ def test_follow_changes_stress_with_rewrites_and_tags(spark, tmp_path):
                             stop_at_version=t.current_version())
     assert snap(t2) == snap(t)
     assert polls >= 1
+    assert rollbacks >= 1  # the seed actually exercised a revert

@@ -672,6 +672,24 @@ def cmd_tag(args) -> int:
     return 0
 
 
+def cmd_rollback(args) -> int:
+    """Revert to a retained snapshot (metadata-only commit): state,
+    schema and fence ledger go back so the reverted batches can
+    re-replay; history stays auditable; downstream change windows
+    crossing the revert are NULL-stamped for the tail."""
+    t = _table(args)
+    try:
+        v = t.rollback_to(args.to)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    summ = t.manifest()["summary"]
+    print(json.dumps({"rolled_back_to": summ["target"],
+                      "reverted_from": summ["reverted_from"],
+                      "version": v}, sort_keys=True))
+    return 0
+
+
 def cmd_branch(args) -> int:
     """Writable refs (Iceberg branches): --create forks an isolated
     line of commits, --fast-forward publishes it back onto main (and
@@ -1103,6 +1121,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="target version for --set (default: head)")
     branch_opt(sp)
     sp.set_defaults(fn=cmd_tag, cpus=None)
+
+    sp = sub.add_parser("rollback", help="revert the table to a retained "
+                                         "snapshot (metadata-only; fences "
+                                         "revert so bad batches re-replay)")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--to", type=_version_arg, required=True,
+                    help="target version number or tag name")
+    branch_opt(sp)
+    sp.set_defaults(fn=cmd_rollback, cpus=None)
 
     sp = sub.add_parser("branch", help="writable refs: --create forks an "
                                        "isolated line of commits, "

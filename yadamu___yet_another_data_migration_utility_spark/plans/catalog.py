@@ -639,6 +639,80 @@ def cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_rollback_replay",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn FROM chg
+    )
+    SELECT url, lsn AS last_lsn, event_type, value, ts
+    FROM last WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback-then-re-replay over the real engine (Iceberg
+    rollback_to_snapshot; reference analogue: YADAMU's
+    rollbackTransaction aborts a failed copy inside the transaction
+    window, src/YADAMU/common/yadamuDBI.js -- generalized here to
+    reverting COMMITTED batches). Replay batches 0-4, declare batches
+    3-4 bad, ROLL BACK to the batch-2 snapshot (metadata-only: the
+    fence ledger reverts with the state), then re-replay 3-4 from the
+    changelog -- the fences must accept them again, exactly-once per
+    replay. The final state must equal the plain declarative LWW
+    oracle: revert + re-replay is lossless and deterministic."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_rollback_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(root, schema, key="url", bucket_count=16,
+                             overwrite=True)
+    bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    per = max(1, (hi - lo + 1 + 4) // 5)
+
+    def part(b):
+        return chg.filter(
+            (F.col("lsn") >= lo + b * per) & (F.col("lsn") < lo + (b + 1) * per)
+        )
+
+    for b in range(3):
+        apply_batch(table, part(b), batch_id=b, run_extract=False)
+    good = table.current_version()
+    for b in (3, 4):
+        apply_batch(table, part(b), batch_id=b, run_extract=False)
+    table.rollback_to(good)
+    # the ledger reverted: 3-4 are unfenced again and re-apply; 0-2
+    # stay fenced (a stray re-delivery of batch 2 must still no-op)
+    assert not table.is_applied(3) and not table.is_applied(4)
+    assert table.is_applied(2)
+    apply_batch(table, part(2), batch_id=2, run_extract=False)  # no-ops
+    for b in (3, 4):
+        apply_batch(table, part(b), batch_id=b, run_extract=False)
+    return (
+        table.read(spark)
+        .withColumnRenamed("_lsn", "last_lsn")
+        .select("url", "last_lsn", "event_type", "value", "ts")
+    )
+
+
+@_register(
     "cdc_branch_publish",
     f"""
     WITH chg AS ({_CDC_SQL_SRC}),

@@ -656,6 +656,89 @@ class LakeTable:
         self.drop_branch(name)
         return bhead
 
+    def rollback_to(self, version: int | str) -> int:
+        """Revert the table to an earlier RETAINED snapshot (Iceberg
+        ``rollback_to_snapshot``): a metadata-only commit -- no Spark
+        job, no data files -- whose state (schema, layout, file refs,
+        zone stats) is the target's. History is preserved: the bad
+        commits stay in the chain (auditable, still time-travelable
+        until expired); the rollback is a NEW version on top.
+
+        CDC semantics (the reason this engine needs rollback at all --
+        a bad batch landed, revert and re-replay):
+
+        - the fence ledger reverts WITH the state, so re-replaying the
+          reverted batches from the WAL applies them again instead of
+          no-opping against a stale fence -- revert + replay is the
+          recovery story, and it stays exactly-once per replay;
+        - ``lsn_high`` does NOT revert -- it takes a +1 bump instead,
+          so post-rollback synthetic stamps (update_where, the change
+          tail's revert/delete stamps) stay above everything any
+          downstream consumer has already applied, and successive
+          rollbacks get distinct stamp bands;
+        - a change window crossing the rollback takes ``read_changes``'
+          snapshot-diff path automatically (a rollback changes data
+          without adding delta files) and emits the WHOLE window with
+          NULL ``_lsn`` for the tail to stamp (physical LSNs receded,
+          and resurrected keys may face a higher-LSN tombstone
+          downstream) -- a mirror follows the revert instead of
+          diverging.
+
+        Composes with branches (it is an ordinary build-commit) and
+        with concurrent writers via the usual rebase -- though
+        rebasing a rollback past an intervening data commit would
+        silently drop that commit, so any intervening commit aborts
+        the rollback with ``RebaseError`` (re-issue against the new
+        head if the revert is still right). Returns the new version."""
+        m = self.manifest()
+        if isinstance(version, str):
+            version = self.resolve_ref(version)
+        target = int(version)
+        if target >= m["version"]:
+            raise ValueError(
+                f"rollback target v{target} is not older than the head "
+                f"v{m['version']}")
+        try:
+            tgt = self.manifest(target)
+        except FileNotFoundError:
+            raise ValueError(
+                f"rollback target v{target} has been expired by "
+                "expire_snapshots (or never existed)") from None
+        base_version = m["version"]
+
+        def build(mp: dict[str, Any]) -> dict[str, Any]:
+            if mp["version"] != base_version:
+                raise RebaseError(
+                    f"rollback aborted: v{mp['version']} landed after the "
+                    f"rollback was planned against v{base_version} -- "
+                    "re-issue against the new head")
+            v = mp["version"] + 1
+            # never launder stats stamped by an older harvester
+            stats = (dict(tgt.get("stats", {}))
+                     if tgt.get("stats_format") == STATS_FORMAT else {})
+            return {
+                **mp,
+                "version": v,
+                "parent": mp["version"],
+                "key": tgt["key"],
+                "bucket_count": tgt["bucket_count"],
+                "merge_mode": tgt.get("merge_mode", "cow"),
+                "schema": tgt["schema"],
+                "buckets": tgt["buckets"],
+                "deltas": tgt.get("deltas", {}),
+                "applied_batches": tgt["applied_batches"],
+                "lsn_high": max(mp.get("lsn_high") or 0,
+                                tgt.get("lsn_high") or 0) + 1,
+                "stats": stats,
+                "audit": None,
+                "lineage": [],
+                "summary": {"operation": "rollback", "target": target,
+                            "reverted_from": base_version},
+                "committed_at": _utc_now_iso(),
+            }
+
+        return self._commit_with_rebase(m, build)["version"]
+
     def version_as_of(self, ts) -> int:
         """``TIMESTAMP AS OF``: the newest version whose commit landed
         at or before ``ts`` (datetime; naive = UTC, matching the
@@ -1013,7 +1096,12 @@ class LakeTable:
         exactly like Iceberg's changelog scan -- the monotonic apply
         makes such rows no-ops. Delete rows carry the key, the
         tombstone ``_lsn`` (NULL on the diff path -- the tombstone was
-        already compacted away) and NULL payload.
+        already compacted away) and NULL payload. A window crossing a
+        ``rollback_to`` commit emits EVERY change with NULL ``_lsn``:
+        reverted keys' physical LSNs went backwards and resurrected
+        keys may face a higher-LSN tombstone downstream, so neither
+        can be applied under its physical LSN -- ``follow_changes``
+        stamps NULL-LSN rows above the table's LSN watermark.
 
         ``public=True`` drops the ``_lsn`` column: that projection is
         for INSPECTION/analytics only (what changed, human-readable) --
@@ -1074,6 +1162,7 @@ class LakeTable:
         # checked from its audit row -- the table-level merge_mode
         # property can be overridden per merge.
         fast_ok = True
+        has_rollback = False
         v: int | None = until
         while v is not None and v > since_version:
             m = _mf(v)
@@ -1082,6 +1171,8 @@ class LakeTable:
             if not (op in ("skip", "tag", "untag", "analyze")
                     or (op == "merge" and audit.get("mode") == "mor")):
                 fast_ok = False
+            if op == "rollback":
+                has_rollback = True
             v = m["parent"]
 
         if fast_ok:
@@ -1140,18 +1231,37 @@ class LakeTable:
                     F.col(key).isNotNull()
                     & (
                         # new key (absent at since: join found no _pk) OR
-                        # advanced LSN; seed rows rank -1 on both sides,
-                        # so unchanged seeds are NOT re-emitted
+                        # changed LSN (advanced: a normal write; receded:
+                        # only a rollback revert can recede); seed rows
+                        # rank -1 on both sides, so unchanged seeds are
+                        # NOT re-emitted
                         F.col("_pk").isNull()
                         | (
                             F.coalesce(F.col(LSN_COL), F.lit(-1))
-                            > F.coalesce(F.col("_prev_lsn"), F.lit(-1))
+                            != F.coalesce(F.col("_prev_lsn"), F.lit(-1))
                         )
                     )
                 )
                 .select(*[f.name for f in schema.fields])
                 .withColumn(self.CHANGE_COL, F.lit("upsert"))
             )
+            if has_rollback:
+                # a rollback in the window makes physical LSNs unsafe
+                # downstream in BOTH directions: a reverted key's LSN
+                # went backwards, and a key the rollback RESURRECTED
+                # (deleted in (since..rollback), restored by it) looks
+                # brand-new here while the consumer may hold its
+                # higher-LSN tombstone from an earlier window. Emit the
+                # whole window with NULL _lsn (the diff-path delete
+                # contract) -- follow_changes stamps every row above
+                # the table's LSN watermark, which the rollback commit
+                # bumped, so the revert wins the monotonic apply and
+                # re-emitting the window stays idempotent (same stamp,
+                # same content).
+                ftype = next(f.dataType for f in schema.fields
+                             if f.name == LSN_COL)
+                upserts = upserts.withColumn(
+                    LSN_COL, F.lit(None).cast(ftype))
             gone = j.filter(F.col(key).isNull()).select(F.col("_pk").alias(key))
             for f in schema.fields:
                 if f.name != key:
@@ -2793,11 +2903,22 @@ class LakeTable:
         # after the oldest version still in the ledger must have fences
         fences = head["applied_batches"]
         horizon = min((e["version"] for e in fences.values()), default=0)
+        # a rollback reverts the ledger with the state: audits inside a
+        # reverted range (target < version <= reverted_from) are
+        # LEGITIMATELY unfenced -- their batches were undone and may be
+        # replayed
+        reverted_ranges = [
+            (s["target"], s["reverted_from"])
+            for s in (m.get("summary") or {} for m in chain)
+            if s.get("operation") == "rollback"
+        ]
         for a in self.audit_entries():
             if (a.get("operation") in ("merge", "append")
                     and a.get("batch_id") is not None
                     and a["version"] >= horizon
-                    and str(a["batch_id"]) not in fences):
+                    and str(a["batch_id"]) not in fences
+                    and not any(lo < a["version"] <= hi
+                                for lo, hi in reverted_ranges)):
                 issues.append(f"audited batch {a['batch_id']} missing from "
                               "the head fence ledger")
         zstats = head.get("stats", {})
