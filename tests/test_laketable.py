@@ -1342,3 +1342,72 @@ def test_register_temp_view(spark, tmp_table_root):
     assert spark.sql("SELECT count(*) n FROM pages_now").collect()[0]["n"] == 2
     assert spark.sql("SELECT count(*) n FROM pages_pinned").collect()[0]["n"] == 1
     assert "_lsn" not in spark.table("pages_now").columns
+
+
+def test_register_meta_sql_views(spark, tmp_table_root):
+    """register_meta exposes the metadata tables to plain SQL -- the
+    Iceberg snapshots/files/history/refs surface. Views must agree with
+    each other (joinable) and with the engine's own accessors."""
+    t = mk(spark, tmp_table_root)
+    t.merge(spark, batch(spark, [("a", "v1", "I", 1), ("b", "v1", "I", 2)]),
+            batch_id=0)
+    t.merge(spark, batch(spark, [("a", "v2", "U", 3), ("b", None, "D", 4)]),
+            batch_id=1)
+    t.compact(spark, all_deltas=True)
+    t.tag("rc1", version=2)
+    views = t.register_meta(spark, "m")
+    assert views == ["m_files", "m_history", "m_lineage", "m_refs",
+                     "m_snapshots"]
+
+    # snapshots: one row per retained manifest, newest == head
+    snaps = spark.sql(
+        "SELECT version, operation FROM m_snapshots ORDER BY version"
+    ).collect()
+    assert [r["version"] for r in snaps] == list(
+        range(1, t.current_version() + 1))
+    # head is the tag commit (a metadata-only commit like any other);
+    # the compact sits just below it
+    assert snaps[-1]["operation"] == "tag"
+    assert snaps[-2]["operation"] == "compact"
+
+    # history (audit/metrics): per-batch persisted-row counts
+    hist = {r["batch_id"]: r for r in spark.sql(
+        "SELECT * FROM m_history WHERE operation = 'merge'").collect()}
+    assert hist[0]["rows_in"] == 2 and hist[0]["rows_deleted"] == 0
+    assert hist[1]["rows_in"] == 2 and hist[1]["rows_deleted"] == 1
+    assert (hist[1]["min_lsn"], hist[1]["max_lsn"]) == (3, 4)
+
+    # files joins snapshots' head inventory; sizes are real
+    f = spark.sql("""
+        SELECT f.kind, count(*) AS n, min(f.size_bytes) AS smin
+        FROM m_files f JOIN m_snapshots s ON f.version = s.version
+        GROUP BY f.kind
+    """).collect()
+    byk = {r["kind"]: r for r in f}
+    assert byk["data"]["n"] >= 1 and byk["data"]["smin"] > 0
+    assert "delta" not in byk  # compact folded every delta
+
+    # lineage carries per-bucket LSN ranges consistent with history
+    ln = spark.sql("""
+        SELECT batch_id, sum(row_count) AS rows, min(min_lsn) AS lo,
+               max(max_lsn) AS hi
+        FROM m_lineage GROUP BY batch_id
+    """).collect()
+    for r in ln:
+        h = hist[r["batch_id"]]
+        assert r["rows"] == h["rows_in"]
+        assert r["lo"] >= h["min_lsn"] and r["hi"] <= h["max_lsn"]
+
+    # refs: the tag, queryable
+    refs = spark.sql("SELECT name, version FROM m_refs").collect()
+    assert [(r["name"], r["version"]) for r in refs] == [("rc1", 2)]
+
+    # the views are a SNAPSHOT: a later commit appears after re-register
+    t.merge(spark, batch(spark, [("c", "v1", "I", 9)]), batch_id=2)
+    assert spark.sql(
+        "SELECT max(version) v FROM m_snapshots").collect()[0]["v"] \
+        == t.current_version() - 1
+    t.register_meta(spark, "m")
+    assert spark.sql(
+        "SELECT max(version) v FROM m_snapshots").collect()[0]["v"] \
+        == t.current_version()

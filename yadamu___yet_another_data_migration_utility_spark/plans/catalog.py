@@ -713,6 +713,89 @@ def cdc_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_metrics_audit",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    b AS (SELECT MIN(lsn) AS lo, MAX(lsn) AS hi FROM chg),
+    tagged AS (
+      SELECT c.url, c.lsn, c.op,
+             CAST((c.lsn - b.lo) // GREATEST(1, (b.hi - b.lo + 1 + 4) // 5)
+                  AS BIGINT) AS batch_id
+      FROM chg c, b
+    ),
+    win AS (
+      SELECT batch_id, url, lsn, op,
+             ROW_NUMBER() OVER (PARTITION BY batch_id, url
+                                ORDER BY lsn DESC) AS rn
+      FROM tagged
+    )
+    SELECT batch_id,
+           COUNT(*) AS rows_in,
+           CAST(SUM(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT)
+             AS rows_applied,
+           CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+             AS rows_deleted,
+           MIN(lsn) AS min_lsn, MAX(lsn) AS max_lsn
+    FROM win WHERE rn = 1
+    GROUP BY batch_id
+    """,
+)
+def cdc_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's metrics table, read through the SQL metadata
+    surface (Iceberg's ``db.table.history`` metadata table; reference
+    analogue: YADAMU's per-table performance/metrics rows,
+    src/YADAMU/common/yadamuWriter.js reportPerformance). Replay 5
+    LSN-range batches through the real pipeline, ``register_meta`` the
+    lake table, and read the audit view back with plain ``spark.sql``.
+    The per-batch persisted-row counts and LSN ranges must equal what
+    the oracle derives from the changelog itself: one winner per key
+    per batch (the default pre-write reduction), deletes counted
+    separately -- i.e. the METRICS are oracle-checked, not just the
+    data."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_metrics_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(root, schema, key="url", bucket_count=16,
+                             overwrite=True)
+    bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    per = max(1, (hi - lo + 1 + 4) // 5)
+    for b in range(5):
+        apply_batch(
+            table,
+            chg.filter((F.col("lsn") >= lo + b * per)
+                       & (F.col("lsn") < lo + (b + 1) * per)),
+            batch_id=b, run_extract=False,
+        )
+    table.register_meta(spark, "mt")
+    return spark.sql(
+        """
+        SELECT batch_id, rows_in, rows_applied, rows_deleted,
+               min_lsn, max_lsn
+        FROM mt_history WHERE operation = 'merge'
+        """
+    )
+
+
+@_register(
     "cdc_branch_publish",
     f"""
     WITH chg AS ({_CDC_SQL_SRC}),

@@ -3133,6 +3133,41 @@ class LakeTable:
         self.read(spark, version=version, public=True) \
             .createOrReplaceTempView(name)
 
+    def register_meta(self, spark: SparkSession, name: str) -> list[str]:
+        """Expose the table's METADATA as SQL temp views -- Iceberg's
+        metadata tables (``db.table.snapshots`` / ``.files`` /
+        ``.history`` / ``.refs``) re-expressed for this engine:
+
+        - ``{name}_snapshots``: one row per retained manifest (version,
+          parent, committed_at, operation, file counts, summary JSON);
+        - ``{name}_files``: one row per live file in the head snapshot
+          (bucket, data-vs-delta kind, byte size, zone-map bounds JSON);
+        - ``{name}_history``: the audit/metrics table -- one row per
+          commit with batch_id, rows in/applied/deleted, LSN range;
+        - ``{name}_lineage``: per-(version, batch, bucket) applied LSN
+          ranges + row counts (the north rule's per-partition lineage);
+        - ``{name}_refs``: named tags -> pinned versions.
+
+        All five are snapshots of the metadata AT REGISTRATION -- they
+        are built from the driver-held manifests (plus O(files) stat
+        calls for sizes), exactly the inputs scan planning already
+        reads, so the views stay proportional to metadata, not data.
+        Re-register after new commits to refresh. Returns the view
+        names."""
+        views = {
+            f"{name}_snapshots": self.snapshots_df(spark),
+            f"{name}_files": self.files_df(spark),
+            f"{name}_history": self.audit_df(spark),
+            f"{name}_lineage": self.lineage_df(spark),
+            f"{name}_refs": spark.createDataFrame(
+                [{"name": k, "version": v} for k, v in self.refs().items()],
+                "name string, version long",
+            ),
+        }
+        for vname, df in views.items():
+            df.createOrReplaceTempView(vname)
+        return sorted(views)
+
     def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
         """Retention maintenance (Iceberg ``expire_snapshots``): drop
         manifests older than the newest ``keep_last`` versions and
