@@ -693,18 +693,22 @@ def cdc_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     for b in range(3):
-        apply_batch(table, part(b), batch_id=b, run_extract=False)
+        apply_batch(table, part(b), batch_id=b, run_extract=False,
+                    dedup="none")
     good = table.current_version()
     for b in (3, 4):
-        apply_batch(table, part(b), batch_id=b, run_extract=False)
+        apply_batch(table, part(b), batch_id=b, run_extract=False,
+                    dedup="none")
     table.rollback_to(good)
     # the ledger reverted: 3-4 are unfenced again and re-apply; 0-2
     # stay fenced (a stray re-delivery of batch 2 must still no-op)
     assert not table.is_applied(3) and not table.is_applied(4)
     assert table.is_applied(2)
-    apply_batch(table, part(2), batch_id=2, run_extract=False)  # no-ops
+    apply_batch(table, part(2), batch_id=2, run_extract=False,
+                dedup="none")  # no-ops
     for b in (3, 4):
-        apply_batch(table, part(b), batch_id=b, run_extract=False)
+        apply_batch(table, part(b), batch_id=b, run_extract=False,
+                    dedup="none")
     return (
         table.read(spark)
         .withColumnRenamed("_lsn", "last_lsn")
@@ -718,16 +722,10 @@ def cdc_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH chg AS ({_CDC_SQL_SRC}),
     b AS (SELECT MIN(lsn) AS lo, MAX(lsn) AS hi FROM chg),
     tagged AS (
-      SELECT c.url, c.lsn, c.op,
+      SELECT c.lsn, c.op,
              CAST((c.lsn - b.lo) // GREATEST(1, (b.hi - b.lo + 1 + 4) // 5)
                   AS BIGINT) AS batch_id
       FROM chg c, b
-    ),
-    win AS (
-      SELECT batch_id, url, lsn, op,
-             ROW_NUMBER() OVER (PARTITION BY batch_id, url
-                                ORDER BY lsn DESC) AS rn
-      FROM tagged
     )
     SELECT batch_id,
            COUNT(*) AS rows_in,
@@ -736,7 +734,7 @@ def cdc_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
              AS rows_deleted,
            MIN(lsn) AS min_lsn, MAX(lsn) AS max_lsn
-    FROM win WHERE rn = 1
+    FROM tagged
     GROUP BY batch_id
     """,
 )
@@ -748,10 +746,12 @@ def cdc_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSN-range batches through the real pipeline, ``register_meta`` the
     lake table, and read the audit view back with plain ``spark.sql``.
     The per-batch persisted-row counts and LSN ranges must equal what
-    the oracle derives from the changelog itself: one winner per key
-    per batch (the default pre-write reduction), deletes counted
-    separately -- i.e. the METRICS are oracle-checked, not just the
-    data."""
+    the oracle derives from the changelog itself -- i.e. the METRICS
+    are oracle-checked, not just the data. The replay uses
+    ``dedup="none"`` (Flink's Iceberg-upsert shape: every event lands
+    as a delta row, read-side resolution dedups) -- the scale-correct
+    strategy for near-unique web-crawl batches, with no driver-side
+    winner build -- so the audit counts raw persisted events."""
     import atexit
     import shutil
     import tempfile
@@ -783,7 +783,7 @@ def cdc_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             table,
             chg.filter((F.col("lsn") >= lo + b * per)
                        & (F.col("lsn") < lo + (b + 1) * per)),
-            batch_id=b, run_extract=False,
+            batch_id=b, run_extract=False, dedup="none",
         )
     table.register_meta(spark, "mt")
     return spark.sql(
