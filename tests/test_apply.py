@@ -224,3 +224,66 @@ def test_apply_precheck_rejects_before_writing(spark, tmp_table_root):
     m1 = apply_batch(t, good, batch_id=1, max_errors=1000, on_error="skip",
                      precheck_errors=True)
     assert m1.rows_merged_in > 0
+
+
+def test_apply_batch_multi_routes_and_resumes(spark, tmp_path):
+    """One WAL micro-batch interleaving two tables: each table's slice
+    applies under the same fence id; a crash between the per-table
+    commits resumes by re-applying only the unfenced table; unknown
+    route names fail up front."""
+    import pyspark.sql.types as T
+
+    from yadamu___yet_another_data_migration_utility_spark.operators.apply import (
+        apply_batch_multi,
+    )
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("val", T.StringType()),
+    ])
+    ta = LakeTable.create(str(tmp_path / "a"), schema, key="url",
+                          bucket_count=4, merge_mode="mor")
+    tb = LakeTable.create(str(tmp_path / "b"), schema, key="url",
+                          bucket_count=4, merge_mode="mor")
+    tables = {"a": ta, "b": tb}
+
+    def wal(rows):
+        return spark.createDataFrame(
+            rows,
+            "_table string, url string, val string, op string, lsn long")
+
+    b0 = wal([("a", "x", "v1", "I", 1), ("b", "y", "v1", "I", 2),
+              ("a", "x", "v2", "U", 3), ("b", "z", "v1", "I", 4)])
+    got = apply_batch_multi(tables, b0, batch_id=0, run_extract=False)
+    assert sorted(got) == ["a", "b"]
+    assert got["a"].rows_in == 2 and got["b"].rows_in == 2
+    assert not got["a"].fenced and not got["b"].fenced
+
+    def state(t):
+        return {(r["url"], r["val"])
+                for r in t.read(spark, public=True).collect()}
+
+    assert state(ta) == {("x", "v2")}
+    assert state(tb) == {("y", "v1"), ("z", "v1")}
+
+    # crash between the per-table commits: table a's slice of batch 1
+    # landed, b's did not (simulated by applying a's slice directly
+    # under the shared fence id, as the crashed run did)
+    b1 = wal([("a", "x", "v3", "U", 5), ("b", "y", None, "D", 6)])
+    apply_batch(ta, b1.filter("_table = 'a'").drop("_table"),
+                batch_id=1, run_extract=False)
+    # restart replays the WHOLE batch: a no-ops on its fence, b applies
+    got = apply_batch_multi(tables, b1, batch_id=1, run_extract=False)
+    assert got["a"].fenced and got["a"].rows_merged_in == 0
+    assert not got["b"].fenced
+    assert state(ta) == {("x", "v3")}
+    assert state(tb) == {("z", "v1")}
+    # replaying again is a full no-op on both
+    got = apply_batch_multi(tables, b1, batch_id=1, run_extract=False)
+    assert got["a"].fenced and got["b"].fenced
+
+    # routing to an undeclared table is an up-front error, nothing applies
+    b2 = wal([("c", "q", "v1", "I", 7), ("a", "x", "v9", "U", 8)])
+    with pytest.raises(KeyError, match="unknown tables"):
+        apply_batch_multi(tables, b2, batch_id=2, run_extract=False)
+    assert state(ta) == {("x", "v3")} and not ta.is_applied(2)

@@ -735,3 +735,53 @@ def test_cli_rollback(spark, tmp_path, capsys):
     rc, out = _run(capsys, ["rollback", "--table-root", root,
                             "--to", "pre-fix"])
     assert rc == 0 and out["rolled_back_to"] == good
+
+
+def test_cli_replay_multi(spark, tmp_path, capsys):
+    """Schema-level replay verb: one WAL routing two tables, per-table
+    fences, exactly-once on re-run from the same checkpoint."""
+    import pyspark.sql.functions as F
+
+    from yadamu___yet_another_data_migration_utility_spark.fixtures.changelog import (
+        changelog_df,
+        write_wal_segments,
+    )
+
+    log = changelog_df(spark, 600, 50, dup_mod=40).withColumn(
+        "_table",
+        F.when(F.crc32(F.col("url")) % 2 == 0, "even").otherwise("odd"))
+    wal = str(tmp_path / "wal")
+    write_wal_segments(
+        log.select("_table", "lsn", "op", "url", "warc_ts", "html", "lang"),
+        wal, 2)
+    ra, rb = str(tmp_path / "even"), str(tmp_path / "odd")
+    ckpt = str(tmp_path / "ckpt")
+
+    # malformed spec and missing table are clean usage errors
+    rc, _ = _run(capsys, ["replay-multi", "--log-path", wal, "--table",
+                          "evenroot", "--checkpoint-dir", ckpt])
+    assert rc == 2
+    rc, _ = _run(capsys, ["replay-multi", "--log-path", wal,
+                          "--table", f"even={ra}", "--table", f"odd={rb}",
+                          "--checkpoint-dir", ckpt])
+    assert rc == 2
+
+    rc, out = _run(capsys, ["replay-multi", "--log-path", wal,
+                            "--table", f"even={ra}", "--table", f"odd={rb}",
+                            "--checkpoint-dir", ckpt, "--create",
+                            "--buckets", "4"])
+    assert rc == 0
+    assert set(out) == {"even", "odd"}
+    for side in out.values():
+        assert side["batches"] == 2 and side["fenced_batches"] == 0
+        assert side["table_rows"] > 0 and side["rows_merged_in"] > 0
+    totals = {n: (s["table_rows"], s["version"]) for n, s in out.items()}
+
+    # re-run from the same checkpoint: nothing new, nothing moved
+    rc, out = _run(capsys, ["replay-multi", "--log-path", wal,
+                            "--table", f"even={ra}", "--table", f"odd={rb}",
+                            "--checkpoint-dir", ckpt])
+    assert rc == 0
+    for n, s in out.items():
+        assert s["batches"] == 0
+        assert (s["table_rows"], s["version"]) == totals[n]

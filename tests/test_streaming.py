@@ -616,3 +616,62 @@ def test_follow_changes_stress_with_rewrites_and_tags(spark, tmp_path):
     assert snap(t2) == snap(t)
     assert polls >= 1
     assert rollbacks >= 1  # the seed actually exercised a revert
+
+
+def test_streaming_replay_multi_routes_resumes_exactly_once(spark, tmp_path):
+    """One WAL stream interleaving two tables: start_replay_multi
+    routes each micro-batch's slices under a shared fence id. Kill
+    after the first batch (committed to both tables, checkpoint not
+    yet advanced is the worst case) and restart: re-delivered slices
+    fence as no-ops and the union of both tables equals the
+    single-stream oracle split by the same route."""
+    from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
+        start_replay_multi,
+    )
+
+    log = changelog_df(spark, 1500, 120, dup_mod=40)
+    route = F.when(F.crc32(F.col("url")) % 2 == 0, "even").otherwise("odd")
+    wal = str(tmp_path / "wal")
+    write_wal_segments(log.withColumn("_table", route).select(
+        "_table", "lsn", "op", "url", "warc_ts", "html", "lang"), wal, 4)
+    tables = {
+        n: LakeTable.create(str(tmp_path / n), PAGE_SCHEMA, key="url",
+                            bucket_count=4)
+        for n in ("even", "odd")
+    }
+    ckpt = str(tmp_path / "ckpt")
+
+    seen: list = []
+
+    def crash_after_one(ms):
+        seen.append(ms)
+        if len(seen) == 1:
+            raise RuntimeError("injected crash after both table commits")
+
+    q = start_replay_multi(spark, tables, wal, ckpt,
+                           on_metrics=crash_after_one)
+    try:
+        q.awaitTermination()
+    except Exception:
+        pass  # injected
+    assert len(seen) == 1 and sorted(seen[0]) == ["even", "odd"]
+
+    # restart from the same checkpoint: batch 0 re-delivers and must
+    # fence in BOTH tables; the rest applies once
+    q = start_replay_multi(spark, tables, wal, ckpt, on_metrics=seen.append)
+    q.awaitTermination()
+    refenced = seen[1]
+    assert refenced["even"].fenced and refenced["odd"].fenced
+
+    oracle = changelog_oracle(log.drop("warc_ts")).withColumn(
+        "text", extract_text(F.col("html"))).withColumn("tbl", route)
+    for name, t in tables.items():
+        res = compare(
+            oracle.filter(F.col("tbl") == name).drop("tbl"),
+            t.read(spark).drop("warc_ts"),
+            columns=["url", "html", "lang", "text", "_lsn"],
+        )
+        assert res.ok, (name, res)
+        audits = [a for a in t.audit_entries() if a["operation"] == "merge"]
+        assert sorted(a["batch_id"] for a in audits) == sorted(
+            set(a["batch_id"] for a in audits))  # once per table

@@ -269,6 +269,60 @@ def cmd_replay(args) -> int:
     return 0
 
 
+def cmd_replay_multi(args) -> int:
+    """Schema-level replay: one WAL stream interleaving several tables,
+    routed per event by its leading _table column; each table fences
+    independently so a crash between per-table commits resumes cleanly."""
+    from .sources.laketable import LakeTable
+    from .streaming.stream import start_replay_multi
+
+    spark = _spark(args.cpus)
+    tables = {}
+    for spec in args.table_specs:
+        name, sep, root = spec.partition("=")
+        if not sep or not name or not root:
+            print(f"error: --table needs NAME=ROOT, got {spec!r}",
+                  file=sys.stderr)
+            return 2
+        if LakeTable.exists(root):
+            tables[name] = LakeTable.load(root)
+        elif args.create:
+            from .fixtures.changelog import PAGE_SCHEMA
+
+            tables[name] = LakeTable.create(
+                root, PAGE_SCHEMA, key=args.key, bucket_count=args.buckets,
+                merge_mode=args.merge_mode)
+        else:
+            print(f"error: no table at {root} (pass --create)",
+                  file=sys.stderr)
+            return 2
+    per_table: dict[str, dict[str, int]] = {
+        n: {"batches": 0, "rows_merged_in": 0, "fenced_batches": 0}
+        for n in tables
+    }
+
+    def on_metrics(ms):
+        for n, m in ms.items():
+            per_table[n]["batches"] += 1
+            per_table[n]["rows_merged_in"] += m.rows_merged_in
+            per_table[n]["fenced_batches"] += int(m.fenced)
+
+    q = start_replay_multi(
+        spark, tables, args.log_path, args.checkpoint_dir,
+        max_files_per_trigger=args.max_files_per_trigger,
+        salt_buckets=args.salt_buckets,
+        max_errors=args.max_errors, on_error=args.on_error,
+        on_metrics=on_metrics,
+    )
+    q.awaitTermination()
+    print(json.dumps({
+        n: {**s, "table_rows": tables[n].read(spark).count(),
+            "version": tables[n].current_version()}
+        for n, s in per_table.items()
+    }, sort_keys=True))
+    return 0
+
+
 def cmd_dedup_ingest(args) -> int:
     from .sources.laketable import LakeTable
     from .streaming.stream import DOC_SCHEMA, SIG_INDEX_SCHEMA, start_dedup_ingest
@@ -972,6 +1026,32 @@ def build_parser() -> argparse.ArgumentParser:
                          "(windows coalesce; the drain-tail always refreshes)")
     common(sp)
     sp.set_defaults(fn=cmd_replay)
+
+    sp = sub.add_parser(
+        "replay-multi",
+        help="stream ONE parquet WAL interleaving several tables "
+             "(leading _table column routes each event); per-table "
+             "exactly-once fences",
+    )
+    sp.add_argument("--log-path", required=True,
+                    help="parquet changelog dir with a _table column")
+    sp.add_argument("--table", action="append", required=True,
+                    metavar="NAME=ROOT", dest="table_specs",
+                    help="route NAME to the lake table at ROOT "
+                         "(repeat per table)")
+    sp.add_argument("--checkpoint-dir", required=True)
+    sp.add_argument("--create", action="store_true",
+                    help="create absent tables with the standard pages "
+                         "schema")
+    sp.add_argument("--key", default="url")
+    sp.add_argument("--buckets", type=int, default=32)
+    sp.add_argument("--merge-mode", choices=["mor", "cow"], default="mor")
+    sp.add_argument("--max-files-per-trigger", type=int, default=1)
+    sp.add_argument("--salt-buckets", type=int, default=0)
+    sp.add_argument("--max-errors", type=int, default=None)
+    sp.add_argument("--on-error", choices=["abort", "skip"], default="abort")
+    common(sp)
+    sp.set_defaults(fn=cmd_replay_multi)
 
     sp = sub.add_parser(
         "dedup-ingest",

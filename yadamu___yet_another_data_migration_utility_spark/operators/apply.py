@@ -406,6 +406,57 @@ def apply_batch(
     return metrics
 
 
+def apply_batch_multi(
+    tables: dict[str, LakeTable],
+    batch_df: DataFrame,
+    batch_id: int,
+    table_col: str = "_table",
+    **apply_kwargs: Any,
+) -> dict[str, BatchMetrics]:
+    """Route ONE WAL micro-batch that interleaves several tables --
+    the shape a real binlog/WAL tail has (the reference migrates whole
+    SCHEMAS table-by-table for the same reason:
+    /root/reference/src/YADAMU/common/yadamuDBI.js iterates
+    schemaInfo). Each table's slice is applied through the ordinary
+    ``apply_batch`` under the SAME ``batch_id``, so exactly-once
+    composes PER TABLE: a crash between two per-table commits leaves
+    some tables fenced and some not, and replaying the batch re-applies
+    only the unfenced ones -- no cross-table coordination, no global
+    transaction, byte-identical outcome (each table's fence is its own
+    manifest commit, same recovery contract as single-table replay).
+
+    Rows whose ``table_col`` names no known table raise ``KeyError``
+    up front (a routing bug should not half-apply) -- list every table
+    the WAL can carry.
+
+    Scale note: each table's slice is one filtered pass over the batch
+    (tables applied in sorted order for deterministic replay). With T
+    tables that is T scans of the micro-batch; at high table counts
+    either pre-split the stream upstream (per-table topics) or cache
+    the batch before calling. The per-table apply itself keeps the
+    single-table plan shape (no extra shuffle -- the filter is narrow).
+
+    Returns ``{table_name: BatchMetrics}`` for the tables present in
+    the batch."""
+    present = sorted(
+        r[0] for r in batch_df.select(table_col).distinct().collect()
+    )
+    unknown = [n for n in present if n not in tables]
+    if unknown:
+        raise KeyError(
+            f"batch routes to unknown tables {unknown}; known: "
+            f"{sorted(tables)}")
+    out: dict[str, BatchMetrics] = {}
+    for name in present:
+        out[name] = apply_batch(
+            tables[name],
+            batch_df.filter(F.col(table_col) == name).drop(table_col),
+            batch_id,
+            **apply_kwargs,
+        )
+    return out
+
+
 def quarantine_df(spark, table: LakeTable) -> DataFrame | None:
     """Read the quarantine side table (None if empty)."""
     qroot = os.path.join(table.root, QUARANTINE_DIR)

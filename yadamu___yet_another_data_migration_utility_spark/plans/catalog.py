@@ -796,6 +796,79 @@ def cdc_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_multi_table_replay",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn
+      FROM chg
+    )
+    SELECT CASE WHEN substr(url, 13, 1) IN ('0','1','2','3','4')
+                THEN 'low' ELSE 'high' END AS tbl,
+           url, lsn AS last_lsn, value
+    FROM last WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_multi_table_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-level CDC: one WAL stream interleaving TWO tables, routed
+    by ``apply_batch_multi`` under shared per-batch fence ids (the
+    reference's unit of work is a whole schema -- yadamuDBI.js iterates
+    schemaInfo table-by-table; a real binlog tail interleaves every
+    table's events). Three LSN-range batches route each event by its
+    url's site digit to the 'low' or 'high' table; after replay, the
+    union of both tables must equal the single-table LWW oracle
+    partitioned the same way -- routing loses nothing, duplicates
+    nothing, and each table's fence advances independently."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch_multi
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir).withColumn(
+        "_table",
+        F.when(F.substring("url", 13, 1).isin(*"01234"), "low")
+        .otherwise("high"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_multi_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    tables = {
+        name: LakeTable.create(f"{root}/{name}", schema, key="url",
+                               bucket_count=8, overwrite=True)
+        for name in ("low", "high")
+    }
+    bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    per = max(1, (hi - lo + 1 + 2) // 3)
+    for b in range(3):
+        apply_batch_multi(
+            tables,
+            chg.filter((F.col("lsn") >= lo + b * per)
+                       & (F.col("lsn") < lo + (b + 1) * per)),
+            batch_id=b, run_extract=False, dedup="none",
+        )
+    return (
+        tables["low"].read(spark).withColumn("tbl", F.lit("low"))
+        .unionByName(
+            tables["high"].read(spark).withColumn("tbl", F.lit("high")))
+        .withColumnRenamed("_lsn", "last_lsn")
+        .select("tbl", "url", "last_lsn", "value")
+    )
+
+
+@_register(
     "cdc_branch_publish",
     f"""
     WITH chg AS ({_CDC_SQL_SRC}),

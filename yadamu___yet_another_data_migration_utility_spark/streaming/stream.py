@@ -119,6 +119,59 @@ def start_replay(
     return writer.start()
 
 
+def start_replay_multi(
+    spark: SparkSession,
+    tables: dict[str, LakeTable],
+    changelog_path: str,
+    checkpoint_dir: str,
+    table_col: str = "_table",
+    schema: T.StructType | None = None,
+    max_files_per_trigger: int = 1,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+    on_metrics: Callable[[dict[str, BatchMetrics]], None] | None = None,
+    **apply_kwargs,
+) -> StreamingQuery:
+    """Schema-level replay: ONE WAL stream interleaving several tables
+    (the shape a real binlog tail has -- the reference's unit of work
+    is likewise a whole schema, yadamuDBI.js iterating schemaInfo).
+    Each micro-batch routes through ``apply_batch_multi``: every
+    table's slice merges under the batch's fence id, so exactly-once
+    composes per table and a crash between two per-table commits
+    resumes by re-applying only the unfenced tables -- Spark's
+    checkpoint replays the batch, the fences dedupe it. Default wire
+    schema = ``CHANGELOG_SCHEMA`` + a leading ``table_col`` string
+    column. ``apply_kwargs`` pass through to ``apply_batch``
+    (salt_buckets, dedup, max_errors, ...)."""
+    from ..operators.apply import apply_batch_multi
+
+    if schema is None:
+        schema = T.StructType(
+            [T.StructField(table_col, T.StringType()),
+             *CHANGELOG_SCHEMA.fields])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(changelog_path)
+        .withWatermark("warc_ts", watermark)
+    )
+
+    def _sink(batch_df, batch_id: int) -> None:
+        ms = apply_batch_multi(tables, batch_df, batch_id,
+                               table_col=table_col, **apply_kwargs)
+        if on_metrics is not None:
+            on_metrics(ms)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("cdc_replay_multi")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_hourly_rollup(
     spark: SparkSession,
     changelog_path: str,
