@@ -202,3 +202,48 @@ def test_stage_already_applied_batch_rejected(spark, tmp_table_root):
     with pytest.raises(ValueError, match="already applied"):
         t.stage_merge(spark, batch(spark, [("a", "v2", "U", 10)]),
                       batch_id=0)
+
+
+def test_expire_never_sweeps_concurrently_published_stage(
+        spark, tmp_table_root):
+    """TOCTOU race: expire builds its protected-file set, then a
+    publish lands (commit manifest -> remove fragment) BEFORE expire
+    lists the data dir. The staged dir now has no fragment, and its
+    files are referenced only by the post-walk head -- without the
+    re-protection pass they would be deleted out from under the new
+    head. The fragment-absent observation implies the publish commit
+    is already visible, so re-deriving the protected set at that point
+    closes the window."""
+    t = mk(spark, tmp_table_root)
+    seed(spark, t)
+    t.stage_merge(
+        spark, batch(spark, [("a", "v2", "U", 10), ("c", "v1", "I", 11)]),
+        batch_id=7)
+    # pad history so retention has something to chew on
+    for i in range(4):
+        t.merge(spark, batch(spark, [("z", f"v{i}", "U", 50 + i)]),
+                batch_id=20 + i)
+
+    real_listdir = t.fs.listdir
+    fired = {"n": 0}
+    data_dir = os.path.join(t.root, "data")
+
+    def racing_listdir(path):
+        if os.path.normpath(path) == os.path.normpath(data_dir) \
+                and fired["n"] == 0:
+            fired["n"] = 1
+            t.fs.listdir = real_listdir
+            assert t.publish_staged(7) is not None  # the racing publish
+        return real_listdir(path)
+
+    t.fs.listdir = racing_listdir
+    try:
+        t.expire_snapshots(keep_last=2)
+    finally:
+        t.fs.listdir = real_listdir
+    assert fired["n"] == 1, "race was not exercised"
+    # the published rows survive and the table is structurally sound
+    assert {("a", "v2"), ("c", "v1")} <= {
+        (r["url"], r["val"]) for r in t.read(spark).collect()}
+    rep = t.validate(spark)
+    assert rep["ok"], rep["issues"]

@@ -366,7 +366,8 @@ def _table(args):
 
     t = LakeTable.load(args.table_root)
     if getattr(args, "branch", None):
-        t = t.for_branch(args.branch)  # ValueError on unknown -> usage error
+        # ValueError on unknown branch -> main()'s usage-error handler
+        t = t.for_branch(args.branch)
     return t
 
 
@@ -731,10 +732,14 @@ def cmd_rollback(args) -> int:
     schema and fence ledger go back so the reverted batches can
     re-replay; history stays auditable; downstream change windows
     crossing the revert are NULL-stamped for the tail."""
+    from .sources.laketable import RebaseError
+
     t = _table(args)
     try:
         v = t.rollback_to(args.to)
-    except ValueError as e:
+    except (ValueError, RebaseError) as e:
+        # RebaseError: a commit landed after the rollback was planned --
+        # a clean retry-able condition, not a traceback
         print(f"error: {e}", file=sys.stderr)
         return 2
     summ = t.manifest()["summary"]

@@ -438,14 +438,13 @@ def apply_batch_multi(
 
     Returns ``{table_name: BatchMetrics}`` for the tables present in
     the batch."""
-    present = sorted(
-        r[0] for r in batch_df.select(table_col).distinct().collect()
-    )
-    unknown = [n for n in present if n not in tables]
+    names = {r[0] for r in batch_df.select(table_col).distinct().collect()}
+    unknown = [n for n in names if n is None or n not in tables]
     if unknown:
         raise KeyError(
             f"batch routes to unknown tables {unknown}; known: "
             f"{sorted(tables)}")
+    present = sorted(names)
     out: dict[str, BatchMetrics] = {}
     for name in present:
         out[name] = apply_batch(

@@ -96,7 +96,11 @@ class LocalFS:
         return os.path.isdir(path)
 
     def makedirs(self, path: str) -> None:
-        os.makedirs(path)
+        # idempotent by contract: object stores have no directories (a
+        # "mkdir" is a no-op there), and crash-retried creators (e.g.
+        # create_branch, which CASes on the metadata put AFTER the
+        # mkdir) must be able to re-run past a half-created dir
+        os.makedirs(path, exist_ok=True)
 
     def listdir(self, path: str) -> list[str]:
         return os.listdir(path)

@@ -3203,7 +3203,6 @@ class LakeTable:
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         self._require_main("expire_snapshots")
-        current = self.current_version()
         # tags pin history: retention never crosses the oldest tagged
         # version (Iceberg: expire_snapshots keeps referenced snapshots).
         # Live BRANCHES pin their fork point the same way: the fork
@@ -3212,26 +3211,30 @@ class LakeTable:
         # also keeps the commit-dir sweep below any branch data dir
         # (branch commits write c{v>fork}-* dirs) -- so branch data and
         # in-flight branch writers are structurally out of sweep range.
-        pins = list(self.manifest().get("refs", {}).values())
-        pins.extend(b["fork_version"] for b in self.branches().values())
-        floor = min(pins, default=None)
-        retained: list[dict[str, Any]] = []
-        v: int | None = current
-        while v is not None and (
-            len(retained) < keep_last
-            or (floor is not None and v >= floor)
-        ):
-            try:
-                m = self.manifest(v)
-            except FileNotFoundError:
-                break  # older history already expired
-            retained.append(m)
-            v = m["parent"]
-        protected: set[str] = set()
-        for m in retained:
-            for which in ("buckets", "deltas"):
-                for fl in m.get(which, {}).values():
-                    protected.update(fl)
+        def _retained_protected() -> tuple[list[dict[str, Any]], set[str]]:
+            pins = list(self.manifest().get("refs", {}).values())
+            pins.extend(b["fork_version"] for b in self.branches().values())
+            floor = min(pins, default=None)
+            kept: list[dict[str, Any]] = []
+            v: int | None = self.current_version()
+            while v is not None and (
+                len(kept) < keep_last
+                or (floor is not None and v >= floor)
+            ):
+                try:
+                    m = self.manifest(v)
+                except FileNotFoundError:
+                    break  # older history already expired
+                kept.append(m)
+                v = m["parent"]
+            prot: set[str] = set()
+            for m in kept:
+                for which in ("buckets", "deltas"):
+                    for fl in m.get(which, {}).values():
+                        prot.update(fl)
+            return kept, prot
+
+        retained, protected = _retained_protected()
         oldest_kept = retained[-1]["version"]
 
         # 1) drop expired manifests (newest-first walk already proved
@@ -3255,6 +3258,7 @@ class LakeTable:
         ddir = os.path.join(self.root, DATA_DIR)
         n_files = 0
         commit_dirs = []
+        swept_staged = False
         if self.fs.isdir(ddir):
             for name in sorted(self.fs.listdir(ddir)):
                 if name.startswith("staged-"):
@@ -3269,6 +3273,7 @@ class LakeTable:
                         continue
                     if not self.fs.exists(self._staged_fragment_path(bid)):
                         commit_dirs.append(os.path.join(ddir, name))
+                        swept_staged = True
                 elif name.startswith("c"):
                     try:
                         dv = int(name[1:].split("-", 1)[0])
@@ -3276,6 +3281,18 @@ class LakeTable:
                         continue
                     if dv < oldest_kept:
                         commit_dirs.append(os.path.join(ddir, name))
+        if swept_staged:
+            # TOCTOU shield for a publish racing this expire: a staged
+            # dir whose fragment is gone was either aborted (debris) or
+            # PUBLISHED -- and publish removes the fragment only AFTER
+            # its commit, so if the fragment was already absent at
+            # listing time the publishing commit is visible to a head
+            # walk taken NOW. Re-derive the protected set so a
+            # just-published batch's files (which live in the staged
+            # dir, referenced in place) are never swept out from under
+            # the new head. c{v} dirs don't need this: their age gate
+            # (dv < oldest_kept) keeps concurrent writers out of range.
+            protected |= _retained_protected()[1]
         for cdir in commit_dirs:
             for dirpath, _dirs, files in self.fs.walk_bottom_up(cdir):
                 primaries = [

@@ -157,8 +157,15 @@ def start_replay_multi(
     )
 
     def _sink(batch_df, batch_id: int) -> None:
-        ms = apply_batch_multi(tables, batch_df, batch_id,
-                               table_col=table_col, **apply_kwargs)
+        # the router makes 1 + T passes over the micro-batch (discovery
+        # + one filtered apply per table); cache it so the WAL files
+        # are read once per trigger, not once per table
+        batch_df.persist()
+        try:
+            ms = apply_batch_multi(tables, batch_df, batch_id,
+                                   table_col=table_col, **apply_kwargs)
+        finally:
+            batch_df.unpersist()
         if on_metrics is not None:
             on_metrics(ms)
 
