@@ -244,6 +244,20 @@ def cmd_replay(args) -> int:
                   "with the rollup verb)", file=sys.stderr)
             return 2
         ru = IncrementalRollup.open(table, args.rollup_root)
+    source_format, decoder = "parquet", None
+    if args.format == "debezium":
+        from pyspark.sql import types as T
+
+        from .sources.envelope import decode_debezium
+
+        # row image = the table's public columns (engine-internal
+        # _-prefixed columns such as _lsn never ride the wire)
+        payload = T.StructType(
+            [f for f in table.schema().fields if not f.name.startswith("_")]
+        )
+        source_format = "jsonl"
+        decoder = lambda df: decode_debezium(  # noqa: E731
+            df, payload, wrapped=args.wrapped)
     metrics: list = []
     q = start_replay(
         spark, table, args.log_path, args.checkpoint_dir,
@@ -253,6 +267,7 @@ def cmd_replay(args) -> int:
         compact_every=args.compact_every,
         on_metrics=metrics.append,
         rollup=ru, rollup_every=args.rollup_every,
+        source_format=source_format, decoder=decoder,
     )
     q.awaitTermination()
     if ru is not None:
@@ -1029,6 +1044,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--rollup-every", type=int, default=1,
                     help="refresh the rollup every k applied batches "
                          "(windows coalesce; the drain-tail always refreshes)")
+    sp.add_argument("--format", choices=["parquet", "debezium"],
+                    default="parquet",
+                    help="changelog wire format: pre-normalized parquet "
+                         "segments, or JSON-lines Debezium envelopes "
+                         "(the Kafka-connector feed shape)")
+    sp.add_argument("--wrapped", action="store_true",
+                    help="debezium only: records carry the Kafka Connect "
+                         "{schema, payload} wrapper")
     common(sp)
     sp.set_defaults(fn=cmd_replay)
 
