@@ -225,6 +225,20 @@ def cmd_replay(args) -> int:
     spark = _spark(args.cpus)
     if LakeTable.exists(args.table_root):
         table = LakeTable.load(args.table_root)
+    elif args.schema_from:
+        # wire replication: seed the replica with the SOURCE table's
+        # public schema + merge key, so a `changes --format debezium`
+        # feed applies cleanly (the payload decode below derives its
+        # struct from this schema)
+        from pyspark.sql import types as T
+
+        src = LakeTable.load(args.schema_from)
+        pub = T.StructType(
+            [f for f in src.schema().fields if not f.name.startswith("_")]
+        )
+        table = LakeTable.create(
+            args.table_root, pub, key=src.manifest()["key"],
+            bucket_count=args.buckets, merge_mode=args.merge_mode)
     elif args.create:
         from .fixtures.changelog import PAGE_SCHEMA
 
@@ -670,6 +684,18 @@ def cmd_changes(args) -> int:
     # the snapshot the parquet covers even if a concurrent writer
     # commits between the read and the print
     until = table.current_version() if args.until is None else args.until
+    if args.format == "debezium":
+        from .streaming.stream import publish_changes
+
+        if args.public:
+            print("error: --public drops the _lsn ordering token; a "
+                  "published wire feed must stay applyable", file=sys.stderr)
+            return 2
+        summ = publish_changes(spark, table, args.out_dir, args.since,
+                               until_version=until, wrapped=args.wrapped,
+                               overwrite=args.overwrite)
+        print(json.dumps(summ))
+        return 0
     df = table.read_changes(spark, args.since, until_version=until,
                             public=args.public)
     df.write.mode("overwrite" if args.overwrite else "errorifexists").parquet(args.out_dir)
@@ -1028,6 +1054,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="streaming checkpoint (resume point across restarts)")
     sp.add_argument("--create", action="store_true",
                     help="create the standard pages table if absent")
+    sp.add_argument("--schema-from", default=None, metavar="TABLE_ROOT",
+                    help="create the table (if absent) with the public "
+                         "schema + merge key of an existing lake table -- "
+                         "the replica side of table->wire->table "
+                         "replication via `changes --format debezium`")
     sp.add_argument("--key", default="url")
     sp.add_argument("--buckets", type=int, default=32)
     sp.add_argument("--merge-mode", choices=["mor", "cow"], default="mor")
@@ -1293,7 +1324,8 @@ def build_parser() -> argparse.ArgumentParser:
     branch_opt(sp)
     sp.set_defaults(fn=cmd_validate)
 
-    sp = sub.add_parser("changes", help="incremental CDC-out window -> parquet")
+    sp = sub.add_parser("changes", help="incremental CDC-out window -> parquet "
+                                        "(or Debezium JSONL with --format)")
     sp.add_argument("--table-root", required=True)
     sp.add_argument("--since", type=int, required=True)
     sp.add_argument("--until", type=int, default=None)
@@ -1301,6 +1333,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--public", action="store_true",
                     help="drop engine columns (inspection only -- not safely applyable)")
     sp.add_argument("--overwrite", action="store_true")
+    sp.add_argument("--format", choices=["parquet", "debezium"],
+                    default="parquet",
+                    help="debezium = publish the window as JSON-lines "
+                         "envelopes (what `replay --format debezium` "
+                         "consumes: table->wire->table replication)")
+    sp.add_argument("--wrapped", action="store_true",
+                    help="debezium only: add the Kafka Connect "
+                         "{schema, payload} wrapper")
     common(sp)
     branch_opt(sp)
     sp.set_defaults(fn=cmd_changes)

@@ -28,6 +28,7 @@ of the source DataFrame is format-agnostic.
 
 from __future__ import annotations
 
+import os
 import time
 
 from typing import Callable
@@ -122,7 +123,11 @@ def start_replay(
         raise ValueError(f"unknown source_format {source_format!r}")
     if decoder is not None:
         stream = decoder(stream)
-    stream = stream.withWatermark("warc_ts", watermark)
+    # the foreachBatch sink is stateless, so the watermark is advisory
+    # (bounds lateness if a stateful op is ever composed upstream);
+    # arbitrary replicated schemas may not carry the event-time column
+    if "warc_ts" in stream.columns:
+        stream = stream.withWatermark("warc_ts", watermark)
 
     def _sink(batch_df, batch_id: int) -> None:
         m = apply_batch(table, batch_df, batch_id, salt_buckets=salt_buckets,
@@ -619,6 +624,67 @@ def mirror(
         stop_at_version=stop_at_version,
     )
     return replica, cursor
+
+
+def publish_changes(
+    spark: SparkSession,
+    table: LakeTable,
+    out_dir: str,
+    since_version: int,
+    until_version: int | None = None,
+    wrapped: bool = False,
+    db: str = "lake",
+    topic: str | None = None,
+    overwrite: bool = False,
+) -> dict:
+    """CDC PUBLISH (the outbox direction): render a change window as
+    Debezium JSON-lines -- the same wire format ``start_replay(
+    source_format="jsonl")`` consumes, so two engines chained through a
+    published directory replicate a table over the WIRE, not a shared
+    filesystem (lake -> topic -> lake, each side seeing only the
+    connector feed shape). Upserts publish as op ``u`` with the full
+    after image; deletes as op ``d`` with the key-bearing before image.
+    NULL ``_lsn`` rows (diff-path tombstones, rollback windows) are
+    stamped above the table's LSN watermark exactly as
+    ``follow_changes`` does, so a downstream monotonic apply never
+    loses them.
+
+    Stateless by design: the returned ``until`` is the consumer's next
+    ``since`` (the ``cmd_changes`` cursor contract); re-publishing a
+    window is harmless downstream because the apply is LSN-monotonic
+    and fenced.
+
+    Scale: O(window changes) via the delta-file fast path + one narrow
+    ``to_json`` projection; file count follows the change read's
+    parallelism (a Kafka sink would ride the same DataFrame)."""
+    from ..sources.envelope import encode_debezium
+
+    until = table.current_version() if until_version is None else until_version
+    df = table.read_changes(spark, since_version, until_version=until)
+    hi = table.lsn_high_watermark()
+    df = df.withColumn(LSN_COL, F.coalesce(F.col(LSN_COL), F.lit(hi + 1)))
+    payload = [c for c in df.columns if c not in (LSN_COL, "_change_type")]
+    canon = df.select(
+        F.col(LSN_COL).alias("lsn"),
+        F.when(F.col("_change_type") == "delete", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        *payload,
+    )
+    key = table.manifest()["key"]
+    wire = encode_debezium(
+        canon, key=key, ts_col=None, db=db,
+        table=topic or os.path.basename(table.root.rstrip("/")),
+        wrapped=wrapped,
+    )
+    (
+        wire.select("value")
+        .write.mode("overwrite" if overwrite else "errorifexists")
+        .text(out_dir)
+    )
+    n = spark.read.text(out_dir).count()
+    return {"published": n, "since": since_version, "until": until,
+            "out_dir": out_dir}
 
 
 #: document-ingest wire schema for the dedup-on-ingest stream
