@@ -243,3 +243,143 @@ def test_cli_changes_debezium_publish(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert rc == 0
     assert json.loads(out[-1])["table_rows"] == src.read(spark).count()
+
+
+def test_update_with_both_images_resolves_per_image(spark):
+    """A connector with full replica identity ships BOTH images on an
+    update; a field set to NULL in `after` must decode as NULL -- a
+    per-field coalesce would resurrect the stale before-image value
+    and silently diverge the replica."""
+    payload = T.StructType([T.StructField("url", T.StringType()),
+                            T.StructField("lang", T.StringType())])
+    rec = ('{"before":{"url":"u1","lang":"en"},'
+           '"after":{"url":"u1","lang":null},'
+           '"source":{"lsn":7},"op":"u"}')
+    df = spark.createDataFrame([(rec,)], "value string")
+    row = decode_debezium(df, payload).first()
+    assert (row["op"], row["lsn"], row["url"]) == ("U", 7, "u1")
+    assert row["lang"] is None
+    # deletes still resolve from the before image
+    rec_d = ('{"before":{"url":"u2","lang":"de"},"after":null,'
+             '"source":{"lsn":8},"op":"d"}')
+    row = decode_debezium(
+        spark.createDataFrame([(rec_d,)], "value string"), payload).first()
+    assert (row["op"], row["url"], row["lang"]) == ("D", "u2", "de")
+
+
+def test_wrapped_corrupt_records_quarantined_not_dropped(spark):
+    """Only true tombstones (null/blank records) may vanish; a corrupt
+    wrapped record (payload key lost, truncated JSON) must surface as
+    an all-NULL row for the quarantine, preserving the audit trail."""
+    payload = T.StructType([T.StructField("url", T.StringType()),
+                            T.StructField("html", T.BinaryType())])
+    good = ('{"schema":{"type":"struct"},"payload":{"after":'
+            '{"url":"u1","html":"eA=="},"source":{"lsn":1},"op":"c"}}')
+    recs = [(good,),
+            ('{"schema":{"type":"struct"}}',),   # payload key lost
+            ('{"schema":{"typ',),                # truncated JSON
+            (None,),                             # Kafka tombstone
+            ("   ",)]                            # blank line
+    df = spark.createDataFrame(recs, "value string")
+    decoded = decode_debezium(df, payload, wrapped=True)
+    assert decoded.count() == 3  # tombstone + blank dropped, corrupt kept
+    ok, bad = quarantine_split(decoded)
+    assert ok.count() == 1
+    assert bad.count() == 2
+    assert {r["_reason"] for r in bad.collect()} == {"null_key"}
+
+
+def test_publish_append_cursor_loop(spark, tmp_path):
+    """The documented outbox loop: successive windows APPEND into one
+    topic directory (the returned `until` is the next `since`); a
+    consumer tailing the directory sees every window."""
+    from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
+        publish_changes,
+    )
+
+    log, src = _seed_source(spark, tmp_path, n=600, urls=50, batches=2)
+    wal = str(tmp_path / "topic")
+    w1 = publish_changes(spark, src, wal, since_version=1, until_version=2)
+    w2 = publish_changes(spark, src, wal, since_version=w1["until"])
+    assert w2["since"] == 2 and w2["until"] == src.current_version()
+    assert w1["published"] > 0 and w2["published"] > 0
+    dst = LakeTable.create(str(tmp_path / "dst"), PAGE_SCHEMA,
+                           key="url", bucket_count=4)
+    payload = T.StructType(
+        [f for f in src.schema().fields if not f.name.startswith("_")]
+    )
+    q = start_replay(
+        spark, dst, wal, str(tmp_path / "ckpt"),
+        source_format="jsonl",
+        decoder=lambda df: decode_debezium(df, payload),
+    )
+    q.awaitTermination()
+    res = compare(src.read(spark), dst.read(spark),
+                  columns=["url", "html", "lang", "text", "_lsn"])
+    assert res.ok, res
+
+
+def test_multi_table_wire_replication(spark, tmp_path):
+    """Two tables with DIFFERENT schemas and keys publish into ONE
+    topic; `replay-multi --format debezium` routes by source.table and
+    projects each slice back to its own columns -- no cross-table
+    column grafting, both replicas byte-equal."""
+    import json
+
+    from yadamu___yet_another_data_migration_utility_spark.cli import main
+    from yadamu___yet_another_data_migration_utility_spark.operators.apply import (
+        apply_batch,
+    )
+    from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
+        publish_changes,
+    )
+
+    sa = T.StructType([T.StructField("url", T.StringType()),
+                       T.StructField("lang", T.StringType())])
+    sb = T.StructType([T.StructField("doc_id", T.StringType()),
+                       T.StructField("score", T.DoubleType())])
+    ta = LakeTable.create(str(tmp_path / "a"), sa, key="url", bucket_count=4)
+    tb = LakeTable.create(str(tmp_path / "b"), sb, key="doc_id",
+                          bucket_count=4)
+    la = spark.createDataFrame(
+        [(i, "D" if i % 11 == 0 else "U", f"https://a.test/{i % 17}",
+          "en" if i % 3 else "de") for i in range(1, 121)],
+        "lsn long, op string, url string, lang string")
+    lb = spark.createDataFrame(
+        [(i, "U", f"doc-{i % 13}", i / 7.0) for i in range(1, 81)],
+        "lsn long, op string, doc_id string, score double")
+    apply_batch(ta, la, batch_id=0)
+    apply_batch(tb, lb, batch_id=0)
+    wal = str(tmp_path / "topic")
+    publish_changes(spark, ta, wal, since_version=1, topic="a")
+    publish_changes(spark, tb, wal, since_version=1, topic="b")
+    ra = LakeTable.create(str(tmp_path / "ra"), sa, key="url",
+                          bucket_count=4)
+    rb = LakeTable.create(str(tmp_path / "rb"), sb, key="doc_id",
+                          bucket_count=4)
+    rc = main(["replay-multi", "--log-path", wal,
+               "--table", f"a={tmp_path / 'ra'}",
+               "--table", f"b={tmp_path / 'rb'}",
+               "--checkpoint-dir", str(tmp_path / "ckpt"),
+               "--format", "debezium"])
+    assert rc == 0
+    res = compare(ta.read(spark), ra.read(spark),
+                  columns=["url", "lang", "_lsn"])
+    assert res.ok, res
+    res = compare(tb.read(spark), rb.read(spark),
+                  columns=["doc_id", "score", "_lsn"])
+    assert res.ok, res
+    # union-payload decode must NOT graft the other table's columns
+    assert "score" not in ra.read(spark).columns
+    assert "lang" not in rb.read(spark).columns
+
+
+def test_cli_replay_multi_duplicate_name_refused(spark, tmp_path, capsys):
+    from yadamu___yet_another_data_migration_utility_spark.cli import main
+
+    rc = main(["replay-multi", "--log-path", str(tmp_path / "wal"),
+               "--table", f"a={tmp_path / 'x'}",
+               "--table", f"a={tmp_path / 'y'}",
+               "--checkpoint-dir", str(tmp_path / "ckpt"), "--create"])
+    assert rc == 2
+    assert "duplicate" in capsys.readouterr().err

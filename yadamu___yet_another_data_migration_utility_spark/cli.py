@@ -313,6 +313,13 @@ def cmd_replay_multi(args) -> int:
             print(f"error: --table needs NAME=ROOT, got {spec!r}",
                   file=sys.stderr)
             return 2
+        if name in tables:
+            # a silent last-wins overwrite would misroute every event
+            # for this name (and --create would still materialize the
+            # orphaned first root as a forever-empty table)
+            print(f"error: duplicate --table name {name!r}",
+                  file=sys.stderr)
+            return 2
         if LakeTable.exists(root):
             tables[name] = LakeTable.load(root)
         elif args.create:
@@ -336,12 +343,43 @@ def cmd_replay_multi(args) -> int:
             per_table[n]["rows_merged_in"] += m.rows_merged_in
             per_table[n]["fenced_batches"] += int(m.fenced)
 
+    source_format, decoder = "parquet", None
+    if args.format == "debezium":
+        from pyspark.sql import types as T
+
+        from .sources.envelope import decode_debezium
+
+        # one from_json pass must parse every table's events, so the
+        # payload struct is the UNION of the public fields; the
+        # per-table apply re-projects each slice down to its own
+        # columns. Same-name fields must agree on type across tables
+        # (one JSON wire field cannot carry two parses).
+        merged: dict[str, T.StructField] = {}
+        for n, t in tables.items():
+            for f in t.schema().fields:
+                if f.name.startswith("_"):
+                    continue
+                prev = merged.get(f.name)
+                if prev is not None and prev.dataType != f.dataType:
+                    print(f"error: payload field {f.name!r} is "
+                          f"{prev.dataType.simpleString()} in one table "
+                          f"and {f.dataType.simpleString()} in {n!r}; a "
+                          "multi-table debezium feed needs consistent "
+                          "types per field name", file=sys.stderr)
+                    return 2
+                merged.setdefault(f.name, f)
+        payload = T.StructType(list(merged.values()))
+        source_format = "jsonl"
+        decoder = lambda df: decode_debezium(  # noqa: E731
+            df, payload, wrapped=args.wrapped, table_col="_table")
     q = start_replay_multi(
         spark, tables, args.log_path, args.checkpoint_dir,
         max_files_per_trigger=args.max_files_per_trigger,
         salt_buckets=args.salt_buckets,
         max_errors=args.max_errors, on_error=args.on_error,
         on_metrics=on_metrics,
+        source_format=source_format, decoder=decoder,
+        project_to_table=(decoder is not None),
     )
     q.awaitTermination()
     print(json.dumps({
@@ -693,7 +731,8 @@ def cmd_changes(args) -> int:
             return 2
         summ = publish_changes(spark, table, args.out_dir, args.since,
                                until_version=until, wrapped=args.wrapped,
-                               overwrite=args.overwrite)
+                               mode="overwrite" if args.overwrite
+                               else "append")
         print(json.dumps(summ))
         return 0
     df = table.read_changes(spark, args.since, until_version=until,
@@ -1088,12 +1127,22 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser(
         "replay-multi",
-        help="stream ONE parquet WAL interleaving several tables "
-             "(leading _table column routes each event); per-table "
-             "exactly-once fences",
+        help="stream ONE WAL interleaving several tables "
+             "(parquet _table column or Debezium source.table routes "
+             "each event); per-table exactly-once fences",
     )
     sp.add_argument("--log-path", required=True,
-                    help="parquet changelog dir with a _table column")
+                    help="parquet changelog dir with a _table column, "
+                         "or a Debezium JSONL topic dir with --format")
+    sp.add_argument("--format", choices=["parquet", "debezium"],
+                    default="parquet",
+                    help="debezium = JSON-lines envelopes routed by "
+                         "source.table (one union-of-fields parse; "
+                         "each table's slice is projected back to its "
+                         "own columns)")
+    sp.add_argument("--wrapped", action="store_true",
+                    help="debezium only: records carry the Kafka "
+                         "Connect {schema, payload} wrapper")
     sp.add_argument("--table", action="append", required=True,
                     metavar="NAME=ROOT", dest="table_specs",
                     help="route NAME to the lake table at ROOT "

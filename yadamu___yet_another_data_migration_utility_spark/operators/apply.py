@@ -165,7 +165,7 @@ def apply_batch(
     table: LakeTable,
     batch_df: DataFrame,
     batch_id: int,
-    key: str = "url",
+    key: str | None = None,
     op_col: str = "op",
     lsn_col: str = "lsn",
     salt_buckets: int = 0,
@@ -205,6 +205,11 @@ def apply_batch(
         raise ValueError(f"on_error must be one of {ON_ERROR_POLICIES}")
     if dedup not in DEDUP_STRATEGIES:
         raise ValueError(f"dedup must be one of {DEDUP_STRATEGIES}")
+    if key is None:
+        # the winner reduction and quarantine tagging must test the
+        # TABLE's merge key, whatever it is -- a fixed default would
+        # silently misvalidate any non-url-keyed table
+        key = table.manifest()["key"]
     if salt_buckets > 0:
         dedup = "salted"
     if dedup == "none" and table.merge_mode() != "mor":
@@ -411,6 +416,7 @@ def apply_batch_multi(
     batch_df: DataFrame,
     batch_id: int,
     table_col: str = "_table",
+    project_to_table: bool = False,
     **apply_kwargs: Any,
 ) -> dict[str, BatchMetrics]:
     """Route ONE WAL micro-batch that interleaves several tables --
@@ -429,6 +435,14 @@ def apply_batch_multi(
     up front (a routing bug should not half-apply) -- list every table
     the WAL can carry.
 
+    ``project_to_table`` restricts each slice to the columns its table
+    already has. A decoded multi-table wire feed parses every event
+    with ONE union-of-fields struct, so a slice carries the OTHER
+    tables' columns as all-NULL -- without the projection the merge's
+    schema evolution would graft those columns onto every table.
+    Leave False for parquet WALs where additive evolution through the
+    stream is the point.
+
     Scale note: each table's slice is one filtered pass over the batch
     (tables applied in sorted order for deterministic replay). With T
     tables that is T scans of the micro-batch; at high table counts
@@ -445,14 +459,18 @@ def apply_batch_multi(
             f"batch routes to unknown tables {unknown}; known: "
             f"{sorted(tables)}")
     present = sorted(names)
+    op_col = apply_kwargs.get("op_col", "op")
+    lsn_col = apply_kwargs.get("lsn_col", "lsn")
     out: dict[str, BatchMetrics] = {}
     for name in present:
-        out[name] = apply_batch(
-            tables[name],
-            batch_df.filter(F.col(table_col) == name).drop(table_col),
-            batch_id,
-            **apply_kwargs,
-        )
+        sl = batch_df.filter(F.col(table_col) == name).drop(table_col)
+        if project_to_table:
+            own = {f.name for f in tables[name].schema().fields}
+            sl = sl.select(
+                *[c for c in sl.columns
+                  if c in own or c in (op_col, lsn_col)]
+            )
+        out[name] = apply_batch(tables[name], sl, batch_id, **apply_kwargs)
     return out
 
 

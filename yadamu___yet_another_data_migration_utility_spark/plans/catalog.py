@@ -853,12 +853,17 @@ def cdc_multi_table_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = bounds[0], bounds[1]
     per = max(1, (hi - lo + 1 + 2) // 3)
     for b in range(3):
-        apply_batch_multi(
-            tables,
-            chg.filter((F.col("lsn") >= lo + b * per)
-                       & (F.col("lsn") < lo + (b + 1) * per)),
-            batch_id=b, run_extract=False, dedup="none",
-        )
+        # the router makes 1 + T passes per batch (discovery + one
+        # filtered apply per table); cache the slice so the changelog
+        # read runs once per batch -- same rationale as the streaming
+        # sink's persist
+        sl = chg.filter((F.col("lsn") >= lo + b * per)
+                        & (F.col("lsn") < lo + (b + 1) * per)).persist()
+        try:
+            apply_batch_multi(tables, sl, batch_id=b,
+                              run_extract=False, dedup="none")
+        finally:
+            sl.unpersist()
     return (
         tables["low"].read(spark).withColumn("tbl", F.lit("low"))
         .unionByName(

@@ -194,15 +194,25 @@ def decode_debezium(
     lsn_col: str = "lsn",
     op_col: str = "op",
     wrapped: bool = False,
+    table_col: str | None = None,
 ) -> DataFrame:
     """Normalize Debezium envelope JSON into the canonical changelog.
 
     Output columns: ``lsn_col``, ``op_col`` (I/U/D; unknown wire codes
     pass through upper-cased for the quarantine splitter), then the
     payload columns in ``payload_schema`` order. Row images resolve
-    ``after`` first, falling back to ``before`` (deletes; and updates
-    published with only a before image). Tombstone records (null
-    ``value``) are dropped.
+    per IMAGE, not per field: updates read from ``after`` whenever the
+    event carries one (a connector with full replica identity ships
+    BOTH images, and a field set to NULL in ``after`` must decode as
+    NULL -- a per-field coalesce would resurrect the before-image
+    value), deletes fall back to ``before``. Tombstone records (null
+    or blank ``value``) are dropped; a non-blank record whose envelope
+    fails to parse -- or, in ``wrapped`` mode, whose ``$.payload`` is
+    missing -- decodes to an all-NULL row so the downstream quarantine
+    splitter records it (``null_key``) instead of it vanishing.
+
+    ``table_col`` optionally surfaces ``source.table`` -- the routing
+    token for schema-level replay of a multi-table topic.
 
     Scale: one ``from_json`` projection -- no shuffle, no Python; the
     JSON parse and every conversion below it stay inside the scan's
@@ -225,7 +235,17 @@ def decode_debezium(
         env["source"]["lsn"].alias(lsn_col),
         op.alias(op_col),
     ]
+    if table_col is not None:
+        cols.insert(0, env["source"]["table"].alias(table_col))
+    image = F.when(env["after"].isNotNull(), env["after"]).otherwise(
+        env["before"]
+    )
     for name in payload_schema.names:
-        image = F.coalesce(env["after"][name], env["before"][name])
-        cols.append(_from_wire(image, dtypes[name]).alias(name))
-    return df.filter(raw.isNotNull()).select(*cols)
+        cols.append(_from_wire(image[name], dtypes[name]).alias(name))
+    # tombstones (null/blank records) are log-compaction noise; any
+    # OTHER unparseable record must survive to the quarantine, so the
+    # filter tests the raw record, never the extracted payload
+    present = F.col(value_col).isNotNull() & (
+        F.length(F.trim(F.col(value_col))) > 0
+    )
+    return df.filter(present).select(*cols)

@@ -160,6 +160,9 @@ def start_replay_multi(
     watermark: str = "1 hour",
     available_now: bool = True,
     on_metrics: Callable[[dict[str, BatchMetrics]], None] | None = None,
+    source_format: str = "parquet",
+    decoder: Callable[[DataFrame], DataFrame] | None = None,
+    project_to_table: bool = False,
     **apply_kwargs,
 ) -> StreamingQuery:
     """Schema-level replay: ONE WAL stream interleaving several tables
@@ -171,20 +174,38 @@ def start_replay_multi(
     resumes by re-applying only the unfenced tables -- Spark's
     checkpoint replays the batch, the fences dedupe it. Default wire
     schema = ``CHANGELOG_SCHEMA`` + a leading ``table_col`` string
-    column. ``apply_kwargs`` pass through to ``apply_batch``
+    column. ``source_format``/``decoder`` mirror ``start_replay``:
+    ``"jsonl"`` tails a raw connector feed, the decoder normalizes it
+    and must emit ``table_col`` (``decode_debezium(...,
+    table_col=...)`` surfaces ``source.table`` for exactly this).
+    ``apply_kwargs`` pass through to ``apply_batch``
     (salt_buckets, dedup, max_errors, ...)."""
     from ..operators.apply import apply_batch_multi
 
-    if schema is None:
-        schema = T.StructType(
-            [T.StructField(table_col, T.StringType()),
-             *CHANGELOG_SCHEMA.fields])
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(changelog_path)
-        .withWatermark("warc_ts", watermark)
-    )
+    if source_format == "parquet":
+        if schema is None:
+            schema = T.StructType(
+                [T.StructField(table_col, T.StringType()),
+                 *CHANGELOG_SCHEMA.fields])
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(changelog_path)
+        )
+    elif source_format == "jsonl":
+        if decoder is None:
+            raise ValueError("source_format='jsonl' requires a decoder")
+        stream = (
+            spark.readStream
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .text(changelog_path)
+        )
+    else:
+        raise ValueError(f"unknown source_format {source_format!r}")
+    if decoder is not None:
+        stream = decoder(stream)
+    if "warc_ts" in stream.columns:
+        stream = stream.withWatermark("warc_ts", watermark)
 
     def _sink(batch_df, batch_id: int) -> None:
         # the router makes 1 + T passes over the micro-batch (discovery
@@ -193,7 +214,9 @@ def start_replay_multi(
         batch_df.persist()
         try:
             ms = apply_batch_multi(tables, batch_df, batch_id,
-                                   table_col=table_col, **apply_kwargs)
+                                   table_col=table_col,
+                                   project_to_table=project_to_table,
+                                   **apply_kwargs)
         finally:
             batch_df.unpersist()
         if on_metrics is not None:
@@ -635,7 +658,7 @@ def publish_changes(
     wrapped: bool = False,
     db: str = "lake",
     topic: str | None = None,
-    overwrite: bool = False,
+    mode: str = "append",
 ) -> dict:
     """CDC PUBLISH (the outbox direction): render a change window as
     Debezium JSON-lines -- the same wire format ``start_replay(
@@ -652,11 +675,19 @@ def publish_changes(
     Stateless by design: the returned ``until`` is the consumer's next
     ``since`` (the ``cmd_changes`` cursor contract); re-publishing a
     window is harmless downstream because the apply is LSN-monotonic
-    and fenced.
+    and fenced. Successive windows APPEND into the topic directory by
+    default -- exactly how a file-source consumer discovers new data.
+    ``mode="overwrite"`` truncates the topic and is only safe when no
+    consumer may still be lagging behind the destroyed files;
+    ``mode="error"`` insists the directory is fresh.
 
     Scale: O(window changes) via the delta-file fast path + one narrow
-    ``to_json`` projection; file count follows the change read's
-    parallelism (a Kafka sink would ride the same DataFrame)."""
+    ``to_json`` projection; the published count rides the write job as
+    an ``Observation`` (no second pass over the feed); file count
+    follows the change read's parallelism (a Kafka sink would ride the
+    same DataFrame)."""
+    from pyspark.sql import Observation
+
     from ..sources.envelope import encode_debezium
 
     until = table.current_version() if until_version is None else until_version
@@ -677,14 +708,11 @@ def publish_changes(
         table=topic or os.path.basename(table.root.rstrip("/")),
         wrapped=wrapped,
     )
-    (
-        wire.select("value")
-        .write.mode("overwrite" if overwrite else "errorifexists")
-        .text(out_dir)
-    )
-    n = spark.read.text(out_dir).count()
-    return {"published": n, "since": since_version, "until": until,
-            "out_dir": out_dir}
+    obs = Observation()
+    wire = wire.observe(obs, F.count(F.lit(1)).alias("n"))
+    wire.select("value").write.mode(mode).text(out_dir)
+    return {"published": obs.get["n"], "since": since_version,
+            "until": until, "out_dir": out_dir}
 
 
 #: document-ingest wire schema for the dedup-on-ingest stream
