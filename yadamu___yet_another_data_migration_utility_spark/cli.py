@@ -695,6 +695,7 @@ def cmd_describe(args) -> int:
         or (m.get("audit") or {}).get("operation"),
         "committed_at": m.get("committed_at"),
         "refs": m.get("refs", {}),
+        "constraints": m.get("constraints", {}),
         "table_stats": m.get("table_stats"),
         "staged": [
             {"batch_id": s["batch_id"], "status": s["status"],
@@ -801,6 +802,35 @@ def cmd_tag(args) -> int:
                              sort_keys=True))
         else:
             print(json.dumps({"refs": t.refs()}, sort_keys=True))
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    return 0
+
+
+def cmd_constraint(args) -> int:
+    """CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT): --add
+    NAME --check EXPR declares one (validating existing rows unless
+    --no-validate), --drop removes one, default lists. Violating CDC
+    events quarantine as check:<name>; bulk appends abort whole."""
+    t = _table(args)
+    try:
+        if args.add:
+            if not args.check:
+                print("error: --add needs --check EXPR", file=sys.stderr)
+                return 2
+            spark = _spark(args.cpus)
+            v = t.add_constraint(spark, args.add, args.check,
+                                 validate=not args.no_validate)
+            print(json.dumps({"added": args.add, "check": args.check,
+                              "version": v}, sort_keys=True))
+        elif args.drop:
+            v = t.drop_constraint(args.drop)
+            print(json.dumps({"dropped": args.drop, "version": v},
+                             sort_keys=True))
+        else:
+            print(json.dumps({"constraints": t.constraints()},
+                             sort_keys=True))
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
@@ -1309,6 +1339,26 @@ def build_parser() -> argparse.ArgumentParser:
                     help="target version for --set (default: head)")
     branch_opt(sp)
     sp.set_defaults(fn=cmd_tag, cpus=None)
+
+    sp = sub.add_parser("constraint",
+                        help="CHECK constraints: --add NAME --check EXPR "
+                             "(validates existing rows), --drop NAME, "
+                             "default lists; violating CDC events "
+                             "quarantine as check:<name>, bulk appends "
+                             "abort whole")
+    sp.add_argument("--table-root", required=True)
+    g = sp.add_mutually_exclusive_group()
+    g.add_argument("--add", default=None, metavar="NAME")
+    g.add_argument("--drop", default=None, metavar="NAME")
+    sp.add_argument("--check", default=None, metavar="SQL_EXPR",
+                    help="boolean expression over public columns "
+                         "(SQL semantics: only FALSE violates)")
+    sp.add_argument("--no-validate", action="store_true",
+                    help="skip the existing-rows validation scan "
+                         "(enforce on new writes only)")
+    common(sp)
+    branch_opt(sp)
+    sp.set_defaults(fn=cmd_constraint)
 
     sp = sub.add_parser("rollback", help="revert the table to a retained "
                                          "snapshot (metadata-only; fences "

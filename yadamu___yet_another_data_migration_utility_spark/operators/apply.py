@@ -94,10 +94,14 @@ class BatchMetrics:
 
 
 def _tag_quarantine(df: DataFrame, op_col: str = "op", key: str = "url",
-                    lsn_col: str = "lsn", html_col: str = "html") -> DataFrame:
+                    lsn_col: str = "lsn", html_col: str = "html",
+                    constraints: dict[str, str] | None = None) -> DataFrame:
     """Add a ``_reason`` column (NULL == valid row). The payload-presence
     check applies only when the payload column exists in this changelog's
-    schema."""
+    schema. ``constraints`` ({name: sql_bool_expr}, from the table
+    manifest) tag non-delete rows that violate a CHECK as
+    ``check:<name>`` -- SQL semantics, so only FALSE violates (NULL
+    passes); deletes are exempt (their logical content is "no row")."""
     reason = (
         F.when(F.col(key).isNull(), "null_key")
         .when(F.col(lsn_col).isNull(), "null_lsn")
@@ -107,13 +111,21 @@ def _tag_quarantine(df: DataFrame, op_col: str = "op", key: str = "url",
         reason = reason.when(
             (F.col(op_col) != "D") & F.col(html_col).isNull(), "null_html"
         )
+    for name, check in sorted((constraints or {}).items()):
+        reason = reason.when(
+            (F.col(op_col) != "D")
+            & ~F.coalesce(F.expr(check).cast("boolean"), F.lit(True)),
+            f"check:{name}",
+        )
     return df.withColumn("_reason", reason)
 
 
 def quarantine_split(df: DataFrame, op_col: str = "op", key: str = "url",
-                     lsn_col: str = "lsn", html_col: str = "html") -> tuple[DataFrame, DataFrame]:
+                     lsn_col: str = "lsn", html_col: str = "html",
+                     constraints: dict[str, str] | None = None,
+                     ) -> tuple[DataFrame, DataFrame]:
     """Split a raw event batch into (valid, quarantined-with-reason)."""
-    tagged = _tag_quarantine(df, op_col, key, lsn_col, html_col)
+    tagged = _tag_quarantine(df, op_col, key, lsn_col, html_col, constraints)
     return (
         tagged.filter(F.col("_reason").isNull()).drop("_reason"),
         tagged.filter(F.col("_reason").isNotNull()),
@@ -205,11 +217,16 @@ def apply_batch(
         raise ValueError(f"on_error must be one of {ON_ERROR_POLICIES}")
     if dedup not in DEDUP_STRATEGIES:
         raise ValueError(f"dedup must be one of {DEDUP_STRATEGIES}")
+    mf = table.manifest()
     if key is None:
         # the winner reduction and quarantine tagging must test the
         # TABLE's merge key, whatever it is -- a fixed default would
         # silently misvalidate any non-url-keyed table
-        key = table.manifest()["key"]
+        key = mf["key"]
+    # CHECK constraints quarantine per-row, composing with ON_ERROR /
+    # max_errors exactly like structural errors (append aborts instead
+    # -- bulk loads have no per-row error funnel)
+    constraints = mf.get("constraints", {})
     if salt_buckets > 0:
         dedup = "salted"
     if dedup == "none" and table.merge_mode() != "mor":
@@ -231,7 +248,8 @@ def apply_batch(
         # write and then discard. Clean pipelines keep the default
         # (False): one job per batch, policy checked in the pre-commit
         # hook off the same Observation.
-        tagged0 = _tag_quarantine(batch_df, op_col, key, lsn_col)
+        tagged0 = _tag_quarantine(batch_df, op_col, key, lsn_col,
+                                constraints=constraints)
         pre = tagged0.agg(
             F.count(F.lit(1)).alias("n_in"), F.count("_reason").alias("n_bad")
         ).collect()[0]
@@ -281,7 +299,8 @@ def apply_batch(
     from pyspark.sql import Observation
 
     obs = Observation(f"apply_batch_{batch_id}")
-    tagged = _tag_quarantine(batch_df, op_col, key, lsn_col).observe(
+    tagged = _tag_quarantine(batch_df, op_col, key, lsn_col,
+                                constraints=constraints).observe(
         obs, F.count(F.lit(1)).alias("n_in"), F.count("_reason").alias("n_bad")
     )
     valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
@@ -353,7 +372,8 @@ def apply_batch(
             # (idempotent per-batch overwrite => replay-safe)
             qdir = os.path.join(table.root, QUARANTINE_DIR, f"batch_id={batch_id}")
             (
-                _tag_quarantine(batch_df, op_col, key, lsn_col)
+                _tag_quarantine(batch_df, op_col, key, lsn_col,
+                                constraints=constraints)
                 .filter(F.col("_reason").isNotNull())
                 .withColumn("_batch_id", F.lit(batch_id))
                 .withColumnRenamed("_reason", "reason")

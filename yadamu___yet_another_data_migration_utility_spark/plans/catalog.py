@@ -874,6 +874,74 @@ def cdc_multi_table_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_constraint_enforce",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    kept AS (
+      -- CHECK semantics: only FALSE violates (NULL passes); deletes
+      -- are exempt. Violating events quarantine, so they never reach
+      -- the merge -- the LWW fold runs over the KEPT stream only.
+      SELECT * FROM chg WHERE op = 'D' OR value >= 10 OR value IS NULL
+    ),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn
+      FROM kept
+    )
+    SELECT url, lsn AS last_lsn, value, event_type
+    FROM last WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_constraint_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared CHECK constraint enforced through a fenced CDC replay
+    (Delta's ADD CONSTRAINT meets the reference's per-row rejection
+    funnel, yadamuRejectManager.js): ``value >= 10`` is declared on the
+    manifest, violating events quarantine per-row as
+    ``check:value_floor`` (composing with ON_ERROR exactly like
+    structural poison), and the final table state equals the LWW fold
+    over only the surviving stream -- a key whose newest event violates
+    keeps its previous good state.
+
+    Scale: the check is one codegen'd predicate inside the existing
+    quarantine projection -- no extra job, no shuffle, no Python."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_check_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = LakeTable.create(root, schema, key="url", bucket_count=8,
+                         overwrite=True, merge_mode="mor")
+    t.add_constraint(spark, "value_floor", "value >= 10")
+    chg = cdc_changelog(spark, sf_dir)
+    bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    per = max(1, (hi - lo + 1 + 1) // 2)
+    for b in range(2):
+        apply_batch(
+            t,
+            chg.filter((F.col("lsn") >= lo + b * per)
+                       & (F.col("lsn") < lo + (b + 1) * per)),
+            batch_id=b, run_extract=False, dedup="none",
+        )
+    return t.read(spark).select(
+        "url", F.col("_lsn").alias("last_lsn"), "value", "event_type")
+
+
+@_register(
     "cdc_branch_publish",
     f"""
     WITH chg AS ({_CDC_SQL_SRC}),

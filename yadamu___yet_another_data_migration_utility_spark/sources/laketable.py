@@ -113,6 +113,14 @@ class RebaseError(RuntimeError):
     batch was NOT applied and NOT fenced -- retry it whole."""
 
 
+class ConstraintViolation(ValueError):
+    """A bulk write carried rows that violate a CHECK constraint. The
+    commit was aborted whole (speculative files removed, manifest and
+    fences untouched); fix the data or drop the constraint. CDC applies
+    never raise this -- their violating rows quarantine per-row under
+    the ON_ERROR policy instead (operators.apply)."""
+
+
 FORMAT_VERSION = 2
 MANIFEST_DIR = "manifests"
 DATA_DIR = "data"
@@ -532,6 +540,123 @@ class LakeTable:
             }
 
         return self._commit_with_rebase(m, build)["version"]
+
+    # ------------------------------------------------------------------
+    # CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT; NOT NULL is
+    # the special case ``col IS NOT NULL``)
+    # ------------------------------------------------------------------
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints: ``{name: sql_boolean_expr}``."""
+        return dict(self.manifest().get("constraints", {}))
+
+    def add_constraint(self, spark: SparkSession, name: str, check: str,
+                       validate: bool = True) -> int:
+        """Declare a CHECK constraint: a SQL boolean expression over the
+        public columns that every NON-DELETE row must satisfy (SQL
+        semantics: only FALSE violates; NULL passes -- add an explicit
+        ``IS NOT NULL`` to forbid it). Rides the manifest as a
+        metadata-only commit, so it versions, time-travels, rebases and
+        mirrors like any other table property.
+
+        Enforcement points: ``operators.apply.apply_batch`` quarantines
+        violating events (reason ``check:<name>``, composing with the
+        ON_ERROR policy exactly like structural errors -- the
+        reference's per-row error funnel, yadamuOutputManager
+        rejection-file contract), and ``append`` aborts the commit --
+        the violation count rides the bulk write's Observation, so the
+        check costs no extra job and a failed load leaves no trace
+        (the speculative commit dir is removed, manifest untouched).
+        The low-level ``merge`` primitive sits BELOW the constraint
+        layer (like Iceberg's format-vs-engine split); every public
+        ingest surface routes through an enforcing path.
+
+        ``validate=True`` (one count job) proves the CURRENT snapshot
+        satisfies the check first, so a scan can trust the constraint
+        over all data, old and new."""
+        if not name or name.isdigit() or not all(
+                c.isalnum() or c in "._-" for c in name):
+            raise ValueError(
+                f"bad constraint name {name!r}: need [A-Za-z0-9._-]+, "
+                "not all digits")
+        m = self.manifest()
+        if name in m.get("constraints", {}):
+            raise ValueError(f"constraint {name!r} already exists")
+        schema = T.StructType.fromJson(m["schema"])
+        # resolve the expression against the PUBLIC schema now (empty
+        # local relation: analysis only, no job) -- a typo'd column
+        # must fail here, not inside some future batch's quarantine
+        probe = spark.createDataFrame([], schema)
+        try:
+            probe.select(F.expr(check).cast("boolean"))
+        except Exception as exc:
+            raise ValueError(
+                f"constraint {name!r} does not resolve against the "
+                f"table schema: {exc}") from exc
+        if validate:
+            bad = self.read(spark).filter(
+                ~F.coalesce(F.expr(check).cast("boolean"), F.lit(True))
+            ).count()
+            if bad:
+                raise ValueError(
+                    f"constraint {name!r} rejected: {bad} existing rows "
+                    "violate it (fix the data or pass validate=False "
+                    "to enforce on new writes only)")
+
+        def build(mp: dict[str, Any]) -> dict[str, Any]:
+            if name in mp.get("constraints", {}):
+                raise RebaseError(
+                    f"constraint {name!r} added concurrently")
+            v = mp["version"] + 1
+            return {
+                **mp,
+                "version": v,
+                "parent": mp["version"],
+                "constraints": {**mp.get("constraints", {}), name: check},
+                "audit": None,
+                "lineage": [],
+                "summary": {"operation": "add_constraint", "name": name,
+                            "check": check},
+                "committed_at": _utc_now_iso(),
+            }
+
+        return self._commit_with_rebase(m, build)["version"]
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint (metadata-only commit)."""
+        m = self.manifest()
+        if name not in m.get("constraints", {}):
+            raise ValueError(
+                f"unknown constraint {name!r} "
+                f"(have: {sorted(m.get('constraints', {})) or 'none'})")
+
+        def build(mp: dict[str, Any]) -> dict[str, Any]:
+            cons = {k: v for k, v in mp.get("constraints", {}).items()
+                    if k != name}
+            v = mp["version"] + 1
+            return {
+                **mp,
+                "version": v,
+                "parent": mp["version"],
+                "constraints": cons,
+                "audit": None,
+                "lineage": [],
+                "summary": {"operation": "drop_constraint", "name": name},
+                "committed_at": _utc_now_iso(),
+            }
+
+        return self._commit_with_rebase(m, build)["version"]
+
+    def _constraints_referencing(self, column: str) -> list[str]:
+        """Constraint names whose check text mentions ``column`` (word-
+        boundary match -- conservative: a false positive merely asks the
+        user to drop/re-add the constraint around a column change)."""
+        import re
+
+        pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(column)}(?![A-Za-z0-9_])")
+        return sorted(
+            n for n, c in self.manifest().get("constraints", {}).items()
+            if pat.search(c)
+        )
 
     # ------------------------------------------------------------------
     # branches (Iceberg writable refs): an isolated line of commits that
@@ -1168,7 +1293,8 @@ class LakeTable:
             m = _mf(v)
             audit = m.get("audit") or {}
             op = audit.get("operation") or m.get("summary", {}).get("operation")
-            if not (op in ("skip", "tag", "untag", "analyze")
+            if not (op in ("skip", "tag", "untag", "analyze",
+                           "add_constraint", "drop_constraint")
                     or (op == "merge" and audit.get("mode") == "mor")):
                 fast_ok = False
             if op == "rollback":
@@ -1460,8 +1586,30 @@ class LakeTable:
             return -1
         schema = T.StructType.fromJson(m["schema"])
         df = _align(df, schema)
+        cons = m.get("constraints", {})
+        vobs = None
+        if cons:
+            # violation counts ride the bulk write's own materialization
+            # (second named Observation on the same plan): zero extra
+            # jobs; checked before the manifest commit so a bad load
+            # aborts whole with no trace
+            from pyspark.sql import Observation
+
+            vobs = Observation(f"append_checks_{m['version'] + 1}")
+            df = df.observe(vobs, *[
+                F.count(F.when(~F.coalesce(
+                    F.expr(c).cast("boolean"), F.lit(True)), 1)).alias(n)
+                for n, c in sorted(cons.items())
+            ])
         new_files, n_rows, out_dir = self._write_bucketed(
             spark, df, m, sort_within=sort_within)
+        if vobs is not None:
+            viol = {n: int(c) for n, c in vobs.get.items() if c}
+            if viol:
+                self.fs.rmtree(out_dir)  # unreferenced speculative files
+                raise ConstraintViolation(
+                    f"append aborted: constraint violations {viol} "
+                    f"(checks: { {n: cons[n] for n in viol} })")
         _, zone = _footer_stats(self.fs, self.root, new_files, schema=schema)
 
         def build(mp: dict[str, Any]) -> dict[str, Any]:
@@ -3031,6 +3179,11 @@ class LakeTable:
             raise ValueError(f"cannot drop the merge key {name!r}")
         if name == LSN_COL:
             raise ValueError(f"cannot drop the ordering token {LSN_COL!r}")
+        refs = self._constraints_referencing(name)
+        if refs:
+            raise ValueError(
+                f"column {name!r} is referenced by constraint(s) {refs}; "
+                "drop them first")
         new_schema = T.StructType([f for f in schema.fields if f.name != name])
         df = self.read(spark).drop(name)
         new_files, n_rows, out_dir = self._write_bucketed(spark, df, m)
@@ -3084,6 +3237,11 @@ class LakeTable:
         if old == LSN_COL or new.startswith("_"):
             raise ValueError(
                 f"cannot rename engine columns or use a _-prefixed name")
+        refs = self._constraints_referencing(old)
+        if refs:
+            raise ValueError(
+                f"column {old!r} is referenced by constraint(s) {refs}; "
+                "drop them first and re-add against the new name")
         new_schema = T.StructType([
             T.StructField(new if f.name == old else f.name, f.dataType,
                           f.nullable) for f in schema.fields
