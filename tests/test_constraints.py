@@ -174,3 +174,39 @@ def test_cli_constraint_verbs(spark, tmp_path, capsys):
     rc = main(["constraint", "--table-root", root, "--drop", "value_floor"])
     assert rc == 0
     assert json.loads(capsys.readouterr().out)["dropped"] == "value_floor"
+
+
+def test_update_where_enforces_checks(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(spark, spark.createDataFrame(
+        [("a", 50.0, "en"), ("b", 20.0, "de")], SCHEMA))
+    t.add_constraint(spark, "value_floor", "value >= 10")
+    v = t.current_version()
+    with pytest.raises(ConstraintViolation, match="value_floor"):
+        t.update_where(spark, {"value": "value - 45"},
+                       predicate="url = 'a'")
+    assert t.current_version() == v  # aborted whole, no commit
+    # a compliant assignment still lands
+    nv, n = t.update_where(spark, {"value": "value + 1"},
+                           predicate="url = 'a'")
+    assert n == 1 and nv == v + 1
+    assert t.validate(spark)["ok"] is True
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_overwrite_where_enforces_checks(spark, tmp_path, mode):
+    t = _mk(spark, tmp_path, name=f"t_{mode}", merge_mode=mode)
+    t.append(spark, spark.createDataFrame(
+        [("a", 50.0, "en"), ("b", 20.0, "de")], SCHEMA))
+    t.add_constraint(spark, "value_floor", "value >= 10")
+    v = t.current_version()
+    bad = spark.createDataFrame([("a", 3.0, "en")], SCHEMA)
+    with pytest.raises(ConstraintViolation, match="value_floor"):
+        t.overwrite_where(spark, bad, predicate="url = 'a'")
+    assert t.current_version() == v
+    assert {r["value"] for r in t.read(spark).collect()} == {50.0, 20.0}
+    good = spark.createDataFrame([("a", 99.0, "en")], SCHEMA)
+    nv, n_del, n_ins = t.overwrite_where(spark, good, predicate="url = 'a'")
+    assert (n_del, n_ins) == (1, 1)
+    assert {r["value"] for r in t.read(spark).collect()} == {99.0, 20.0}
+    assert t.validate(spark)["ok"] is True

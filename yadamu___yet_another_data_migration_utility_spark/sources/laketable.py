@@ -562,10 +562,12 @@ class LakeTable:
         violating events (reason ``check:<name>``, composing with the
         ON_ERROR policy exactly like structural errors -- the
         reference's per-row error funnel, yadamuOutputManager
-        rejection-file contract), and ``append`` aborts the commit --
-        the violation count rides the bulk write's Observation, so the
-        check costs no extra job and a failed load leaves no trace
-        (the speculative commit dir is removed, manifest untouched).
+        rejection-file contract); ``append``, ``overwrite_where``
+        replacement rows and ``update_where`` assigned values abort the
+        commit whole -- each violation count rides a pass the write
+        already makes (bulk-write Observation / REPLACE-WHERE probe),
+        so enforcement costs no extra job and a failed commit leaves
+        no trace (speculative dirs removed, manifest untouched).
         The low-level ``merge`` primitive sits BELOW the constraint
         layer (like Iceberg's format-vs-engine split); every public
         ingest surface routes through an enforcing path.
@@ -2649,6 +2651,17 @@ class LakeTable:
         ins = _align(df, schema)
         ins = ins.withColumn(LSN_COL, F.lit(stamp).cast("long"))
         ins = ins.withColumn(DELETED_COL, F.lit(False))
+        cons = m.get("constraints", {})
+
+        def _ck_aggs() -> list:
+            # one violation counter per declared CHECK, riding whatever
+            # pass already scans the replacement rows (probe / insert
+            # write) -- enforcement costs no extra job
+            return [
+                F.sum((~F.coalesce(F.expr(c).cast("boolean"),
+                                   F.lit(True))).cast("long")).alias(f"ck_{n}")
+                for n, c in sorted(cons.items())
+            ]
 
         out_dirs: list[str] = []
         new_base: dict[str, list[str]] = {}
@@ -2668,7 +2681,8 @@ class LakeTable:
             probe = (
                 ins.groupBy(_bucket_expr(key, nb).alias("b"))
                 .agg(F.count(F.lit(1)).alias("n"),
-                     F.sum((~_cond()).cast("long")).alias("bad"))
+                     F.sum((~_cond()).cast("long")).alias("bad"),
+                     *_ck_aggs())
                 .collect()
             )
             n_ins = sum(int(r["n"]) for r in probe)
@@ -2678,6 +2692,12 @@ class LakeTable:
                     f"{n_bad} replacement row(s) do not satisfy the "
                     "overwrite predicate (REPLACE WHERE contract: df must "
                     "be a subset of the slice being replaced)")
+            viol = {n: s for n in sorted(cons)
+                    if (s := sum(int(r[f"ck_{n}"] or 0) for r in probe))}
+            if viol:
+                raise ConstraintViolation(
+                    f"overwrite_where aborted: constraint violations "
+                    f"{viol} (checks: { {n: cons[n] for n in viol} })")
             fold = sorted(set(delta_buckets)
                           | {int(r["b"]) for r in probe})
             fold_files = {f for b in fold
@@ -2756,6 +2776,7 @@ class LakeTable:
                         iobs,
                         F.count(F.lit(1)).alias("n"),
                         F.sum((~_cond()).cast("long")).alias("bad"),
+                        *_ck_aggs(),
                     )
                     .write.partitionBy("_b")
                     .parquet(self.fs.spark_path(ins_dir))
@@ -2770,6 +2791,14 @@ class LakeTable:
                     f"{n_bad} replacement row(s) do not satisfy the "
                     "overwrite predicate (REPLACE WHERE contract: df must "
                     "be a subset of the slice being replaced)")
+            viol = {n: int(got[f"ck_{n}"] or 0) for n in sorted(cons)
+                    if got.get(f"ck_{n}")}
+            if viol:
+                for d in out_dirs:
+                    self.fs.rmtree(d)
+                raise ConstraintViolation(
+                    f"overwrite_where aborted: constraint violations "
+                    f"{viol} (checks: { {n: cons[n] for n in viol} })")
             if n_hit == 0 and n_ins == 0:
                 for d in out_dirs:
                     self.fs.rmtree(d)
@@ -2918,7 +2947,26 @@ class LakeTable:
                 else:
                     cols.append(F.col(f.name))
             out = out.select(*cols)
+        cons = m.get("constraints", {}) if assignments is not None else {}
+        vobs = None
+        if cons:
+            # assigned values must satisfy the declared CHECKs; the
+            # counts ride the rewrite's own materialization (deletes
+            # can't violate -- they remove rows)
+            vobs = Observation(f"{op}_checks_{m['version'] + 1}")
+            out = out.observe(vobs, *[
+                F.count(F.when(~F.coalesce(
+                    F.expr(c).cast("boolean"), F.lit(True)), 1)).alias(n)
+                for n, c in sorted(cons.items())
+            ])
         new_files, n_kept, out_dir = self._write_bucketed(spark, out, m)
+        if vobs is not None:
+            viol = {n: int(c) for n, c in vobs.get.items() if c}
+            if viol:
+                self.fs.rmtree(out_dir)
+                raise ConstraintViolation(
+                    f"{op} aborted: constraint violations {viol} "
+                    f"(checks: { {n: cons[n] for n in viol} })")
         n_hit = int(obs.get["hits"] or 0)
         if n_hit == 0:
             # zone maps over-approximate: candidates held no real match.
