@@ -785,3 +785,26 @@ def test_cli_replay_multi(spark, tmp_path, capsys):
     for n, s in out.items():
         assert s["batches"] == 0
         assert (s["table_rows"], s["version"]) == totals[n]
+
+
+def test_cli_bloom_harvest_and_describe(spark, tmp_path, capsys):
+    """`bloom` harvests the merge-key Bloom sidecar incrementally;
+    `describe` surfaces coverage; a second run with no new files is a
+    no-op commit-free answer."""
+    root = str(tmp_path / "lake")
+    src = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        [(f"u{i}", f"v{i}") for i in range(200)], "url string, val string"
+    ).write.parquet(src)
+    rc, _ = _run(capsys, ["copy", "--source", src, "--table-root", root,
+                          "--key", "url", "--buckets", "4"])
+    assert rc == 0
+    rc, out = _run(capsys, ["bloom", "--table-root", root])
+    assert rc == 0 and out["files_indexed"] > 0 and out["sidecar"]
+    rc, desc = _run(capsys, ["describe", "--table-root", root])
+    assert rc == 0
+    assert desc["bloom_files"] == out["files_indexed"]
+    assert desc["bloom_sidecars"] == 1
+    # incremental: nothing new to index
+    rc, again = _run(capsys, ["bloom", "--table-root", root])
+    assert rc == 0 and again["files_indexed"] == 0 and again["sidecar"] is None

@@ -45,6 +45,9 @@ stateless per-job; a lake table needs day-2 operations):
              over the resolved snapshot, persisted as a metadata-only
              commit and shown by describe -- the broadcastability /
              skew / bucket-sizing input
+    bloom    harvest the merge-key Bloom file index (puffin-style
+             sidecars; incremental) so point lookups skip files inside
+             their hashed buckets, not just buckets
     rebucket rewrite the table under a new bucket count (layout
              evolution as the table grows)
     drop-column  drop a payload column as a full-rewrite purge (no
@@ -691,6 +694,11 @@ def cmd_describe(args) -> int:
         # zone-map coverage: how many referenced files carry min/max
         # stats (files without them are never range-pruned)
         "stats_files": len(m.get("stats", {})),
+        # bloom-index coverage: files whose key bloom can skip them on
+        # point lookups (bloom verb / harvest_blooms to extend)
+        "bloom_files": sum(
+            len(v) for v in (m.get("bloom_files") or {}).values()),
+        "bloom_sidecars": len(m.get("bloom_files") or {}),
         "last_operation": (m.get("summary") or {}).get("operation")
         or (m.get("audit") or {}).get("operation"),
         "committed_at": m.get("committed_at"),
@@ -712,6 +720,15 @@ def cmd_analyze(args) -> int:
     cols = _tables_arg(args.columns) if args.columns else None
     stats = table.analyze(spark, columns=cols)
     print(json.dumps(stats, sort_keys=True))
+    return 0
+
+
+def cmd_bloom(args) -> int:
+    table = _table(args)
+    spark = _spark(args.cpus)
+    out = table.harvest_blooms(spark, bits_per_key=args.bits_per_key,
+                               k=args.hashes)
+    print(json.dumps(out, sort_keys=True))
     return 0
 
 
@@ -1262,6 +1279,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated subset (default: every payload column)")
     common(sp)
     sp.set_defaults(fn=cmd_analyze)
+
+    sp = sub.add_parser("bloom", help="harvest the merge-key Bloom index for "
+                                      "uncovered files (puffin-style sidecar; "
+                                      "lookup/read(keys=) file skipping)")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--bits-per-key", type=int, default=10)
+    sp.add_argument("--hashes", type=int, default=5)
+    common(sp)
+    sp.set_defaults(fn=cmd_bloom)
 
     sp = sub.add_parser("maintain", help="advise (default) or apply table maintenance: "
                                          "targeted compact + retention from manifest stats")

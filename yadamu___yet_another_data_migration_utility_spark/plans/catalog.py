@@ -1614,6 +1614,85 @@ def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_bloom_lookup",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn
+      FROM chg
+    ),
+    state AS (
+      SELECT url, lsn AS last_lsn, event_type, value, ts
+      FROM last WHERE rn = 1 AND op <> 'D'
+    ),
+    keys AS (SELECT DISTINCT url FROM chg ORDER BY url LIMIT 8)
+    SELECT s.url, s.last_lsn, s.event_type, s.value, s.ts
+    FROM state s JOIN keys k ON s.url = k.url
+    """,
+)
+def cdc_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-INDEXED point lookup: same replay + lookup contract as
+    cdc_point_lookup, but after ``harvest_blooms`` builds the puffin-
+    style merge-key Bloom sidecar (sources/bloomindex.py) -- so the
+    lookup skips FILES inside the hashed buckets, which the zone-map
+    envelope cannot do for keys scattered uniformly through every
+    file. The pruning claim is self-checking on every driver run: the
+    keyed plan must touch strictly fewer files than the full plan, and
+    a never-written key must plan zero files. The oracle is unchanged
+    (pruning is exact: blooms have no false negatives, the residual
+    ``isin`` keeps results exact regardless). At 100 TB this is
+    Iceberg's bloom file skipping: a point lookup touches
+    O(probed keys) files, not O(bucket)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_bloom_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(root, schema, key="url", bucket_count=16, overwrite=True)
+    bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    per = max(1, (hi - lo + 2) // 2)
+    for b in range(2):
+        batch = chg.filter(
+            (F.col("lsn") >= lo + b * per) & (F.col("lsn") < lo + (b + 1) * per)
+        )
+        apply_batch(table, batch, batch_id=b, run_extract=False)
+    table.harvest_blooms(spark)
+    keys = [
+        r["url"]
+        for r in chg.select("url").distinct().orderBy("url").limit(8).collect()
+    ]
+
+    def nf(plan):
+        return len(plan["plain"]) + len(plan["delta_resolved"])
+
+    full, keyed = nf(table.plan_files()), nf(table.plan_files(keys=keys))
+    assert keyed < full, f"bloom index did not prune: {keyed} vs {full}"
+    assert nf(table.plan_files(keys=["never://written"])) == 0
+    return (
+        table.lookup(spark, keys)
+        .withColumnRenamed("_lsn", "last_lsn")
+        .select("url", "last_lsn", "event_type", "value", "ts")
+    )
+
+
+@_register(
     "cdc_timeslice_scan",
     """
     SELECT event_type,

@@ -104,6 +104,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import bloomindex as _bloom
 from .fsio import CommitConflict, LocalFS
 
 
@@ -315,6 +316,10 @@ class LakeTable:
         #: cases.
         self.branch = branch
         self._fork: int | None = None  # lazy fork_version cache (branch views)
+        #: decoded bloom sidecars, keyed by sidecar rel path. Sidecars
+        #: are immutable once published (uuid names), so the cache never
+        #: invalidates; None records an unreadable/stale-format sidecar.
+        self._bloom_cache: dict[str, dict | None] = {}
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -903,18 +908,30 @@ class LakeTable:
         ``expected_parent`` is redundant under the name-CAS (version
         N's uniqueness implies the parent chain) but kept for error
         clarity."""
-        if manifest.get("stats"):
-            # bound the zone-map section: drop entries for files no
-            # commit references anymore (cow/compact/rebucket rewrote
-            # them) -- one dict filter per commit, O(files)
+        if manifest.get("stats") or manifest.get("bloom_files"):
+            # bound the zone-map and bloom-index sections: drop entries
+            # for files no commit references anymore (cow/compact/
+            # rebucket rewrote them) -- one dict filter per commit,
+            # O(files)
             ref = {
                 f for fl in manifest["buckets"].values() for f in fl
             } | {
                 f for fl in manifest.get("deltas", {}).values() for f in fl
             }
-            manifest["stats"] = {
-                k: s for k, s in manifest["stats"].items() if k in ref
-            }
+            if manifest.get("stats"):
+                manifest["stats"] = {
+                    k: s for k, s in manifest["stats"].items() if k in ref
+                }
+            if manifest.get("bloom_files"):
+                # keep a sidecar ref while ANY covered file is live;
+                # dead rels inside a kept sidecar are simply ignored at
+                # probe time (entries are path-keyed and files are
+                # immutable, so they can be orphaned but never stale)
+                manifest["bloom_files"] = {
+                    sc: alive
+                    for sc, cov in manifest["bloom_files"].items()
+                    if (alive := [f for f in cov if f in ref])
+                }
         manifest["stats_format"] = STATS_FORMAT
         v = manifest["version"]
         try:
@@ -993,16 +1010,21 @@ class LakeTable:
         buckets: list[int] | None,
         ranges: dict[str, tuple] | None,
         tz: str | None = None,
+        keys: list | None = None,
     ) -> tuple[list[str], list[int]]:
         """ONE planner for ``read`` and ``plan_files`` (they must never
         drift: plan_files IS the explanation of what read scans):
         returns ``(plain_rel_paths, delta_bucket_ids)`` after bucket
-        pruning and zone-map file skipping. A delta-touched bucket is
-        dropped only when EVERY file in it is provably disjoint.
+        pruning, zone-map file skipping, and (with ``keys``) Bloom-index
+        file skipping. A delta-touched bucket is dropped only when
+        EVERY file in it is provably disjoint / provably key-free.
         ``tz`` names the timezone naive timestamp bounds are expressed
         in -- ``read`` passes ITS session's setting so the prune and
         the residual filter can never disagree; None falls back to the
-        active session (or UTC)."""
+        active session (or UTC). ``keys`` are probe values of the MERGE
+        KEY: a file is skipped when its bloom (sources/bloomindex.py)
+        rejects every probe -- no false negatives, so the skip is
+        exact; files without an entry always scan."""
         schema = T.StructType.fromJson(m["schema"])
         enc: dict[str, tuple] = {}
         if ranges:
@@ -1024,16 +1046,23 @@ class LakeTable:
             m.get("stats", {})
             if enc and m.get("stats_format") == STATS_FORMAT else {}
         )
+        rejects = self._bloom_rejector(m, keys) if keys else None
+
+        def _skip(f: str) -> bool:
+            return (enc and _disjoint(stats.get(f), enc)) or (
+                rejects is not None and rejects(f)
+            )
+
         deltas = m.get("deltas", {})
         delta_buckets = [
             int(b) for b, fl in deltas.items()
             if fl and (buckets is None or int(b) in buckets)
         ]
-        if enc:
+        if enc or rejects is not None:
             delta_buckets = [
                 b for b in delta_buckets
                 if not all(
-                    _disjoint(stats.get(f), enc)
+                    _skip(f)
                     for f in (m["buckets"].get(str(b), [])
                               + deltas.get(str(b), []))
                 )
@@ -1044,9 +1073,77 @@ class LakeTable:
             if int(b) not in delta_buckets and (buckets is None or int(b) in buckets)
             for f in fl
         ]
-        if enc:
-            plain = [f for f in plain if not _disjoint(stats.get(f), enc)]
+        if enc or rejects is not None:
+            plain = [f for f in plain if not _skip(f)]
         return plain, delta_buckets
+
+    def _bloom_rejector(self, m: dict[str, Any], keys: list):
+        """A ``rel -> bool`` predicate ("this file provably holds NONE
+        of the probe keys") from the manifest's bloom sidecars, or None
+        when no consultable index exists. NULL probes are dropped (SQL
+        equality never matches a NULL key), an empty remainder means no
+        pruning; unreadable / stale-format sidecars are ignored --
+        coverage loss is always sound."""
+        if m.get("blooms_format") != _bloom.BLOOM_FORMAT:
+            return None
+        bloom_files = m.get("bloom_files") or {}
+        if not bloom_files:
+            return None
+        schema = T.StructType.fromJson(m["schema"])
+        if not _bloom.bloom_supported(schema[m["key"]].dataType):
+            return None
+        kvals = [v for v in keys if v is not None]
+        if not kvals:
+            return None
+        tables: list[tuple[set, dict, int, int, list[list[int]]]] = []
+        for sc_rel, cov in bloom_files.items():
+            doc = self._bloom_sidecar(sc_rel)
+            if doc is None:
+                continue
+            mb, kk = doc["m"], doc["k"]
+            pos = [_bloom.positions(v, mb, kk) for v in kvals]
+            tables.append((set(cov), doc["blooms"], mb, kk, pos))
+        if not tables:
+            return None
+        decoded: dict[tuple[str, str], bytes | None] = {}
+
+        def rejects(rel: str) -> bool:
+            for cov, entries, mb, kk, pos in tables:
+                if rel not in cov:
+                    continue
+                b64 = entries.get(rel)
+                if b64 is None:
+                    return False
+                ck = (id(entries), rel)
+                bits = decoded.get(ck)
+                if bits is None and ck not in decoded:
+                    try:
+                        bits = _bloom.decode_bitset(b64)
+                    except Exception:
+                        bits = None
+                    decoded[ck] = bits
+                if bits is None or len(bits) * 8 != mb:
+                    return False  # corrupt entry: scan the file
+                return all(
+                    any(not ((bits[p >> 3] >> (p & 7)) & 1) for p in pl)
+                    for pl in pos
+                )
+            return False
+
+        return rejects
+
+    def _bloom_sidecar(self, sc_rel: str) -> dict | None:
+        """Load-and-cache one immutable bloom sidecar (None = absent or
+        undecodable; cached either way -- uuid names never mutate)."""
+        if sc_rel in self._bloom_cache:
+            return self._bloom_cache[sc_rel]
+        try:
+            doc = _bloom.decode_sidecar(
+                self.fs.read_text(os.path.join(self.root, sc_rel)))
+        except Exception:
+            doc = None
+        self._bloom_cache[sc_rel] = doc
+        return doc
 
     def read(
         self,
@@ -1055,6 +1152,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         public: bool = False,
         ranges: dict[str, tuple] | None = None,
+        keys: list | None = None,
     ) -> DataFrame:
         """Snapshot read (optionally time-traveled / bucket-pruned /
         zone-map-pruned).
@@ -1084,12 +1182,27 @@ class LakeTable:
         for timestamp, date for date, int/float for numerics) --
         anything else is applied by the residual filter alone.
         Timestamp pruning interprets naive datetime bounds in the
-        session timezone (engine sessions pin UTC)."""
+        session timezone (engine sessions pin UTC).
+
+        ``keys=[...]`` restricts the result to rows whose MERGE KEY is
+        in the list (exact ``isin`` residual, which Catalyst pushes
+        through the union and the LWW aggregation into both parquet
+        scans) and PRUNES the scan with the manifest's Bloom sidecars
+        (harvest_blooms) under the same whole-bucket rule as ranges.
+        Supported for string/integral keys only -- the bloom hash
+        contract's precondition (sources/bloomindex.py); other key
+        types raise. A None probe matches nothing, like SQL equality."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
+        if keys is not None and not _bloom.bloom_supported(
+                schema[m["key"]].dataType):
+            raise TypeError(
+                f"read(keys=...) supports string/integral merge keys; "
+                f"{m['key']} is {schema[m['key']].dataType.simpleString()}")
         plain_rel, delta_buckets = self._plan_scan(
             m, buckets, ranges,
-            tz=spark.conf.get("spark.sql.session.timeZone"))
+            tz=spark.conf.get("spark.sql.session.timeZone"),
+            keys=keys)
         plain_files = [
             self.fs.spark_path(os.path.join(self.root, f)) for f in plain_rel
         ]
@@ -1113,6 +1226,10 @@ class LakeTable:
                     df = df.filter(F.col(col) >= F.lit(lo))
                 if hi is not None:
                     df = df.filter(F.col(col) <= F.lit(hi))
+        if keys is not None:
+            kvals = [v for v in keys if v is not None]
+            df = (df.filter(F.col(m["key"]).isin(kvals)) if kvals
+                  else df.filter(F.lit(False)))
         if public:
             df = df.drop(LSN_COL)
         return df
@@ -1123,6 +1240,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         ranges: dict[str, tuple] | None = None,
         tz: str | None = None,
+        keys: list | None = None,
     ) -> dict[str, list[str]]:
         """The scan plan ``read`` would execute, WITHOUT Spark: relative
         paths under ``{"plain": [...], "delta_resolved": [...]}``.
@@ -1131,9 +1249,12 @@ class LakeTable:
         with ``read``, so it cannot drift from what read scans (same
         validation too: unknown range columns raise). Pass ``tz`` to
         name the timezone of naive timestamp bounds when explaining a
-        session whose timeZone differs from the active one."""
+        session whose timeZone differs from the active one; ``keys`` to
+        explain Bloom-index file skipping the way ``read(keys=...)``
+        executes it."""
         m = self.manifest(version)
-        plain, delta_buckets = self._plan_scan(m, buckets, ranges, tz=tz)
+        plain, delta_buckets = self._plan_scan(m, buckets, ranges, tz=tz,
+                                               keys=keys)
         dfiles = self._files(m, delta_buckets, strip=True) + self._files(
             m, delta_buckets, "deltas", strip=True)
         return {"plain": plain, "delta_resolved": dfiles}
@@ -1156,7 +1277,14 @@ class LakeTable:
         ids (xxhash64 is JVM-side -- the one bucketing definition,
         never reimplemented driver-side), then a bucket-pruned snapshot
         read semi-joined against the broadcast key set. Deleted /
-        never-written keys simply yield no row."""
+        never-written keys simply yield no row.
+
+        When the table carries Bloom sidecars (``harvest_blooms``) and
+        the key type supports the hash contract, the keys also ride
+        through ``read(keys=...)``: file-level bloom skipping inside
+        the hashed buckets (which the zone-map envelope cannot do for
+        uniformly scattered keys) plus an exact ``isin`` residual that
+        Catalyst pushes into the parquet scans."""
         m = self.manifest(version)
         key, nb = m["key"], m["bucket_count"]
         schema = T.StructType.fromJson(m["schema"])
@@ -1194,7 +1322,8 @@ class LakeTable:
         except TypeError:  # unorderable key values: no envelope
             ranges = None
         df = self.read(spark, version=m["version"], buckets=hit,
-                       public=public, ranges=ranges)
+                       public=public, ranges=ranges,
+                       keys=keys if _bloom.bloom_supported(kt) else None)
         return df.join(F.broadcast(kdf), key, "left_semi")
 
     CHANGE_COL = "_change_type"
@@ -3458,6 +3587,30 @@ class LakeTable:
                 self.fs.remove(os.path.join(mdir, name))
                 n_manifests += 1
 
+        # 1b) bloom sidecars (harvest_blooms): keep any referenced by a
+        #     retained manifest; the rest are swept under the same age
+        #     gate as commit dirs -- names encode the harvest-time head
+        #     version (b{v}-{uuid}), and an in-flight harvest's head is
+        #     always >= oldest_kept, so its not-yet-committed sidecar
+        #     is structurally out of sweep range
+        bdir = os.path.join(mdir, "blooms")
+        n_sidecars = 0
+        if self.fs.isdir(bdir):
+            ref_sc: set[str] = set()
+            for mm in retained:
+                ref_sc.update(mm.get("bloom_files") or {})
+            for name in self.fs.listdir(bdir):
+                rel = os.path.join(MANIFEST_DIR, "blooms", name)
+                if rel in ref_sc or not name.startswith("b"):
+                    continue
+                try:
+                    bv = int(name[1:].split("-", 1)[0])
+                except ValueError:
+                    continue
+                if bv < oldest_kept:
+                    self.fs.remove(os.path.join(bdir, name))
+                    n_sidecars += 1
+
         # 2) delete data files no retained manifest references --
         #    restricted to commit dirs older than every retained
         #    manifest (see docstring for the in-flight-writer argument)
@@ -3523,6 +3676,7 @@ class LakeTable:
         return {
             "expired_manifests": n_manifests,
             "deleted_files": n_files,
+            "deleted_bloom_sidecars": n_sidecars,
             "oldest_kept_version": oldest_kept,
         }
 
@@ -3824,6 +3978,138 @@ class LakeTable:
 
         committed = self._commit_with_rebase(m, build)
         return {"version": committed["version"], **table_stats}
+
+    def harvest_blooms(
+        self,
+        spark: SparkSession,
+        bits_per_key: int = 10,
+        k: int = 5,
+        max_m_bits: int = 1 << 22,
+    ) -> dict[str, Any]:
+        """Build the MERGE-KEY Bloom index for every live data/delta
+        file not yet covered (INCREMENTAL: re-run after appends/merges
+        to extend coverage; already-indexed files are skipped). One
+        puffin-style sidecar per harvest (sources/bloomindex.py has the
+        format and the soundness argument), referenced by a metadata-
+        only commit that versions, time-travels and rebases like
+        analyze/tag. Consumed by ``lookup`` / ``read(keys=...)`` /
+        ``plan_files(keys=...)`` for file skipping inside hashed
+        buckets.
+
+        Cost: O(files) driver-side footer reads (row counts size the
+        filter: m = next pow2 of bits_per_key x largest file's rows,
+        capped at ``max_m_bits`` -- an over-full filter just skips
+        less, never wrongly) + ONE Spark job over just the key column
+        of the uncovered files, folding bit positions into 64-bit
+        words JVM-side (bit_or partial agg: the driver receives
+        O(m/64) longs per file, never rows). Delta files are indexed
+        too -- a tombstone's key must keep its bucket visible or
+        lookup could resurrect an older row.
+
+        Iceberg analogue: puffin blob files + the manifest's
+        referenced-blob list. Reference capability it extends: the
+        loader's control-file manifest has no file-skipping metadata
+        at all (/root/reference/src/YADAMU/loader/node/loaderDBI.js:321)."""
+        from .bloomindex import BLOOM_FORMAT, BLOOM_SALT, bloom_supported
+        from ..functions.sketchlib import md5_long
+
+        m = self.manifest()
+        key = m["key"]
+        schema = T.StructType.fromJson(m["schema"])
+        kdt = schema[key].dataType
+        if not bloom_supported(kdt):
+            raise ValueError(
+                f"bloom index needs a string/integral merge key; {key} "
+                f"is {kdt.simpleString()}")
+        live = self._files(m, None, strip=True) + self._files(
+            m, None, "deltas", strip=True)
+        covered: set[str] = set()
+        if m.get("blooms_format") == BLOOM_FORMAT:
+            for cov in (m.get("bloom_files") or {}).values():
+                covered.update(cov)
+        todo = sorted(f for f in live if f not in covered)
+        if not todo:
+            return {"version": m["version"], "files_indexed": 0,
+                    "sidecar": None}
+
+        import pyarrow.parquet as pq
+        n_max = 1
+        for rel in todo:
+            with self.fs.open_read(os.path.join(self.root, rel)) as fobj:
+                n_max = max(n_max, pq.ParquetFile(fobj).metadata.num_rows)
+        m_bits = 1024
+        while m_bits < bits_per_key * n_max and m_bits < max_m_bits:
+            m_bits *= 2
+
+        # match files back by their last two path components: commit
+        # dirs are uuid-unique, so the suffix is globally unique and
+        # survives whatever URI prefix input_file_name renders
+        suffix_of = {"/".join(rel.split("/")[-2:]): rel for rel in todo}
+        paths = [self.fs.spark_path(os.path.join(self.root, rel))
+                 for rel in todo]
+        kschema = T.StructType([T.StructField(key, kdt)])
+        s = F.col(key).cast("string")
+        h1, h2 = md5_long(s), md5_long(F.concat(s, F.lit(BLOOM_SALT)))
+        pos = F.explode(F.array(
+            *[(h1 + F.lit(i) * h2) % F.lit(m_bits) for i in range(k)]
+        )).alias("p")
+        rows = (
+            spark.read.schema(kschema).parquet(*paths)
+            .select(F.regexp_extract(F.input_file_name(),
+                                     r"([^/]+/[^/]+)$", 1).alias("f"),
+                    F.col(key))
+            .where(F.col(key).isNotNull())
+            .select("f", pos)
+            .select(
+                "f",
+                F.expr("p DIV 64").alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(p % 64 AS INT))").alias("mask"),
+            )
+            .groupBy("f", "w")
+            .agg(F.expr("bit_or(mask)").alias("word"))
+            .collect()
+        )
+        words: dict[str, dict[int, int]] = {}
+        for r in rows:
+            rel = suffix_of.get(r["f"])
+            if rel is not None:
+                words.setdefault(rel, {})[int(r["w"])] = int(r["word"])
+        # files absent from `words` held only NULL keys: an all-zero
+        # bloom is exactly right (no probe can match a NULL key)
+        payload = {
+            rel: _bloom.encode_bitset(words.get(rel, {}), m_bits)
+            for rel in todo
+        }
+        sc_rel = os.path.join(
+            MANIFEST_DIR, "blooms",
+            f"b{m['version']:012d}-{uuid.uuid4().hex[:8]}.json")
+        sc_path = os.path.join(self.root, sc_rel)
+        self.fs.makedirs(os.path.dirname(sc_path))
+        self.fs.put_atomic(sc_path, _bloom.encode_sidecar(
+            key, m_bits, k, payload))
+
+        def build(mp: dict[str, Any]) -> dict[str, Any]:
+            v = mp["version"] + 1
+            bf = (dict(mp.get("bloom_files") or {})
+                  if mp.get("blooms_format") == BLOOM_FORMAT else {})
+            bf[sc_rel] = todo
+            return {
+                **mp,
+                "version": v,
+                "parent": mp["version"],
+                "bloom_files": bf,
+                "blooms_format": BLOOM_FORMAT,
+                "audit": None,
+                "lineage": [],
+                "summary": {"operation": "harvest_blooms",
+                            "files": len(todo), "m_bits": m_bits, "k": k},
+                "committed_at": _utc_now_iso(),
+            }
+
+        committed = self._commit_with_rebase(m, build)
+        return {"version": committed["version"], "files_indexed": len(todo),
+                "m_bits": m_bits, "k": k, "sidecar": sc_rel}
 
     # ------------------------------------------------------------------
     def _new_commit_dir(self, version_hint: int) -> tuple[str, str]:
