@@ -227,3 +227,86 @@ def test_corrupt_or_missing_sidecar_is_scanned_not_wrong(spark, tmp_path):
     t2 = LakeTable(t.root)  # fresh handle: no warm sidecar cache
     assert n_files(t2.plan_files(keys=["k02"])) == 2  # no prune, no crash
     assert {r["val"] for r in t2.lookup(spark, ["k02"]).collect()} == {"a"}
+
+
+def test_k_bound_and_bits_validation(spark, tmp_path):
+    """k beyond MAX_K would overflow int64 in the Spark-side position
+    expression (silent cross-side divergence) -- a clean error instead;
+    k = MAX_K itself works end to end."""
+    t = mk(tmp_path / "t")
+    t.append(spark, adf(spark, [(f"k{i:02d}", "a") for i in range(0, 20, 2)]))
+    t.append(spark, adf(spark, [(f"k{i:02d}", "b") for i in range(1, 20, 2)]))
+    with pytest.raises(ValueError, match="overflows int64"):
+        t.harvest_blooms(spark, k=bloomindex.MAX_K + 1)
+    with pytest.raises(ValueError, match=r"k must be in"):
+        t.harvest_blooms(spark, k=0)
+    with pytest.raises(ValueError, match="bits_per_key"):
+        t.harvest_blooms(spark, bits_per_key=0)
+    res = t.harvest_blooms(spark, k=bloomindex.MAX_K)
+    assert res["files_indexed"] == 2
+    assert n_files(t.plan_files(keys=["k02"])) == 1
+    assert {r["val"] for r in t.lookup(spark, ["k02"]).collect()} == {"a"}
+
+
+def test_malformed_valid_json_sidecar_degrades_to_scan(spark, tmp_path):
+    """JSON-valid but semantically broken sidecars (m=0 modulus, missing
+    blooms dict) must degrade to a scan like invalid JSON does, never
+    crash the planner."""
+    import json
+
+    t = mk(tmp_path / "t")
+    t.append(spark, adf(spark, [(f"k{i:02d}", "a") for i in range(0, 20, 2)]))
+    t.append(spark, adf(spark, [(f"k{i:02d}", "b") for i in range(1, 20, 2)]))
+    sc_rel = t.harvest_blooms(spark)["sidecar"]
+    path = os.path.join(t.root, sc_rel)
+    for bad in (
+        {"format": bloomindex.BLOOM_FORMAT, "m": 0, "k": 5, "blooms": {}},
+        {"format": bloomindex.BLOOM_FORMAT, "m": 1024, "k": 5},
+        {"format": bloomindex.BLOOM_FORMAT, "m": 1024, "k": 5, "blooms": 7},
+    ):
+        with open(path, "w") as fh:
+            json.dump(bad, fh)
+        t2 = LakeTable(t.root)  # fresh handle: cold sidecar cache
+        assert n_files(t2.plan_files(keys=["k02"])) == 2  # scan, no crash
+        assert {r["val"] for r in t2.lookup(spark, ["k02"]).collect()} == {"a"}
+
+
+def test_lost_sidecar_is_repairable_by_reharvest(spark, tmp_path):
+    """A dead manifest ref (sidecar lost after commit) must not pin the
+    files as covered forever: re-harvest re-indexes them and pruning
+    comes back."""
+    t = mk(tmp_path / "t")
+    t.append(spark, adf(spark, [(f"k{i:02d}", "a") for i in range(0, 20, 2)]))
+    t.append(spark, adf(spark, [(f"k{i:02d}", "b") for i in range(1, 20, 2)]))
+    sc_rel = t.harvest_blooms(spark)["sidecar"]
+    os.remove(os.path.join(t.root, sc_rel))
+    t2 = LakeTable(t.root)
+    assert n_files(t2.plan_files(keys=["k02"])) == 2  # degraded, sound
+    res = t2.harvest_blooms(spark)
+    assert res["files_indexed"] == 2  # NOT a no-op on the dead ref
+    assert n_files(t2.plan_files(keys=["k02"])) == 1
+    assert {r["val"] for r in t2.lookup(spark, ["k02"]).collect()} == {"a"}
+
+
+def test_plan_files_keys_validation_matches_read(spark, tmp_path):
+    """plan_files is the explanation of read: both raise the same way
+    on a key type outside the bloom hash contract."""
+    sch = T.StructType([
+        T.StructField("k", T.DoubleType()),
+        T.StructField("v", T.StringType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), sch, key="k", bucket_count=2)
+    t.append(spark, spark.createDataFrame([(1.5, "a")], "k double, v string"))
+    with pytest.raises(TypeError, match="string/integral"):
+        t.plan_files(keys=[1.5])
+
+
+def test_null_probe_matches_nothing():
+    """positions(None) is empty and might_contain(None) is False -- the
+    SQL-equality contract, not the hash of the string 'None'."""
+    assert bloomindex.positions(None, 1024, 5) == []
+    bits = bytes(1024 // 8)
+    assert bloomindex.might_contain(bits, 1024, 5, None) is False
+    # and None never aliases the literal string "None"
+    p_str = bloomindex.positions("None", 1024, 5)
+    assert p_str and all(0 <= p < 1024 for p in p_str)

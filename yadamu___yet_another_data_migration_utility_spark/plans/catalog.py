@@ -1546,6 +1546,49 @@ def cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _replayed_lookup_table(spark: SparkSession, sf_dir: str, prefix: str):
+    """Shared harness for the point-lookup queries: replay the
+    changelog into a scratch LakeTable in 2 fenced mor batches and pick
+    the deterministic probe set (8 alphabetically-first urls). Returns
+    ``(table, keys)`` -- the queries differ only in what index they
+    consult on top."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix=prefix, dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(root, schema, key="url", bucket_count=16, overwrite=True)
+    bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    per = max(1, (hi - lo + 2) // 2)
+    for b in range(2):
+        batch = chg.filter(
+            (F.col("lsn") >= lo + b * per) & (F.col("lsn") < lo + (b + 1) * per)
+        )
+        apply_batch(table, batch, batch_id=b, run_extract=False)
+    keys = [
+        r["url"]
+        for r in chg.select("url").distinct().orderBy("url").limit(8).collect()
+    ]
+    return table, keys
+
+
 @_register(
     "cdc_point_lookup",
     f"""
@@ -1572,40 +1615,7 @@ def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (8 alphabetically-first urls; deleted keys yield no row in
     both). At 100 TB this is the operator's everyday query: O(keys/
     bucket_count) of the table instead of a scan."""
-    import atexit
-    import shutil
-    import tempfile
-
-    from pyspark.sql import types as T
-
-    from ..operators.apply import apply_batch
-    from ..session import scratch_dir
-    from ..sources.laketable import LakeTable
-
-    chg = cdc_changelog(spark, sf_dir)
-    schema = T.StructType(
-        [
-            T.StructField("url", T.StringType()),
-            T.StructField("ts", T.TimestampType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("event_type", T.StringType()),
-        ]
-    )
-    root = tempfile.mkdtemp(prefix="cdc_lookup_", dir=scratch_dir())
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    table = LakeTable.create(root, schema, key="url", bucket_count=16, overwrite=True)
-    bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
-    lo, hi = bounds[0], bounds[1]
-    per = max(1, (hi - lo + 2) // 2)
-    for b in range(2):
-        batch = chg.filter(
-            (F.col("lsn") >= lo + b * per) & (F.col("lsn") < lo + (b + 1) * per)
-        )
-        apply_batch(table, batch, batch_id=b, run_extract=False)
-    keys = [
-        r["url"]
-        for r in chg.select("url").distinct().orderBy("url").limit(8).collect()
-    ]
+    table, keys = _replayed_lookup_table(spark, sf_dir, "cdc_lookup_")
     return (
         table.lookup(spark, keys)
         .withColumnRenamed("_lsn", "last_lsn")
@@ -1643,41 +1653,8 @@ def cdc_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``isin`` keeps results exact regardless). At 100 TB this is
     Iceberg's bloom file skipping: a point lookup touches
     O(probed keys) files, not O(bucket)."""
-    import atexit
-    import shutil
-    import tempfile
-
-    from pyspark.sql import types as T
-
-    from ..operators.apply import apply_batch
-    from ..session import scratch_dir
-    from ..sources.laketable import LakeTable
-
-    chg = cdc_changelog(spark, sf_dir)
-    schema = T.StructType(
-        [
-            T.StructField("url", T.StringType()),
-            T.StructField("ts", T.TimestampType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("event_type", T.StringType()),
-        ]
-    )
-    root = tempfile.mkdtemp(prefix="cdc_bloom_", dir=scratch_dir())
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    table = LakeTable.create(root, schema, key="url", bucket_count=16, overwrite=True)
-    bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
-    lo, hi = bounds[0], bounds[1]
-    per = max(1, (hi - lo + 2) // 2)
-    for b in range(2):
-        batch = chg.filter(
-            (F.col("lsn") >= lo + b * per) & (F.col("lsn") < lo + (b + 1) * per)
-        )
-        apply_batch(table, batch, batch_id=b, run_extract=False)
+    table, keys = _replayed_lookup_table(spark, sf_dir, "cdc_bloom_")
     table.harvest_blooms(spark)
-    keys = [
-        r["url"]
-        for r in chg.select("url").distinct().orderBy("url").limit(8).collect()
-    ]
 
     def nf(plan):
         return len(plan["plain"]) + len(plan["delta_resolved"])

@@ -70,6 +70,13 @@ BLOOM_FORMAT = 1
 #: salt deriving the second hash of the double-hashing scheme
 BLOOM_SALT = "#bloom2"
 
+#: largest supported hash count: the Spark-side position expression
+#: ``h1 + i*h2`` is evaluated in BIGINT, and with h1, h2 < 2^60 the
+#: largest term ``h1 + (MAX_K-1)*h2 < 7*2^60`` stays inside int64;
+#: k = 8 would reach 2^63 and wrap negative on the JVM while Python's
+#: big ints stay exact -- silently breaking the cross-side contract
+MAX_K = 7
+
 _SUPPORTED_KEY_TYPES = (
     T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType,
 )
@@ -86,8 +93,11 @@ def _md5_60(s: str) -> int:
 
 
 def positions(value, m_bits: int, k: int) -> list[int]:
-    """Driver-side bit positions for a probe value (None has no
-    positions: SQL equality never matches a NULL key)."""
+    """Driver-side bit positions for a probe value (None has NO
+    positions -- the empty list -- because SQL equality never matches
+    a NULL key; ``might_contain`` maps that to False)."""
+    if value is None:
+        return []
     s = value if isinstance(value, str) else str(value)
     h1 = _md5_60(s)
     h2 = _md5_60(s + BLOOM_SALT)
@@ -95,6 +105,8 @@ def positions(value, m_bits: int, k: int) -> list[int]:
 
 
 def might_contain(bits: bytes, m_bits: int, k: int, value) -> bool:
+    if value is None:  # a NULL probe matches nothing, like SQL equality
+        return False
     return all(
         (bits[p >> 3] >> (p & 7)) & 1 for p in positions(value, m_bits, k)
     )
@@ -133,6 +145,13 @@ def decode_sidecar(text: str) -> dict | None:
         return None
     if not isinstance(doc, dict) or doc.get("format") != BLOOM_FORMAT:
         return None
+    # a JSON-valid but malformed document must degrade to a scan, not
+    # crash the planner: m/k must be usable by positions() (m > 0 is
+    # the modulus) and blooms must be the {rel: b64} dict probes index
     if not isinstance(doc.get("m"), int) or not isinstance(doc.get("k"), int):
+        return None
+    if doc["m"] <= 0 or doc["k"] <= 0:
+        return None
+    if not isinstance(doc.get("blooms"), dict):
         return None
     return doc

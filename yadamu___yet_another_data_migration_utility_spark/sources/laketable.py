@@ -1253,6 +1253,15 @@ class LakeTable:
         explain Bloom-index file skipping the way ``read(keys=...)``
         executes it."""
         m = self.manifest(version)
+        if keys is not None:
+            # same validation as read(keys=...): the plan must never
+            # succeed where the read it explains would raise
+            schema = T.StructType.fromJson(m["schema"])
+            if not _bloom.bloom_supported(schema[m["key"]].dataType):
+                raise TypeError(
+                    f"plan_files(keys=...) supports string/integral merge "
+                    f"keys; {m['key']} is "
+                    f"{schema[m['key']].dataType.simpleString()}")
         plain, delta_buckets = self._plan_scan(m, buckets, ranges, tz=tz,
                                                keys=keys)
         dfiles = self._files(m, delta_buckets, strip=True) + self._files(
@@ -3590,9 +3599,13 @@ class LakeTable:
         # 1b) bloom sidecars (harvest_blooms): keep any referenced by a
         #     retained manifest; the rest are swept under the same age
         #     gate as commit dirs -- names encode the harvest-time head
-        #     version (b{v}-{uuid}), and an in-flight harvest's head is
-        #     always >= oldest_kept, so its not-yet-committed sidecar
-        #     is structurally out of sweep range
+        #     version (b{v}-{uuid}), so an in-flight harvest's sidecar
+        #     is normally out of sweep range (its head >= oldest_kept).
+        #     The residual race (>= keep_last commits land between the
+        #     harvest's read and its rebased commit) is self-healed:
+        #     harvest_blooms re-puts the sidecar after committing if
+        #     the sweep got it, and re-harvest treats dead refs as
+        #     uncovered, so the hole is repairable either way
         bdir = os.path.join(mdir, "blooms")
         n_sidecars = 0
         if self.fs.isdir(bdir):
@@ -4010,9 +4023,17 @@ class LakeTable:
         referenced-blob list. Reference capability it extends: the
         loader's control-file manifest has no file-skipping metadata
         at all (/root/reference/src/YADAMU/loader/node/loaderDBI.js:321)."""
-        from .bloomindex import BLOOM_FORMAT, BLOOM_SALT, bloom_supported
+        from .bloomindex import BLOOM_FORMAT, BLOOM_SALT, MAX_K, bloom_supported
         from ..functions.sketchlib import md5_long
 
+        if not 1 <= k <= MAX_K:
+            raise ValueError(
+                f"k must be in [1, {MAX_K}]: the Spark-side position "
+                f"expression h1 + i*h2 overflows int64 beyond k={MAX_K} "
+                f"(bloomindex.MAX_K), silently diverging from the "
+                f"driver-side big-int hash")
+        if bits_per_key < 1:
+            raise ValueError("bits_per_key must be >= 1")
         m = self.manifest()
         key = m["key"]
         schema = T.StructType.fromJson(m["schema"])
@@ -4023,10 +4044,15 @@ class LakeTable:
                 f"is {kdt.simpleString()}")
         live = self._files(m, None, strip=True) + self._files(
             m, None, "deltas", strip=True)
+        # a file counts as covered only if its sidecar is actually
+        # READABLE: a lost/corrupt sidecar (corruption, or the expire
+        # race below) leaves a dead manifest ref -- re-harvesting must
+        # repair the coverage hole, not no-op on the dead ref forever
         covered: set[str] = set()
         if m.get("blooms_format") == BLOOM_FORMAT:
-            for cov in (m.get("bloom_files") or {}).values():
-                covered.update(cov)
+            for sc_rel, cov in (m.get("bloom_files") or {}).items():
+                if self._bloom_sidecar(sc_rel) is not None:
+                    covered.update(cov)
         todo = sorted(f for f in live if f not in covered)
         if not todo:
             return {"version": m["version"], "files_indexed": 0,
@@ -4085,9 +4111,9 @@ class LakeTable:
             MANIFEST_DIR, "blooms",
             f"b{m['version']:012d}-{uuid.uuid4().hex[:8]}.json")
         sc_path = os.path.join(self.root, sc_rel)
+        sc_text = _bloom.encode_sidecar(key, m_bits, k, payload)
         self.fs.makedirs(os.path.dirname(sc_path))
-        self.fs.put_atomic(sc_path, _bloom.encode_sidecar(
-            key, m_bits, k, payload))
+        self.fs.put_atomic(sc_path, sc_text)
 
         def build(mp: dict[str, Any]) -> dict[str, Any]:
             v = mp["version"] + 1
@@ -4108,6 +4134,14 @@ class LakeTable:
             }
 
         committed = self._commit_with_rebase(m, build)
+        if not self.fs.exists(sc_path):
+            # expire race: if >= keep_last commits landed between our
+            # manifest read (the sidecar's b{v} name) and the rebased
+            # commit, a concurrent expire_snapshots may have swept the
+            # then-unreferenced sidecar. Now that the commit references
+            # it, re-put the identical content (idempotent) -- readers
+            # in the gap degraded to scans, which is always sound.
+            self.fs.put_atomic(sc_path, sc_text)
         return {"version": committed["version"], "files_indexed": len(todo),
                 "m_bits": m_bits, "k": k, "sidecar": sc_rel}
 
