@@ -808,3 +808,46 @@ def test_cli_bloom_harvest_and_describe(spark, tmp_path, capsys):
     # incremental: nothing new to index
     rc, again = _run(capsys, ["bloom", "--table-root", root])
     assert rc == 0 and again["files_indexed"] == 0 and again["sidecar"] is None
+
+
+def test_cli_requeue_drains_dead_letters(spark, tmp_path, capsys):
+    """`requeue --set COL=EXPR` drains the quarantine through the real
+    engine: repaired rows re-enter at their original lsn, a re-run is a
+    fenced no-op, and `--set` without '=' is a clean usage error."""
+    from yadamu___yet_another_data_migration_utility_spark.fixtures.changelog import (
+        PAGE_SCHEMA,
+        changelog_df,
+    )
+    from yadamu___yet_another_data_migration_utility_spark.operators.apply import (
+        REQUEUE_BASE,
+        apply_batch,
+    )
+    from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
+        LakeTable,
+    )
+
+    root = str(tmp_path / "lake")
+    t = LakeTable.create(root, PAGE_SCHEMA, key="url", bucket_count=4)
+    log = changelog_df(spark, 400, 40, poison_mod=15, dup_mod=0)
+    m = apply_batch(t, log, batch_id=0)
+    assert m.rows_quarantined > 0
+
+    rc, out = _run(capsys, [
+        "requeue", "--table-root", root,
+        "--set", "html=coalesce(html, X'3c703e3c2f703e')",
+        "--set", "url=coalesce(url, concat('https://repaired/', lsn))",
+    ])
+    assert rc == 0 and out["drained"]
+    assert out["metrics"]["batch_id"] == REQUEUE_BASE + 0
+    assert out["metrics"]["rows_in"] == m.rows_quarantined
+    assert out["metrics"]["rows_quarantined"] == 0
+    assert out["pending_after"] == []
+
+    # replay of the drained id is a fenced no-op through the CLI too
+    rc, again = _run(capsys, ["requeue", "--table-root", root,
+                              "--batch-id", "0"])
+    assert rc == 0 and again["metrics"]["fenced"]
+
+    # malformed --set is rejected before any work
+    rc, _ = _run(capsys, ["requeue", "--table-root", root, "--set", "html"])
+    assert rc == 2

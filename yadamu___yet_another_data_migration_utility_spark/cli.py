@@ -96,6 +96,8 @@ stateless per-job; a lake table needs day-2 operations):
     plan     EXPLAIN-for-files: which files a --range scan would read
              after zone-map pruning (no Spark session)
     lookup   bucket-pruned point read(s) by key (--version/tag composes)
+    requeue  drain the dead-letter quarantine back through the engine
+             with optional --set COL=EXPR repair (exactly-once fenced)
     snapshots / files  Iceberg-style metadata tables as JSON lines
 
 Every Spark verb builds the standard engine session (session.get_spark)
@@ -672,6 +674,37 @@ def cmd_lookup(args) -> int:
     print(json.dumps({
         "key_column": m["key"], "requested": len(keys), "found": len(rows),
         "rows": [r.asDict() for r in rows],
+    }, sort_keys=True, default=str))
+    return 0
+
+
+def cmd_requeue(args) -> int:
+    """Drain the dead-letter quarantine back through the engine
+    (operators.apply.requeue_quarantine): optional per-column repair,
+    re-validation, exactly-once fencing. Rows the repair does not fix
+    land back in quarantine under the drain's own batch id."""
+    from .operators.apply import pending_quarantine_ids, requeue_quarantine
+
+    t = _table(args)
+    repair = {}
+    for item in args.set or []:
+        col, _, expr = item.partition("=")
+        if not col or not expr:
+            print(f"error: --set expects COL=SQL_EXPR, got {item!r}",
+                  file=sys.stderr)
+            return 2
+        repair[col] = expr
+    spark = _spark(args.cpus)
+    m = requeue_quarantine(
+        t, spark,
+        batch_ids=args.batch_id or None,
+        repair=repair or None,
+        requeue_id=args.requeue_id,
+    )
+    print(json.dumps({
+        "drained": m is not None,
+        "metrics": m.as_dict() if m else None,
+        "pending_after": pending_quarantine_ids(t),
     }, sort_keys=True, default=str))
     return 0
 
@@ -1422,6 +1455,25 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     branch_opt(sp)
     sp.set_defaults(fn=cmd_lookup)
+
+    sp = sub.add_parser(
+        "requeue",
+        help="drain the dead-letter quarantine back through the engine "
+             "with optional --set COL=EXPR repair (exactly-once fenced)",
+    )
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--batch-id", action="append", type=int, default=None,
+                    help="quarantine batch id to drain (repeatable; "
+                         "default: all pending)")
+    sp.add_argument("--set", action="append", default=[],
+                    metavar="COL=SQL_EXPR",
+                    help="repair expression applied before re-validation "
+                         "(repeatable)")
+    sp.add_argument("--requeue-id", type=int, default=None,
+                    help="explicit fence id for the drain commit "
+                         "(default: REQUEUE_BASE + max drained id)")
+    common(sp)
+    sp.set_defaults(fn=cmd_requeue)
 
     sp = sub.add_parser(
         "plan",

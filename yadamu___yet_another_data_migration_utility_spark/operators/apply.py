@@ -186,6 +186,7 @@ def apply_batch(
     run_extract: bool = True,
     dedup: str = "broadcast",
     precheck_errors: bool = False,
+    extra_audit: dict[str, Any] | None = None,
 ) -> BatchMetrics:
     """Apply one micro-batch of change events to ``table``. Pure:
     (table, df, batch_id) -> metrics; safe to replay.
@@ -254,7 +255,9 @@ def apply_batch(
             F.count(F.lit(1)).alias("n_in"), F.count("_reason").alias("n_bad")
         ).collect()[0]
         if pre["n_bad"] > max_errors:
-            counts0 = {"rows_batch_in": pre["n_in"], "rows_quarantined": pre["n_bad"]}
+            counts0 = {"rows_batch_in": pre["n_in"],
+                       "rows_quarantined": pre["n_bad"],
+                       **(extra_audit or {})}
             # quarantine rows persist BEFORE the policy decision lands,
             # same ordering contract as the in-merge hook
             qdir = os.path.join(table.root, QUARANTINE_DIR, f"batch_id={batch_id}")
@@ -359,8 +362,10 @@ def apply_batch(
 
     # filled by the hook once the observation has fired; doubles as the
     # extra_audit dict (merge reads it at manifest-build time, after the
-    # hook has populated it)
-    counts: dict[str, int] = {}
+    # hook has populated it). Caller-supplied extra_audit keys ride
+    # along -- requeue_quarantine records its drained source dirs here
+    # so a crashed drain can recover the exact list from the fence.
+    counts: dict[str, Any] = dict(extra_audit or {})
 
     def _pre_commit() -> None:
         got = obs.get
@@ -500,3 +505,126 @@ def quarantine_df(spark, table: LakeTable) -> DataFrame | None:
     if not os.path.exists(qroot) or not os.listdir(qroot):
         return None
     return spark.read.option("basePath", qroot).parquet(qroot)
+
+
+#: namespace offset keeping auto-derived requeue batch ids out of the
+#: stream's ordinary batch-id space (a collision would mis-fence)
+REQUEUE_BASE = 1 << 40
+
+#: audit key recording which quarantine dirs a requeue commit drained
+REQUEUE_AUDIT_KEY = "requeue_source_batches"
+
+
+def pending_quarantine_ids(table: LakeTable) -> list[int]:
+    """Batch ids with rows waiting in the dead-letter side table."""
+    qroot = os.path.join(table.root, QUARANTINE_DIR)
+    if not table.fs.isdir(qroot):
+        return []
+    out = []
+    for name in table.fs.listdir(qroot):
+        if name.startswith("batch_id="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def requeue_quarantine(
+    table: LakeTable,
+    spark,
+    batch_ids: list[int] | None = None,
+    repair: Any = None,
+    requeue_id: int | None = None,
+    **apply_kwargs: Any,
+) -> BatchMetrics | None:
+    """Drain the dead-letter quarantine back through the engine --
+    the reject-manager's missing second half (the reference persists
+    rejects to a replayable file precisely so they can be re-imported
+    after repair: /root/reference/src/YADAMU/common/yadamuRejectManager
+    .js:48-108 writes them in the engine's own import format).
+
+    ``repair`` fixes the poison before re-validation: a callable
+    ``DataFrame -> DataFrame``, or a ``{column: sql_expr}`` dict applied
+    via ``F.expr``. Rows the repair does NOT fix are re-tagged by the
+    ordinary ``apply_batch`` validation and land back in quarantine
+    under the requeue's own batch id -- nothing is ever dropped
+    silently, and a second repair pass can drain them again.
+
+    Exactly-once drain (the same replay contract as ``apply_batch``:
+    call again with the same arguments after a crash):
+
+    - the requeue IS an ``apply_batch`` under ``requeue_id`` (default:
+      ``REQUEUE_BASE + max(batch_ids)``, deterministic), so the apply
+      side is fenced in the manifest like any stream batch;
+    - the commit's audit records the drained dir list
+      (``requeue_source_batches``), so a crash AFTER the commit but
+      BEFORE the dir sweep recovers the exact list from the fence --
+      a quarantine dir that arrived between crash and replay is never
+      swept by the replay;
+    - the dir sweep itself is idempotent (rmtree of named dirs).
+
+    Returns the apply's ``BatchMetrics`` (``None`` if there was nothing
+    to drain). ``rows_quarantined`` in the result counts rows that
+    FAILED repair and were re-quarantined under ``requeue_id``."""
+    pending = pending_quarantine_ids(table)
+    if batch_ids is None:
+        batch_ids = pending
+    else:
+        missing = [b for b in batch_ids if b not in pending]
+        if missing:
+            # tolerate already-swept dirs ONLY when the fence proves the
+            # drain happened; otherwise it is a caller bug
+            rid = requeue_id if requeue_id is not None else (
+                REQUEUE_BASE + max(batch_ids))
+            if not table.is_applied(rid):
+                raise FileNotFoundError(
+                    f"no quarantine dirs for batch_ids {missing}; "
+                    f"pending: {pending}")
+    if not batch_ids:
+        return None
+    if requeue_id is None:
+        requeue_id = REQUEUE_BASE + max(batch_ids)
+    qroot = os.path.join(table.root, QUARANTINE_DIR)
+
+    def _sweep(ids: list[int]) -> None:
+        for b in ids:
+            table.fs.rmtree(os.path.join(qroot, f"batch_id={b}"))
+
+    if table.is_applied(requeue_id):
+        # crash landed between the fenced commit and the dir sweep (or
+        # this is a plain replay): recover the recorded drain list from
+        # the commit's audit row -- NOT the current dir listing, which
+        # may contain newer, undrained batches
+        recorded = None
+        for a in table.audit_entries():
+            if a.get("batch_id") == requeue_id and REQUEUE_AUDIT_KEY in a:
+                recorded = a[REQUEUE_AUDIT_KEY]
+        _sweep(recorded if recorded is not None else [])
+        return BatchMetrics(requeue_id, 0, 0, 0, 0, 0, True, None, 0)
+
+    paths = [os.path.join(qroot, f"batch_id={b}") for b in batch_ids]
+    df = (
+        spark.read.option("basePath", qroot).parquet(*paths)
+        # partition col (batch_id) + bookkeeping cols must not reach the
+        # merge, or schema evolution would graft them onto the table
+        .drop("batch_id", "_batch_id", "reason")
+    )
+    if callable(repair):
+        df = repair(df)
+    elif isinstance(repair, dict):
+        for col, expr in repair.items():
+            df = df.withColumn(col, F.expr(expr))
+    elif repair is not None:
+        raise TypeError("repair must be callable or {column: sql_expr}")
+
+    metrics = apply_batch(
+        table, df, requeue_id,
+        extra_audit={REQUEUE_AUDIT_KEY: sorted(batch_ids)},
+        **apply_kwargs,
+    )
+    # the fence is durable; sweeping the drained dirs is now safe and
+    # idempotent. (On BatchAborted above, nothing was fenced and nothing
+    # is swept -- the replay redoes the whole drain.)
+    _sweep(batch_ids)
+    return metrics

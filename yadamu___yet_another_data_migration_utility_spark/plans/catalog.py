@@ -432,6 +432,84 @@ def cdc_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_dlq_requeue",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    repaired AS (
+      SELECT url, ts,
+             CASE WHEN lsn % 89 = 0 THEN ABS(value) + 1 ELSE value END AS value,
+             event_type, op, lsn
+      FROM chg
+    ),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn
+      FROM repaired
+    )
+    SELECT url, lsn AS last_lsn, event_type, value, ts
+    FROM last WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_dlq_requeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEAD-LETTER DRAIN through the real engine: poison the changelog
+    (negate ``value`` on every lsn % 89 == 0 event), replay it in 2
+    fenced mor batches into a table with a CHECK(value >= 0) constraint
+    -- the poisoned non-delete rows land in the quarantine side table
+    instead of the data -- then ``requeue_quarantine`` repairs them
+    (``value := -value``) and re-applies them exactly-once at their
+    ORIGINAL lsn. The oracle is the declarative LWW state over the
+    repaired changelog: matching it proves quarantined rows re-enter
+    the stream at the right position, not as new tail events.
+    Reference: the reject manager persists rejects in the engine's own
+    import format precisely so they can be re-imported after repair
+    (/root/reference/src/YADAMU/common/yadamuRejectManager.js:48-108).
+    At 100 TB the drain is O(dead letters), not O(table): one ordinary
+    micro-batch apply over the quarantine dirs."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.apply import apply_batch, requeue_quarantine
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir).withColumn(
+        "value",
+        F.when(F.col("lsn") % 89 == 0,
+               -F.abs(F.col("value")) - 1).otherwise(F.col("value")),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_dlq_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(root, schema, key="url", bucket_count=16,
+                             overwrite=True)
+    table.add_constraint(spark, "value_nonneg", "value >= 0")
+    bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    per = max(1, (hi - lo + 2) // 2)
+    for b in range(2):
+        batch = chg.filter(
+            (F.col("lsn") >= lo + b * per) & (F.col("lsn") < lo + (b + 1) * per)
+        )
+        apply_batch(table, batch, batch_id=b, run_extract=False)
+    requeue_quarantine(table, spark, repair={"value": "-value"},
+                       run_extract=False)
+    return (
+        table.read(spark)
+        .withColumnRenamed("_lsn", "last_lsn")
+        .select("url", "last_lsn", "event_type", "value", "ts")
+    )
+
+
+@_register(
     "cdc_replay_merge",
     f"""
     WITH chg AS ({_CDC_SQL_SRC}),
