@@ -851,3 +851,62 @@ def test_cli_requeue_drains_dead_letters(spark, tmp_path, capsys):
     # malformed --set is rejected before any work
     rc, _ = _run(capsys, ["requeue", "--table-root", root, "--set", "html"])
     assert rc == 2
+
+
+def test_cli_merge_into(spark, tmp_path, capsys):
+    """`merge-into` runs a full three-clause MERGE from a parquet
+    source, fences on --batch-id, and rejects malformed clause args."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
+        LakeTable,
+    )
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ])
+    root = str(tmp_path / "lake")
+    t = LakeTable.create(root, schema, key="url", bucket_count=4)
+    t.append(spark, spark.range(10).select(
+        F.concat(F.lit("k"), F.col("id")).alias("url"),
+        F.col("id").cast("double").alias("value"),
+        F.lit("old").alias("status")))
+    srcp = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [("k0", 100.0, "upd"), ("k1", 0.0, "gone"), ("k99", 7.0, "new")],
+        "url string, value double, status string").write.parquet(srcp)
+
+    rc, out = _run(capsys, [
+        "merge-into", "--table-root", root, "--source", srcp,
+        "--set", "value=s.value", "--set", "status=s.status",
+        "--delete", "--delete-condition", "s.status = 'gone'",
+        "--insert-all", "--batch-id", "5",
+    ])
+    assert rc == 0
+    assert out["counts"] == {"rows_source": 3, "rows_updated": 1,
+                             "rows_deleted": 1, "rows_inserted": 1}
+    got = {r["url"]: (r["value"], r["status"])
+           for r in t.read(spark).collect()}
+    assert got["k0"] == (100.0, "upd")
+    assert "k1" not in got
+    assert got["k99"] == (7.0, "new")
+
+    # fenced replay through the CLI
+    rc, again = _run(capsys, [
+        "merge-into", "--table-root", root, "--source", srcp,
+        "--set-all", "--batch-id", "5",
+    ])
+    assert rc == 0 and again["version"] is None
+    assert again["counts"]["fenced"] == 1
+
+    # malformed --set / conflicting flags are usage errors
+    rc, _ = _run(capsys, ["merge-into", "--table-root", root,
+                          "--source", srcp, "--set", "value"])
+    assert rc == 2
+    rc, _ = _run(capsys, ["merge-into", "--table-root", root,
+                          "--source", srcp, "--set", "value=1",
+                          "--set-all"])
+    assert rc == 2

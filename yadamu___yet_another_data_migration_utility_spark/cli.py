@@ -98,6 +98,9 @@ stateless per-job; a lake table needs day-2 operations):
     lookup   bucket-pruned point read(s) by key (--version/tag composes)
     requeue  drain the dead-letter quarantine back through the engine
              with optional --set COL=EXPR repair (exactly-once fenced)
+    merge-into  general MERGE INTO from a source file: matched
+             update/delete + not-matched insert, SQL clauses over
+             t.*/s.* (the ad-hoc upsert next to the replay stream)
     snapshots / files  Iceberg-style metadata tables as JSON lines
 
 Every Spark verb builds the standard engine session (session.get_spark)
@@ -706,6 +709,62 @@ def cmd_requeue(args) -> int:
         "metrics": m.as_dict() if m else None,
         "pending_after": pending_quarantine_ids(t),
     }, sort_keys=True, default=str))
+    return 0
+
+
+def cmd_merge_into(args) -> int:
+    """General MERGE INTO from a staged source file: WHEN MATCHED
+    UPDATE/DELETE + WHEN NOT MATCHED INSERT with SQL expressions over
+    ``t.*``/``s.*`` (LakeTable.merge_into). The CDC stream path is
+    ``replay``; this is the ad-hoc upsert/correction surface."""
+    t = _table(args)
+
+    def _pairs(items: list[str], flag: str) -> dict[str, str] | None:
+        out: dict[str, str] = {}
+        for item in items:
+            col, _, expr = item.partition("=")
+            if not col or not expr:
+                raise SystemExit(
+                    f"error: {flag} expects COL=SQL_EXPR, got {item!r}")
+            out[col] = expr
+        return out or None
+
+    if args.set and args.set_all:
+        print("error: --set and --set-all are mutually exclusive",
+              file=sys.stderr)
+        return 2
+    if args.insert and args.insert_all:
+        print("error: --insert and --insert-all are mutually exclusive",
+              file=sys.stderr)
+        return 2
+    try:
+        update_set = "all" if args.set_all else _pairs(args.set, "--set")
+        insert_values = "all" if args.insert_all else _pairs(
+            args.insert, "--insert")
+    except SystemExit as e:
+        print(e, file=sys.stderr)
+        return 2
+    spark = _spark(args.cpus)
+    reader = spark.read
+    if args.format == "csv":
+        src = reader.option("header", "true") \
+            .option("inferSchema", "true").csv(args.source)
+    elif args.format == "json":
+        src = reader.json(args.source)
+    else:
+        src = reader.parquet(args.source)
+    v, counts = t.merge_into(
+        spark, src,
+        source_key=args.source_key,
+        update_set=update_set,
+        update_condition=args.update_condition,
+        delete=args.delete,
+        delete_condition=args.delete_condition,
+        insert_values=insert_values,
+        insert_condition=args.insert_condition,
+        batch_id=args.batch_id,
+    )
+    print(json.dumps({"version": v, "counts": counts}, sort_keys=True))
     return 0
 
 
@@ -1474,6 +1533,42 @@ def build_parser() -> argparse.ArgumentParser:
                          "(default: REQUEUE_BASE + max drained id)")
     common(sp)
     sp.set_defaults(fn=cmd_requeue)
+
+    sp = sub.add_parser(
+        "merge-into",
+        help="general MERGE INTO from a source file: matched "
+             "update/delete + not-matched insert with SQL clauses "
+             "over t.*/s.*",
+    )
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--source", required=True,
+                    help="source file/dir (parquet by default)")
+    sp.add_argument("--format", choices=["parquet", "csv", "json"],
+                    default="parquet")
+    sp.add_argument("--source-key", default=None,
+                    help="source column equal to the table key "
+                         "(default: the key's own name)")
+    sp.add_argument("--set", action="append", default=[],
+                    metavar="COL=SQL_EXPR",
+                    help="WHEN MATCHED THEN UPDATE SET (repeatable)")
+    sp.add_argument("--set-all", action="store_true",
+                    help="UPDATE SET * (every source column by name)")
+    sp.add_argument("--update-condition", default=None, metavar="SQL")
+    sp.add_argument("--delete", action="store_true",
+                    help="WHEN MATCHED THEN DELETE (before update)")
+    sp.add_argument("--delete-condition", default=None, metavar="SQL")
+    sp.add_argument("--insert", action="append", default=[],
+                    metavar="COL=SQL_EXPR",
+                    help="WHEN NOT MATCHED THEN INSERT (repeatable; "
+                         "no --insert*/--insert-all = no insert clause)")
+    sp.add_argument("--insert-all", action="store_true",
+                    help="INSERT * (missing columns become NULL)")
+    sp.add_argument("--insert-condition", default=None, metavar="SQL")
+    sp.add_argument("--batch-id", type=int, default=None,
+                    help="fence id: a replayed merge-into is a no-op")
+    common(sp)
+    branch_opt(sp)
+    sp.set_defaults(fn=cmd_merge_into)
 
     sp = sub.add_parser(
         "plan",

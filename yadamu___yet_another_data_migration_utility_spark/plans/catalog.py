@@ -510,6 +510,128 @@ def cdc_dlq_requeue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_merge_into",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    last AS (
+      SELECT url, lsn, op, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn
+      FROM chg
+    ),
+    seed AS (
+      SELECT url, lsn, event_type, value, ts FROM last
+      WHERE rn = 1 AND op <> 'D'
+    ),
+    hw AS (SELECT MAX(lsn) AS h FROM chg),
+    src AS (
+      SELECT url,
+             CAST(concat('0x', substr(md5(url), 1, 15)) AS BIGINT) % 10
+               AS die
+      FROM (SELECT DISTINCT url FROM chg)
+      UNION ALL
+      SELECT concat('https://merged.example.com/u/', CAST(i AS VARCHAR))
+               AS url,
+             CAST(i AS BIGINT) AS die
+      FROM range(50) t(i)
+    ),
+    actions AS (
+      SELECT url, die, CASE WHEN die = 3 THEN 'D' ELSE 'U' END AS action
+      FROM src
+    ),
+    merged AS (
+      SELECT s2.url,
+             CASE WHEN a.url IS NOT NULL AND a.action <> 'D'
+                  THEN s2.value + 1000 ELSE s2.value END AS value,
+             CASE WHEN a.url IS NOT NULL AND a.action <> 'D'
+                  THEN 'merged' ELSE s2.event_type END AS event_type,
+             CASE WHEN a.url IS NOT NULL AND a.action <> 'D'
+                  THEN hw.h + 1 ELSE s2.lsn END AS last_lsn,
+             s2.ts
+      FROM seed s2 LEFT JOIN actions a ON s2.url = a.url CROSS JOIN hw
+      WHERE NOT (a.url IS NOT NULL AND a.action = 'D')
+      UNION ALL
+      SELECT a.url, CAST(a.die AS DOUBLE) AS value,
+             'inserted' AS event_type, hw.h + 1 AS last_lsn,
+             CAST(NULL AS TIMESTAMP) AS ts
+      FROM actions a LEFT JOIN seed s2 ON a.url = s2.url CROSS JOIN hw
+      WHERE s2.url IS NULL AND a.action <> 'D'
+    )
+    SELECT url, last_lsn, event_type, value, ts FROM merged
+    """,
+)
+def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERAL MERGE INTO through the real engine: seed the LWW state
+    of the changelog into a LakeTable (one fenced apply), then run ONE
+    ``merge_into`` exercising all three clause families at once --
+    WHEN MATCHED AND s.action='D' THEN DELETE, WHEN MATCHED THEN
+    UPDATE SET (value+1000, event_type='merged'), WHEN NOT MATCHED
+    AND s.action<>'D' THEN INSERT -- and read the final state back
+    with its ``_lsn`` stamps. The oracle replays the identical clause
+    algebra declaratively (LEFT JOIN + UNION), including the fresh-LSN
+    stamp (MAX(lsn)+1) updated/inserted rows must carry so downstream
+    LSN-monotonic consumers see them win. The source's per-key action
+    die is md5-derived -- bit-identical across Spark and DuckDB.
+    At 100 TB: the source agg finds touched buckets, only those
+    buckets rewrite (one co-partitioned key join), untouched data
+    moves by manifest reference -- cost O(touched + source), the
+    Iceberg copy-on-write MERGE shape."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..functions.sketchlib import md5_long
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_mi_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(root, schema, key="url", bucket_count=16,
+                             overwrite=True)
+    apply_batch(table, chg, batch_id=0, run_extract=False)
+
+    src = (
+        chg.select("url").distinct()
+        .select("url", (md5_long(F.col("url")) % 10).alias("die"))
+        .unionByName(
+            spark.range(50).select(
+                F.concat(F.lit("https://merged.example.com/u/"),
+                         F.col("id").cast("string")).alias("url"),
+                F.col("id").alias("die"),
+            )
+        )
+        .withColumn("action",
+                    F.when(F.col("die") == 3, "D").otherwise("U"))
+    )
+    table.merge_into(
+        spark, src,
+        update_set={"value": "t.value + 1000",
+                    "event_type": "'merged'"},
+        delete=True, delete_condition="s.action = 'D'",
+        insert_values={"value": "CAST(s.die AS DOUBLE)",
+                       "event_type": "'inserted'"},
+        insert_condition="s.action <> 'D'",
+        batch_id=1,
+    )
+    return (
+        table.read(spark)
+        .withColumnRenamed("_lsn", "last_lsn")
+        .select("url", "last_lsn", "event_type", "value", "ts")
+    )
+
+
+@_register(
     "cdc_replay_merge",
     f"""
     WITH chg AS ({_CDC_SQL_SRC}),

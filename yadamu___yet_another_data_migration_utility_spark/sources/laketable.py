@@ -3004,6 +3004,291 @@ class LakeTable:
             raise
         return v, n_hit, n_ins
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        source_key: str | None = None,
+        update_set: dict[str, str] | str | None = None,
+        update_condition: str | None = None,
+        delete: bool = False,
+        delete_condition: str | None = None,
+        insert_values: dict[str, str] | str | None = "all",
+        insert_condition: str | None = None,
+        batch_id: int | None = None,
+    ) -> tuple[int | None, dict[str, int]]:
+        """General ``MERGE INTO`` -- the user-facing upsert surface
+        (Delta ``MERGE INTO`` / Iceberg ``MERGE``), distinct from the
+        CDC hot path ``merge()``: arbitrary SET/condition clauses instead of
+        fixed op/lsn semantics. The reference engine is insert-only per
+        job (no MERGE analogue); this is its natural extension once a
+        keyed table exists. Semantics, in fixed clause order::
+
+            MERGE INTO t USING s ON t.<key> = s.<source_key>
+            WHEN MATCHED [AND delete_condition] THEN DELETE      (delete=True)
+            WHEN MATCHED [AND update_condition] THEN UPDATE SET  (update_set)
+            WHEN NOT MATCHED [AND insert_condition] THEN INSERT  (insert_values)
+
+        - ``update_set``: ``"all"`` (every source column by name) or
+          ``{column: sql_expr}`` with expressions over ``t.*`` / ``s.*``
+          (qualify names; each result is cast to the column's type).
+          The merge key and engine columns cannot be assigned.
+        - ``insert_values``: ``"all"`` or a dict; missing columns become
+          typed NULLs. The inserted key is ALWAYS ``s.<source_key>`` --
+          a computed key could route to a bucket this commit did not
+          rewrite and silently collide with an existing row there.
+        - Conditions are SQL booleans over ``t.*``/``s.*``; NULL means
+          the clause does not fire (SQL semantics).
+
+        Keyed-table contract (Hudi record-key MERGE, not bag-semantics
+        ANSI): MATCHED means "a target row with this key exists", so an
+        insert can never duplicate a key, and duplicate SOURCE keys are
+        rejected up front (``ValueError``) -- pre-reduce the source
+        (``operators.apply.last_lsn_dedup``) exactly as Hudi requires a
+        precombine. NULL source keys are rejected the same way (a keyed
+        table cannot hold them; the CDC path quarantines such rows
+        instead).
+
+        CDC interop: updated and inserted rows are stamped with a fresh
+        ``_lsn`` above the table's high watermark (same rationale as
+        ``update_where``: the out-of-band edit must WIN downstream
+        LSN-monotonic appliers), and the commit is visible to
+        ``read_changes`` via the snapshot-diff path. ``batch_id``
+        (optional) rides the fence ledger -- a replayed merge_into is
+        an exact no-op, same exactly-once contract as ``merge``.
+
+        Scale shape: one tiny agg over the source finds the touched
+        buckets (and rejects dup/NULL keys in the same pass); only
+        those buckets' files are read (base + deltas, LWW-resolved --
+        an implicit per-bucket compact), the merge itself is ONE
+        key-equality full-outer join co-partitioned with the rewrite,
+        and every untouched bucket carries by manifest reference.
+        Cost is O(touched buckets + source), not O(table). Like
+        compact/delete_where it rewrites a pinned snapshot and cannot
+        rebase: a concurrent commit aborts it cleanly (re-run).
+
+        Returns ``(new_version | None, counts)`` -- ``None`` when the
+        source is empty, no clause fired, or the fence says applied.
+        ``counts`` holds rows_source / rows_updated / rows_deleted /
+        rows_inserted (all 0 plus ``fenced: 1`` on a fenced replay)."""
+        from pyspark.sql import Observation
+
+        zero = {"rows_source": 0, "rows_updated": 0,
+                "rows_deleted": 0, "rows_inserted": 0}
+        m = self.manifest()
+        if batch_id is not None and str(batch_id) in m["applied_batches"]:
+            return None, {**zero, "fenced": 1}
+        if update_set is None and not delete and insert_values is None:
+            raise ValueError(
+                "merge_into needs at least one clause (update_set, "
+                "delete=True, or insert_values)")
+        schema = T.StructType.fromJson(m["schema"])
+        fields = {f.name: f.dataType for f in schema.fields}
+        key, nb = m["key"], m["bucket_count"]
+        skey = source_key or key
+        if skey not in source.columns:
+            raise ValueError(f"source has no key column {skey!r}")
+        for what, clause in (("update_set", update_set),
+                             ("insert_values", insert_values)):
+            if isinstance(clause, dict):
+                bad = [c for c in clause if c not in fields
+                       or c == LSN_COL or c.startswith("_")]
+                if bad:
+                    raise ValueError(
+                        f"unknown/engine columns in {what}: {bad}")
+                if key in clause:
+                    raise ValueError(
+                        f"cannot assign the merge key in {what}: "
+                        "the key comes from the ON equality (update) or "
+                        f"s.{skey} (insert); delete + re-merge is the "
+                        "safe spelling of a key change")
+            elif clause is not None and clause != "all":
+                raise ValueError(f'{what} must be "all" or a dict')
+
+        # ---- ONE job over the source: touched buckets + dup/NULL-key
+        # rejection (count vs count_distinct per bucket) --------------
+        bstats = (
+            source.groupBy(
+                F.when(F.col(skey).isNull(), F.lit(-1))
+                .otherwise(_bucket_expr(skey, nb)).alias("_b"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count_distinct(F.col(skey)).alias("d"))
+            .collect()
+        )
+        if any(r["_b"] == -1 for r in bstats):
+            raise ValueError(
+                "merge_into source contains NULL keys; a keyed table "
+                "cannot hold them (the CDC path quarantines such rows)")
+        dups = sum(r["n"] - r["d"] for r in bstats)
+        if dups:
+            raise ValueError(
+                f"merge_into source has {dups} duplicate key row(s); "
+                "pre-reduce to one row per key "
+                "(operators.apply.last_lsn_dedup)")
+        touched = sorted(r["_b"] for r in bstats)
+        n_src = sum(r["n"] for r in bstats)
+        if not touched:
+            return None, zero
+
+        # ---- target rows of the touched buckets, pinned to THIS
+        # manifest, LWW-resolved (base + deltas -> one row per key) ----
+        rs = T.StructType(list(schema.fields)
+                          + [T.StructField(DELETED_COL, T.BooleanType())])
+        tgt_files = (self._files(m, touched)
+                     + self._files(m, touched, "deltas"))
+        if tgt_files:
+            tgt = _resolve(spark.read.schema(rs).parquet(*tgt_files),
+                           key, schema)
+        else:
+            tgt = spark.createDataFrame([], schema)
+
+        t = tgt.withColumn("_t_ex", F.lit(True)).alias("t")
+        s = source.withColumn("_s_ex", F.lit(True)).alias("s")
+        j = t.join(s, F.col(f"t.`{key}`") == F.col(f"s.`{skey}`"),
+                   "full_outer")
+
+        def _cond(expr: str | None):
+            if expr is None:
+                return F.lit(True)
+            return F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+
+        t_ex = F.coalesce(F.col("_t_ex"), F.lit(False))
+        s_ex = F.coalesce(F.col("_s_ex"), F.lit(False))
+        del_fire = (t_ex & s_ex & _cond(delete_condition)) if delete \
+            else F.lit(False)
+        upd_fire = (t_ex & s_ex & ~del_fire & _cond(update_condition)) \
+            if update_set is not None else F.lit(False)
+        ins_fire = (~t_ex & s_ex & _cond(insert_condition)) \
+            if insert_values is not None else F.lit(False)
+
+        stamp = self.lsn_high_watermark() + 1
+
+        def _clause_val(clause, f: T.StructField, default):
+            if clause == "all":
+                if f.name in source.columns:
+                    return F.col(f"s.`{f.name}`").cast(f.dataType)
+                return default
+            if isinstance(clause, dict) and f.name in clause:
+                return F.expr(clause[f.name]).cast(f.dataType)
+            return default
+
+        cols = []
+        for f in schema.fields:
+            if f.name == LSN_COL:
+                val = F.when(upd_fire | ins_fire,
+                             F.lit(stamp).cast("long")) \
+                    .otherwise(F.col(f"t.`{LSN_COL}`"))
+            elif f.name == key:
+                val = F.when(ins_fire,
+                             F.col(f"s.`{skey}`").cast(f.dataType)) \
+                    .otherwise(F.col(f"t.`{key}`"))
+            else:
+                keep = F.col(f"t.`{f.name}`")
+                val = (
+                    F.when(ins_fire, _clause_val(
+                        insert_values, f, F.lit(None).cast(f.dataType)))
+                    .when(upd_fire, _clause_val(update_set, f, keep))
+                    .otherwise(keep)
+                )
+            cols.append(val.alias(f.name))
+
+        obs = Observation(f"merge_into_{m['version'] + 1}")
+        changed = upd_fire | ins_fire
+        cons = m.get("constraints", {})
+        flagged = j.select(
+            *cols,
+            del_fire.alias("_del"), upd_fire.alias("_upd"),
+            ins_fire.alias("_ins"),
+            ((t_ex & ~del_fire) | ins_fire).alias("_keep"),
+            changed.alias("_chg"),
+        ).observe(
+            obs,
+            F.sum(F.col("_del").cast("long")).alias("dels"),
+            F.sum(F.col("_upd").cast("long")).alias("upds"),
+            F.sum(F.col("_ins").cast("long")).alias("inss"),
+            # constraint checks ride the same pass: only CHANGED rows
+            # can introduce a violation (kept rows already passed)
+            *[F.count(F.when(F.col("_chg") & ~F.coalesce(
+                F.expr(c).cast("boolean"), F.lit(True)), 1)).alias(n)
+              for n, c in sorted(cons.items())],
+        )
+        out = flagged.filter(F.col("_keep")).select(
+            *[f.name for f in schema.fields])
+
+        new_files, _, out_dir = self._write_bucketed(spark, out, m)
+        got = obs.get
+        viol = {n: int(got[n]) for n in cons if got.get(n)}
+        if viol:
+            self.fs.rmtree(out_dir)
+            raise ConstraintViolation(
+                f"merge_into aborted: constraint violations {viol} "
+                f"(checks: { {n: cons[n] for n in viol} })")
+        counts = {"rows_source": n_src,
+                  "rows_updated": int(got["upds"] or 0),
+                  "rows_deleted": int(got["dels"] or 0),
+                  "rows_inserted": int(got["inss"] or 0)}
+        if not (counts["rows_updated"] or counts["rows_deleted"]
+                or counts["rows_inserted"]):
+            # no clause fired anywhere: drop the rewrite, commit nothing
+            self.fs.rmtree(out_dir)
+            return None, counts
+
+        _, zone = _footer_stats(self.fs, self.root, new_files,
+                                schema=schema)
+        touched_set = set(touched)
+        buckets = {b: (new_files.get(b, []) if int(b) in touched_set
+                       else list(fl))
+                   for b, fl in m["buckets"].items()}
+        for b, fl in new_files.items():
+            buckets.setdefault(b, fl)
+        deltas = {k: list(fl) for k, fl in m.get("deltas", {}).items()}
+        for b in touched:
+            deltas[str(b)] = []
+        v = m["version"] + 1
+        applied = dict(m["applied_batches"])
+        if batch_id is not None:
+            applied[str(batch_id)] = {"version": v, "op": "merge_into"}
+        manifest = {
+            **m,
+            "version": v,
+            "parent": m["version"],
+            "buckets": buckets,
+            "deltas": deltas,
+            "applied_batches": _cap(applied),
+            "lsn_high": max(m.get("lsn_high") or 0, stamp),
+            "audit": {
+                "batch_id": batch_id,
+                "operation": "merge_into",
+                "rows_in": n_src,
+                "rows_applied": counts["rows_updated"]
+                + counts["rows_inserted"],
+                "rows_deleted": counts["rows_deleted"],
+                "min_lsn": stamp,
+                "max_lsn": stamp,
+                "touched_buckets": len(touched),
+                "version": v,
+            },
+            "lineage": [],
+            "stats": {**_inherit_stats(m), **zone},
+            "summary": {
+                "operation": "merge_into",
+                **counts,
+                "clauses": {
+                    "update": bool(update_set), "delete": bool(delete),
+                    "insert": insert_values is not None,
+                },
+                "buckets_rewritten": len(touched),
+            },
+            "committed_at": _utc_now_iso(),
+        }
+        try:
+            # like compact/delete_where: rewrites a snapshot, no rebase
+            self._write_manifest(manifest, expected_parent=m["version"])
+        except CommitConflict:
+            self.fs.rmtree(out_dir)
+            raise
+        return v, counts
+
     def _rewrite_where(
         self, spark, op, predicate, ranges, assignments,
     ) -> tuple[int | None, int]:
