@@ -397,3 +397,72 @@ def test_read_changes_window_crossing_expire_horizon_is_clean_error(
         for r in t.read_changes(spark, v_since).collect()
     }
     assert got == {("k9", "upsert")}
+
+
+def test_crash_sweep_day2_operation_chain(spark, tmp_path):
+    """The metadata crash sweep extended across the day-2 surfaces:
+    create -> fenced append -> mor merge -> general merge_into
+    (fenced) -> compact -> delete_where. For every k, crash before the
+    k-th metadata mutation, then recover hands-off on a clean FS:
+    replay the fenced steps that did not land, re-run the idempotent
+    maintenance, and require the oracle state plus a clean fsck.
+    Proves the newer commit surfaces share merge()'s recovery
+    contract, not just the original create+merge pair."""
+    seed = [("a", "s1"), ("b", "s1"), ("c", "s1"), ("d", "s1")]
+    b1 = [("a", "v2", "U", 10), ("e", "v1", "I", 11), ("b", None, "D", 12)]
+    want = {("a", "v2"), ("c", "mi"), ("e", "v1")}
+
+    def recover_and_finish(t2):
+        if not t2.is_applied(0):
+            t2.append(spark, spark.createDataFrame(
+                seed, "url string, val string"), batch_id=0)
+        if not t2.is_applied(1):
+            r = t2.merge(spark, batch(spark, b1), batch_id=1)
+            assert not r.fenced
+        if not t2.is_applied(2):
+            src = spark.createDataFrame(
+                [("c", "mi", "U"), ("f", "gone", "I"), ("d", None, "D")],
+                "url string, val string, act string")
+            v, counts = t2.merge_into(
+                spark, src,
+                update_set={"val": "s.val"},
+                update_condition="s.act = 'U'",
+                delete=True, delete_condition="s.act = 'D'",
+                insert_values={"val": "s.val"},
+                insert_condition="s.act = 'I'",
+                batch_id=2)
+            assert counts.get("fenced") != 1
+        t2.compact(spark, all_deltas=True)      # idempotent maintenance
+        t2.delete_where(spark, predicate="val = 'gone'")
+
+    k = 0
+    while True:
+        root = str(tmp_path / f"day2sweep{k}")
+        cfs = CrashFS(k)
+        crashed = False
+        try:
+            t = LakeTable.create(root, SCHEMA, key="url", bucket_count=4,
+                                 merge_mode="mor", fs=cfs)
+            recover_and_finish(t)
+        except SimulatedCrash:
+            crashed = True
+
+        # --- recovery with a clean FS, exactly like a process restart ---
+        if not LakeTable.exists(root):
+            try:
+                t2 = LakeTable.create(root, SCHEMA, key="url",
+                                      bucket_count=4, merge_mode="mor")
+            except FileExistsError:
+                t2 = LakeTable.load(root)
+        else:
+            t2 = LakeTable.load(root)
+        recover_and_finish(t2)
+        got = {(r["url"], r["val"])
+               for r in t2.read(spark).select("url", "val").collect()}
+        assert got == want, f"crash point k={k}"
+        fsck = t2.validate(spark)
+        assert fsck["ok"], f"crash point k={k}: {fsck['issues']}"
+        if not crashed:
+            break
+        k += 1
+    assert k >= 10, f"day-2 sweep covered only {k} mutation points"
