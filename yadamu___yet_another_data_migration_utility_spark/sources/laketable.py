@@ -3207,9 +3207,11 @@ class LakeTable:
             F.sum(F.col("_upd").cast("long")).alias("upds"),
             F.sum(F.col("_ins").cast("long")).alias("inss"),
             # constraint checks ride the same pass: only CHANGED rows
-            # can introduce a violation (kept rows already passed)
+            # can introduce a violation (kept rows already passed).
+            # ck_ prefix keeps user constraint names out of the count
+            # aliases' namespace
             *[F.count(F.when(F.col("_chg") & ~F.coalesce(
-                F.expr(c).cast("boolean"), F.lit(True)), 1)).alias(n)
+                F.expr(c).cast("boolean"), F.lit(True)), 1)).alias(f"ck_{n}")
               for n, c in sorted(cons.items())],
         )
         out = flagged.filter(F.col("_keep")).select(
@@ -3217,7 +3219,7 @@ class LakeTable:
 
         new_files, _, out_dir = self._write_bucketed(spark, out, m)
         got = obs.get
-        viol = {n: int(got[n]) for n in cons if got.get(n)}
+        viol = {n: int(got[f"ck_{n}"]) for n in cons if got.get(f"ck_{n}")}
         if viol:
             self.fs.rmtree(out_dir)
             raise ConstraintViolation(
