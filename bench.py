@@ -168,7 +168,13 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         warm_dir = "/root/testdata/sf0.001"
         warmed = os.path.isdir(warm_dir)
         if warmed:
-            for wq in ("q1_pricing_summary", "cdc_last_state", "media_decode_meta"):
+            # cdc_replay_merge at the warm SF exercises the whole
+            # LakeTable commit machinery (bucketed write, footer stats,
+            # manifest publish, observations) so the first timed
+            # commit-path query measures its plan, not ~15s of one-time
+            # JIT (measured: cdc_dlq_requeue 24.5s cold vs ~5s warm)
+            for wq in ("q1_pricing_summary", "cdc_last_state",
+                       "media_decode_meta", "cdc_replay_merge"):
                 if wq in QUERIES:
                     force(QUERIES[wq](spark, warm_dir))
             # spawn the FULL Python worker pool (one per core), not just
