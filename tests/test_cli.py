@@ -910,3 +910,53 @@ def test_cli_merge_into(spark, tmp_path, capsys):
                           "--source", srcp, "--set", "value=1",
                           "--set-all"])
     assert rc == 2
+
+
+def test_cli_sync_and_by_source(spark, tmp_path, capsys):
+    """`sync` converges a table to a snapshot file; `merge-into
+    --by-source-delete` exposes the BY SOURCE clause family."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
+        LakeTable,
+    )
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    root = str(tmp_path / "lake")
+    t = LakeTable.create(root, schema, key="url", bucket_count=4)
+    t.append(spark, spark.range(6).select(
+        F.concat(F.lit("k"), F.col("id")).alias("url"),
+        F.col("id").cast("double").alias("value")))
+    snapp = str(tmp_path / "snap.parquet")
+    spark.createDataFrame(
+        [("k0", 0.0), ("k1", 11.0), ("k9", 9.0)],
+        "url string, value double").write.parquet(snapp)
+
+    rc, out = _run(capsys, ["sync", "--table-root", root,
+                            "--source", snapp, "--batch-id", "3"])
+    assert rc == 0
+    assert out["counts"] == {"rows_source": 3, "rows_updated": 1,
+                             "rows_deleted": 4, "rows_inserted": 1}
+    got = {r["url"]: r["value"] for r in t.read(spark).collect()}
+    assert got == {"k0": 0.0, "k1": 11.0, "k9": 9.0}
+
+    # a second sync to the same snapshot commits nothing
+    rc, out2 = _run(capsys, ["sync", "--table-root", root,
+                             "--source", snapp])
+    assert rc == 0 and out2["version"] is None
+
+    # BY SOURCE through merge-into directly: mark absent keys stale
+    srcp = str(tmp_path / "src2.parquet")
+    spark.createDataFrame([("k0", 1.0)], "url string, value double") \
+        .write.parquet(srcp)
+    rc, out3 = _run(capsys, [
+        "merge-into", "--table-root", root, "--source", srcp,
+        "--by-source-set", "value=t.value * -1",
+    ])
+    assert rc == 0 and out3["counts"]["rows_updated"] == 2
+    got = {r["url"]: r["value"] for r in t.read(spark).collect()}
+    assert got == {"k0": 0.0, "k1": -11.0, "k9": -9.0}

@@ -268,3 +268,73 @@ def test_source_key_rename(spark, tmp_table_root):
     assert c["rows_updated"] == 1 and c["rows_inserted"] == 1
     assert got["https://x/p/0"] == (1000.0, "old")
     assert got["https://x/p/77"][0] == 1077.0
+
+
+def test_by_source_delete_and_update(spark, tmp_table_root):
+    """WHEN NOT MATCHED BY SOURCE: target rows absent from the source
+    delete (or update) -- conditions see t.* only."""
+    t = seed_table(spark, tmp_table_root, n=10)
+    src = source_df(spark, [0, 1, 2])
+    v, c = t.merge_into(
+        spark, src,
+        update_set="all", insert_values=None,
+        by_source_delete=True,
+        by_source_delete_condition="t.value >= 8",   # only 8, 9 drop
+        by_source_update={"status": "'stale'"},
+    )
+    assert c["rows_updated"] == 3 + 5   # 3 matched + 5 marked stale
+    assert c["rows_deleted"] == 2
+    got = state(spark, t)
+    assert len(got) == 8
+    for i in (0, 1, 2):
+        assert got[f"https://x/p/{i}"] == (1000.0 + i, "new")
+    for i in range(3, 8):
+        assert got[f"https://x/p/{i}"] == (float(i), "stale")
+    for i in (8, 9):
+        assert f"https://x/p/{i}" not in got
+
+
+def test_sync_from_converges_to_snapshot(spark, tmp_table_root):
+    """sync_from makes table state == snapshot, stamps ONLY changed
+    rows, and is a no-commit no-op when already converged."""
+    t = seed_table(spark, tmp_table_root, n=6, merge_mode="mor")
+    hw = t.lsn_high_watermark()
+    snap = spark.createDataFrame(
+        [("https://x/p/0", 0.0, "old"),      # unchanged
+         ("https://x/p/1", 111.0, "old"),    # value changed
+         ("https://x/p/2", 2.0, "snap"),     # status changed
+         ("https://x/p/9", 9.0, "snap")],    # new key
+        "url string, value double, status string")
+    v, c = t.sync_from(spark, snap, batch_id=42)
+    assert c == {"rows_source": 4, "rows_updated": 2,
+                 "rows_deleted": 3, "rows_inserted": 1}
+    rows = {r["url"]: r for r in
+            t.read(spark, public=False).collect()}
+    got = {u: (r["value"], r["status"]) for u, r in rows.items()}
+    assert got == {"https://x/p/0": (0.0, "old"),
+                   "https://x/p/1": (111.0, "old"),
+                   "https://x/p/2": (2.0, "snap"),
+                   "https://x/p/9": (9.0, "snap")}
+    # unchanged row kept its lsn; changed/inserted rows got the stamp
+    assert rows["https://x/p/0"]["_lsn"] != hw + 1
+    for u in ("https://x/p/1", "https://x/p/2", "https://x/p/9"):
+        assert rows[u]["_lsn"] == hw + 1
+
+    # replay is fenced
+    v2, c2 = t.sync_from(spark, snap, batch_id=42)
+    assert v2 is None and c2.get("fenced") == 1
+
+    # already-converged sync commits NOTHING (no version churn)
+    v3 = t.current_version()
+    v4, c4 = t.sync_from(spark, snap)
+    assert v4 is None and t.current_version() == v3
+    assert c4 == {"rows_source": 4, "rows_updated": 0,
+                  "rows_deleted": 0, "rows_inserted": 0}
+
+
+def test_by_source_update_all_rejected(spark, tmp_table_root):
+    t = seed_table(spark, tmp_table_root, n=3)
+    with pytest.raises(ValueError, match="by_source_update"):
+        t.merge_into(spark, source_df(spark, [0]),
+                     update_set=None, insert_values=None,
+                     by_source_update="all")

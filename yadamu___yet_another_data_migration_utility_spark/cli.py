@@ -99,8 +99,12 @@ stateless per-job; a lake table needs day-2 operations):
     requeue  drain the dead-letter quarantine back through the engine
              with optional --set COL=EXPR repair (exactly-once fenced)
     merge-into  general MERGE INTO from a source file: matched
-             update/delete + not-matched insert, SQL clauses over
-             t.*/s.* (the ad-hoc upsert next to the replay stream)
+             update/delete + not-matched insert + not-matched-by-
+             source delete/update, SQL clauses over t.*/s.* (the
+             ad-hoc upsert next to the replay stream)
+    sync     make the table equal a snapshot file in one fenced
+             commit (update changed / insert new / delete absent;
+             unchanged rows keep their lsn)
     snapshots / files  Iceberg-style metadata tables as JSON lines
 
 Every Spark verb builds the standard engine session (session.get_spark)
@@ -741,18 +745,12 @@ def cmd_merge_into(args) -> int:
         update_set = "all" if args.set_all else _pairs(args.set, "--set")
         insert_values = "all" if args.insert_all else _pairs(
             args.insert, "--insert")
+        by_source_update = _pairs(args.by_source_set, "--by-source-set")
     except SystemExit as e:
         print(e, file=sys.stderr)
         return 2
     spark = _spark(args.cpus)
-    reader = spark.read
-    if args.format == "csv":
-        src = reader.option("header", "true") \
-            .option("inferSchema", "true").csv(args.source)
-    elif args.format == "json":
-        src = reader.json(args.source)
-    else:
-        src = reader.parquet(args.source)
+    src = _read_source(spark, args.source, args.format)
     v, counts = t.merge_into(
         spark, src,
         source_key=args.source_key,
@@ -762,8 +760,36 @@ def cmd_merge_into(args) -> int:
         delete_condition=args.delete_condition,
         insert_values=insert_values,
         insert_condition=args.insert_condition,
+        by_source_delete=args.by_source_delete,
+        by_source_delete_condition=args.by_source_delete_condition,
+        by_source_update=by_source_update,
+        by_source_update_condition=args.by_source_update_condition,
         batch_id=args.batch_id,
     )
+    print(json.dumps({"version": v, "counts": counts}, sort_keys=True))
+    return 0
+
+
+def _read_source(spark, path: str, fmt: str):
+    if fmt == "csv":
+        return spark.read.option("header", "true") \
+            .option("inferSchema", "true").csv(path)
+    if fmt == "json":
+        return spark.read.json(path)
+    return spark.read.parquet(path)
+
+
+def cmd_sync(args) -> int:
+    """Make the table equal a snapshot file in one fenced commit
+    (LakeTable.sync_from): update keys whose row differs, insert new
+    keys, delete keys absent from the snapshot. The full-migration
+    verb -- the reference's whole-table COPY re-expressed as
+    incremental convergence."""
+    t = _table(args)
+    spark = _spark(args.cpus)
+    snap = _read_source(spark, args.source, args.format)
+    v, counts = t.sync_from(spark, snap, source_key=args.source_key,
+                            batch_id=args.batch_id)
     print(json.dumps({"version": v, "counts": counts}, sort_keys=True))
     return 0
 
@@ -1564,11 +1590,39 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--insert-all", action="store_true",
                     help="INSERT * (missing columns become NULL)")
     sp.add_argument("--insert-condition", default=None, metavar="SQL")
+    sp.add_argument("--by-source-delete", action="store_true",
+                    help="WHEN NOT MATCHED BY SOURCE THEN DELETE "
+                         "(O(table): every bucket joins the rewrite)")
+    sp.add_argument("--by-source-delete-condition", default=None,
+                    metavar="SQL", help="condition over t.* only")
+    sp.add_argument("--by-source-set", action="append", default=[],
+                    metavar="COL=SQL_EXPR",
+                    help="WHEN NOT MATCHED BY SOURCE THEN UPDATE SET "
+                         "(repeatable; expressions over t.* only)")
+    sp.add_argument("--by-source-update-condition", default=None,
+                    metavar="SQL")
     sp.add_argument("--batch-id", type=int, default=None,
                     help="fence id: a replayed merge-into is a no-op")
     common(sp)
     branch_opt(sp)
     sp.set_defaults(fn=cmd_merge_into)
+
+    sp = sub.add_parser(
+        "sync",
+        help="make the table equal a snapshot file in one fenced "
+             "commit: update changed keys, insert new, delete absent "
+             "(sync_from; unchanged rows keep their lsn)",
+    )
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--source", required=True,
+                    help="snapshot file/dir (parquet by default)")
+    sp.add_argument("--format", choices=["parquet", "csv", "json"],
+                    default="parquet")
+    sp.add_argument("--source-key", default=None)
+    sp.add_argument("--batch-id", type=int, default=None)
+    common(sp)
+    branch_opt(sp)
+    sp.set_defaults(fn=cmd_sync)
 
     sp = sub.add_parser(
         "plan",

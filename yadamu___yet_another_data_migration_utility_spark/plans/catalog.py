@@ -632,6 +632,110 @@ def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_snapshot_sync",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    last AS (
+      SELECT url, lsn, op, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn
+      FROM chg
+    ),
+    seed AS (
+      SELECT url, lsn, event_type, value, ts FROM last
+      WHERE rn = 1 AND op <> 'D'
+    ),
+    hw AS (SELECT MAX(lsn) AS h FROM chg),
+    keyed AS (
+      SELECT seed.*,
+             CAST(concat('0x', substr(md5(url), 1, 15)) AS BIGINT) % 4
+               AS die
+      FROM seed
+    ),
+    merged AS (
+      SELECT url,
+             CASE WHEN die = 0 THEN value + 500 ELSE value END AS value,
+             event_type, ts,
+             CASE WHEN die = 0 THEN hw.h + 1 ELSE lsn END AS last_lsn
+      FROM keyed CROSS JOIN hw
+      WHERE die <> 1
+      UNION ALL
+      SELECT concat('https://sync.example.com/u/', CAST(i AS VARCHAR))
+               AS url,
+             CAST(i AS DOUBLE) AS value, 'synced' AS event_type,
+             CAST(NULL AS TIMESTAMP) AS ts, hw.h + 1 AS last_lsn
+      FROM range(40) t(i) CROSS JOIN hw
+    )
+    SELECT url, last_lsn, event_type, value, ts FROM merged
+    """,
+)
+def cdc_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT SYNC (recrawl-replaces-state) through the real engine:
+    seed the changelog's LWW state, build a full replacement snapshot
+    (md5-die: 1/4 of urls get value+500, 1/4 drop, 40 new urls join),
+    then ONE ``sync_from`` -- MERGE's WHEN MATCHED AND <differs>
+    UPDATE / NOT MATCHED INSERT / NOT MATCHED BY SOURCE DELETE -- and
+    read the converged state back. The oracle is the snapshot itself
+    plus the LSN algebra the differs-condition guarantees: UNCHANGED
+    rows keep their original winning lsn (downstream consumers see
+    only the true diff), changed/new rows carry the fresh watermark
+    stamp. At 100 TB the by-source delete makes this O(table) by
+    necessity (absence must be checked everywhere); the join is one
+    key-equality shuffle co-partitioned with the bucket rewrite."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..functions.sketchlib import md5_long
+    from ..operators.apply import apply_batch
+    from ..session import scratch_dir
+    from ..sources.laketable import LakeTable
+
+    chg = cdc_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_sync_", dir=scratch_dir())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(root, schema, key="url", bucket_count=16,
+                             overwrite=True)
+    apply_batch(table, chg, batch_id=0, run_extract=False)
+
+    cur = table.read(spark).select("url", "ts", "value", "event_type")
+    die = (md5_long(F.col("url")) % 4).alias("die")
+    snap = (
+        cur.withColumn("die", die)
+        .filter(F.col("die") != 1)
+        .withColumn(
+            "value",
+            F.when(F.col("die") == 0, F.col("value") + 500)
+            .otherwise(F.col("value")))
+        .drop("die")
+        .unionByName(
+            spark.range(40).select(
+                F.concat(F.lit("https://sync.example.com/u/"),
+                         F.col("id").cast("string")).alias("url"),
+                F.lit(None).cast("timestamp").alias("ts"),
+                F.col("id").cast("double").alias("value"),
+                F.lit("synced").alias("event_type"),
+            )
+        )
+    )
+    table.sync_from(spark, snap, batch_id=1)
+    return (
+        table.read(spark)
+        .withColumnRenamed("_lsn", "last_lsn")
+        .select("url", "last_lsn", "event_type", "value", "ts")
+    )
+
+
+@_register(
     "cdc_replay_merge",
     f"""
     WITH chg AS ({_CDC_SQL_SRC}),

@@ -3015,6 +3015,10 @@ class LakeTable:
         delete_condition: str | None = None,
         insert_values: dict[str, str] | str | None = "all",
         insert_condition: str | None = None,
+        by_source_delete: bool = False,
+        by_source_delete_condition: str | None = None,
+        by_source_update: dict[str, str] | None = None,
+        by_source_update_condition: str | None = None,
         batch_id: int | None = None,
     ) -> tuple[int | None, dict[str, int]]:
         """General ``MERGE INTO`` -- the user-facing upsert surface
@@ -3028,6 +3032,8 @@ class LakeTable:
             WHEN MATCHED [AND delete_condition] THEN DELETE      (delete=True)
             WHEN MATCHED [AND update_condition] THEN UPDATE SET  (update_set)
             WHEN NOT MATCHED [AND insert_condition] THEN INSERT  (insert_values)
+            WHEN NOT MATCHED BY SOURCE [AND ...] THEN DELETE     (by_source_delete)
+            WHEN NOT MATCHED BY SOURCE [AND ...] THEN UPDATE SET (by_source_update)
 
         - ``update_set``: ``"all"`` (every source column by name) or
           ``{column: sql_expr}`` with expressions over ``t.*`` / ``s.*``
@@ -3039,6 +3045,15 @@ class LakeTable:
           rewrite and silently collide with an existing row there.
         - Conditions are SQL booleans over ``t.*``/``s.*``; NULL means
           the clause does not fire (SQL semantics).
+        - ``by_source_*`` (Delta 2.3's WHEN NOT MATCHED BY SOURCE):
+          fires for TARGET rows whose key has no source row; conditions
+          and SET expressions see ``t.*`` only. Delete wins over update
+          when both are given. SCALE CAVEAT: any by-source clause must
+          examine every target row, so the rewrite touches ALL
+          non-empty buckets -- O(table), the inherent cost of
+          snapshot-sync semantics -- where the source-only clause set
+          stays O(touched buckets). ``sync_from`` composes these into
+          the one-call "make the table equal this snapshot".
 
         Keyed-table contract (Hudi record-key MERGE, not bag-semantics
         ANSI): MATCHED means "a target row with this key exists", so an
@@ -3078,18 +3093,26 @@ class LakeTable:
         m = self.manifest()
         if batch_id is not None and str(batch_id) in m["applied_batches"]:
             return None, {**zero, "fenced": 1}
-        if update_set is None and not delete and insert_values is None:
+        by_source = by_source_delete or by_source_update is not None
+        if (update_set is None and not delete and insert_values is None
+                and not by_source):
             raise ValueError(
                 "merge_into needs at least one clause (update_set, "
-                "delete=True, or insert_values)")
+                "delete=True, insert_values, or a by_source_* clause)")
         schema = T.StructType.fromJson(m["schema"])
         fields = {f.name: f.dataType for f in schema.fields}
         key, nb = m["key"], m["bucket_count"]
         skey = source_key or key
         if skey not in source.columns:
             raise ValueError(f"source has no key column {skey!r}")
+        if by_source_update is not None and not isinstance(
+                by_source_update, dict):
+            raise ValueError(
+                'by_source_update must be a dict (no "all": there is no '
+                "source row to copy from)")
         for what, clause in (("update_set", update_set),
-                             ("insert_values", insert_values)):
+                             ("insert_values", insert_values),
+                             ("by_source_update", by_source_update)):
             if isinstance(clause, dict):
                 bad = [c for c in clause if c not in fields
                        or c == LSN_COL or c.startswith("_")]
@@ -3127,6 +3150,15 @@ class LakeTable:
                 "(operators.apply.last_lsn_dedup)")
         touched = sorted(r["_b"] for r in bstats)
         n_src = sum(r["n"] for r in bstats)
+        if by_source:
+            # a by-source clause examines EVERY target row, so every
+            # non-empty bucket joins the rewrite (inherent to
+            # snapshot-sync semantics); source-key buckets still join
+            # for the inserts
+            data_buckets = {int(b) for b, fl in m["buckets"].items() if fl}
+            data_buckets |= {int(b) for b, fl
+                             in m.get("deltas", {}).items() if fl}
+            touched = sorted(set(touched) | data_buckets)
         if not touched:
             return None, zero
 
@@ -3160,6 +3192,11 @@ class LakeTable:
             if update_set is not None else F.lit(False)
         ins_fire = (~t_ex & s_ex & _cond(insert_condition)) \
             if insert_values is not None else F.lit(False)
+        bs_del_fire = (t_ex & ~s_ex & _cond(by_source_delete_condition)) \
+            if by_source_delete else F.lit(False)
+        bs_upd_fire = (t_ex & ~s_ex & ~bs_del_fire
+                       & _cond(by_source_update_condition)) \
+            if by_source_update is not None else F.lit(False)
 
         stamp = self.lsn_high_watermark() + 1
 
@@ -3175,7 +3212,7 @@ class LakeTable:
         cols = []
         for f in schema.fields:
             if f.name == LSN_COL:
-                val = F.when(upd_fire | ins_fire,
+                val = F.when(upd_fire | ins_fire | bs_upd_fire,
                              F.lit(stamp).cast("long")) \
                     .otherwise(F.col(f"t.`{LSN_COL}`"))
             elif f.name == key:
@@ -3188,18 +3225,21 @@ class LakeTable:
                     F.when(ins_fire, _clause_val(
                         insert_values, f, F.lit(None).cast(f.dataType)))
                     .when(upd_fire, _clause_val(update_set, f, keep))
+                    .when(bs_upd_fire,
+                          _clause_val(by_source_update, f, keep))
                     .otherwise(keep)
                 )
             cols.append(val.alias(f.name))
 
         obs = Observation(f"merge_into_{m['version'] + 1}")
-        changed = upd_fire | ins_fire
+        changed = upd_fire | ins_fire | bs_upd_fire
         cons = m.get("constraints", {})
         flagged = j.select(
             *cols,
-            del_fire.alias("_del"), upd_fire.alias("_upd"),
+            (del_fire | bs_del_fire).alias("_del"),
+            (upd_fire | bs_upd_fire).alias("_upd"),
             ins_fire.alias("_ins"),
-            ((t_ex & ~del_fire) | ins_fire).alias("_keep"),
+            ((t_ex & ~del_fire & ~bs_del_fire) | ins_fire).alias("_keep"),
             changed.alias("_chg"),
         ).observe(
             obs,
@@ -3278,6 +3318,7 @@ class LakeTable:
                 "clauses": {
                     "update": bool(update_set), "delete": bool(delete),
                     "insert": insert_values is not None,
+                    "by_source": by_source,
                 },
                 "buckets_rewritten": len(touched),
             },
@@ -3290,6 +3331,57 @@ class LakeTable:
             self.fs.rmtree(out_dir)
             raise
         return v, counts
+
+    def sync_from(
+        self,
+        spark: SparkSession,
+        snapshot: DataFrame,
+        source_key: str | None = None,
+        batch_id: int | None = None,
+    ) -> tuple[int | None, dict[str, int]]:
+        """Make the table EQUAL the given snapshot in one commit -- the
+        recrawl-replaces-state operation (a webtext pipeline receives a
+        full new crawl snapshot and the serving table must converge to
+        it): update keys whose row differs, insert new keys, delete
+        keys absent from the snapshot. Composed entirely from
+        ``merge_into``'s clause algebra::
+
+            WHEN MATCHED AND <any shared column differs> THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE THEN DELETE
+
+        The auto-generated update condition compares every shared
+        non-key column null-safely (``NOT (t.c <=> s.c AND ...)``), so
+        UNCHANGED rows keep their ``_lsn`` -- downstream
+        ``read_changes``/``mirror`` consumers see only the true diff,
+        not a full-table re-stamp. Rows that did change (and inserts)
+        carry the fresh watermark stamp and win downstream, the same
+        contract as ``update_where``.
+
+        Scale: the by-source delete makes this O(table) by necessity
+        (every key must be checked for absence); the join is one
+        key-equality shuffle co-partitioned with the bucket rewrite.
+        For CDC-shaped inputs (you know what changed) use ``merge``
+        or ``merge_into`` directly -- they stay O(touched).
+
+        ``batch_id`` fences the sync exactly-once like any merge.
+        Returns ``merge_into``'s ``(version, counts)``."""
+        key = self.manifest()["key"]
+        skey = source_key or key
+        shared = [c for c in snapshot.columns
+                  if c in {f.name for f in self.schema().fields}
+                  and c != key and not c.startswith("_")]
+        differs = " OR ".join(
+            f"NOT (t.`{c}` <=> s.`{c}`)" for c in shared) or "false"
+        return self.merge_into(
+            spark, snapshot,
+            source_key=skey,
+            update_set="all",
+            update_condition=differs,
+            insert_values="all",
+            by_source_delete=True,
+            batch_id=batch_id,
+        )
 
     def _rewrite_where(
         self, spark, op, predicate, ranges, assignments,
