@@ -338,3 +338,22 @@ def test_by_source_update_all_rejected(spark, tmp_table_root):
         t.merge_into(spark, source_df(spark, [0]),
                      update_set=None, insert_values=None,
                      by_source_update="all")
+
+
+def test_merge_into_on_branch_isolated_then_fast_forward(spark, tmp_table_root):
+    """merge_into composes with writable branches: the branch commit is
+    invisible on main until fast_forward."""
+    t = seed_table(spark, tmp_table_root, n=6)
+    t.create_branch("fix")
+    b = t.for_branch("fix")
+    v, c = b.merge_into(spark, source_df(spark, [0, 99]),
+                        update_set="all", insert_values="all")
+    assert c["rows_updated"] == 1 and c["rows_inserted"] == 1
+    # main unchanged, branch converged
+    assert state(spark, t)["https://x/p/0"] == (0.0, "old")
+    assert "https://x/p/99" not in state(spark, t)
+    got_b = state(spark, b)
+    assert got_b["https://x/p/0"] == (1000.0, "new")
+    assert got_b["https://x/p/99"] == (1099.0, "new")
+    t.fast_forward("fix")
+    assert state(spark, t) == got_b
