@@ -357,3 +357,46 @@ def test_merge_into_on_branch_isolated_then_fast_forward(spark, tmp_table_root):
     assert got_b["https://x/p/99"] == (1099.0, "new")
     t.fast_forward("fix")
     assert state(spark, t) == got_b
+
+
+def test_merge_into_evolve_appends_column(spark, tmp_table_root):
+    """evolve=True: a new source column joins the schema (nullable);
+    old rows read it as NULL, Delta autoMerge semantics."""
+    t = seed_table(spark, tmp_table_root, n=6)
+    src = source_df(spark, [0, 99]).withColumn(
+        "crawl_id", F.lit("c-2024"))
+    v, c = t.merge_into(spark, src, update_set="all",
+                        insert_values="all", evolve=True)
+    assert c["rows_updated"] == 1 and c["rows_inserted"] == 1
+    assert "crawl_id" in [f.name for f in t.schema().fields]
+    rows = {r["url"]: r["crawl_id"] for r in t.read(spark).collect()}
+    assert rows["https://x/p/0"] == "c-2024"
+    assert rows["https://x/p/99"] == "c-2024"
+    assert rows["https://x/p/1"] is None  # untouched row: typed NULL
+
+    # without evolve, the same source still merges (new column ignored)
+    v2, c2 = t.merge_into(spark, source_df(spark, [1]).withColumn(
+        "extra", F.lit(1)), update_set="all")
+    assert c2["rows_updated"] == 1
+    assert "extra" not in [f.name for f in t.schema().fields]
+
+
+def test_sync_from_evolve_backfills_new_column(spark, tmp_table_root):
+    """sync_from(evolve=True): a snapshot carrying a new column
+    updates EVERY row that gains a value for it (NULL <=> value is a
+    difference), so the backfill is complete, not insert-only."""
+    t = seed_table(spark, tmp_table_root, n=4)
+    snap = spark.range(4).select(
+        F.concat(F.lit("https://x/p/"), F.col("id")).alias("url"),
+        F.col("id").cast("double").alias("value"),
+        F.lit("old").alias("status"),
+        F.lit("r7").alias("rev"),
+    )
+    v, c = t.sync_from(spark, snap, evolve=True)
+    assert c == {"rows_source": 4, "rows_updated": 4,
+                 "rows_deleted": 0, "rows_inserted": 0}
+    got = {r["url"]: r["rev"] for r in t.read(spark).collect()}
+    assert set(got.values()) == {"r7"} and len(got) == 4
+    # converged: the second sync is a no-commit no-op
+    v2, c2 = t.sync_from(spark, snap, evolve=True)
+    assert v2 is None and c2["rows_updated"] == 0

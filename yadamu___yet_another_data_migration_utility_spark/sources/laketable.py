@@ -3019,6 +3019,7 @@ class LakeTable:
         by_source_delete_condition: str | None = None,
         by_source_update: dict[str, str] | None = None,
         by_source_update_condition: str | None = None,
+        evolve: bool = False,
         batch_id: int | None = None,
     ) -> tuple[int | None, dict[str, int]]:
         """General ``MERGE INTO`` -- the user-facing upsert surface
@@ -3054,6 +3055,13 @@ class LakeTable:
           snapshot-sync semantics -- where the source-only clause set
           stays O(touched buckets). ``sync_from`` composes these into
           the one-call "make the table equal this snapshot".
+        - ``evolve=True`` (Delta ``schema.autoMerge``): EVERY source
+          column absent from the table appends as a nullable column,
+          and legally-wider source types widen the table column --
+          same ``_evolved_schema`` rules as the CDC ``merge``. Old
+          files read the new columns as typed NULLs. Off by default:
+          with it on, helper columns in the source (action flags etc.)
+          would silently become table columns -- drop them first.
 
         Keyed-table contract (Hudi record-key MERGE, not bag-semantics
         ANSI): MATCHED means "a target row with this key exists", so an
@@ -3099,12 +3107,23 @@ class LakeTable:
             raise ValueError(
                 "merge_into needs at least one clause (update_set, "
                 "delete=True, insert_values, or a by_source_* clause)")
-        schema = T.StructType.fromJson(m["schema"])
-        fields = {f.name: f.dataType for f in schema.fields}
         key, nb = m["key"], m["bucket_count"]
         skey = source_key or key
         if skey not in source.columns:
             raise ValueError(f"source has no key column {skey!r}")
+        if evolve:
+            # a RENAMED source key maps onto the table key -- exclude
+            # it from evolution via the op_col slot; engine (_-prefix)
+            # columns never evolve in
+            src_for_evo = source.drop(
+                *[c for c in source.columns if c.startswith("_")])
+            schema = _evolved_schema(
+                m, src_for_evo,
+                op_col=skey if skey != key else "\x00none",
+                lsn_col="\x00none2")
+        else:
+            schema = T.StructType.fromJson(m["schema"])
+        fields = {f.name: f.dataType for f in schema.fields}
         if by_source_update is not None and not isinstance(
                 by_source_update, dict):
             raise ValueError(
@@ -3294,6 +3313,7 @@ class LakeTable:
             **m,
             "version": v,
             "parent": m["version"],
+            "schema": schema.jsonValue(),
             "buckets": buckets,
             "deltas": deltas,
             "applied_batches": _cap(applied),
@@ -3337,6 +3357,7 @@ class LakeTable:
         spark: SparkSession,
         snapshot: DataFrame,
         source_key: str | None = None,
+        evolve: bool = False,
         batch_id: int | None = None,
     ) -> tuple[int | None, dict[str, int]]:
         """Make the table EQUAL the given snapshot in one commit -- the
@@ -3368,9 +3389,13 @@ class LakeTable:
         Returns ``merge_into``'s ``(version, counts)``."""
         key = self.manifest()["key"]
         skey = source_key or key
+        known = {f.name for f in self.schema().fields}
         shared = [c for c in snapshot.columns
-                  if c in {f.name for f in self.schema().fields}
-                  and c != key and not c.startswith("_")]
+                  if (c in known or evolve)
+                  and c not in (key, skey) and not c.startswith("_")]
+        # with evolve=True a brand-new snapshot column participates in
+        # the differs check too: old rows read it as NULL, so any
+        # non-NULL value marks the row changed and the backfill lands
         differs = " OR ".join(
             f"NOT (t.`{c}` <=> s.`{c}`)" for c in shared) or "false"
         return self.merge_into(
@@ -3380,6 +3405,7 @@ class LakeTable:
             update_condition=differs,
             insert_values="all",
             by_source_delete=True,
+            evolve=evolve,
             batch_id=batch_id,
         )
 
