@@ -764,6 +764,7 @@ def cmd_merge_into(args) -> int:
         by_source_delete_condition=args.by_source_delete_condition,
         by_source_update=by_source_update,
         by_source_update_condition=args.by_source_update_condition,
+        evolve=args.evolve,
         batch_id=args.batch_id,
     )
     print(json.dumps({"version": v, "counts": counts}, sort_keys=True))
@@ -789,7 +790,7 @@ def cmd_sync(args) -> int:
     spark = _spark(args.cpus)
     snap = _read_source(spark, args.source, args.format)
     v, counts = t.sync_from(spark, snap, source_key=args.source_key,
-                            batch_id=args.batch_id)
+                            evolve=args.evolve, batch_id=args.batch_id)
     print(json.dumps({"version": v, "counts": counts}, sort_keys=True))
     return 0
 
@@ -1601,6 +1602,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "(repeatable; expressions over t.* only)")
     sp.add_argument("--by-source-update-condition", default=None,
                     metavar="SQL")
+    sp.add_argument("--evolve", action="store_true",
+                    help="append new source columns to the schema "
+                         "(Delta autoMerge rules; wider types widen)")
     sp.add_argument("--batch-id", type=int, default=None,
                     help="fence id: a replayed merge-into is a no-op")
     common(sp)
@@ -1619,6 +1623,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--format", choices=["parquet", "csv", "json"],
                     default="parquet")
     sp.add_argument("--source-key", default=None)
+    sp.add_argument("--evolve", action="store_true",
+                    help="new snapshot columns evolve in and backfill "
+                         "every row (they count as differences)")
     sp.add_argument("--batch-id", type=int, default=None)
     common(sp)
     branch_opt(sp)
