@@ -400,3 +400,52 @@ def test_sync_from_evolve_backfills_new_column(spark, tmp_table_root):
     # converged: the second sync is a no-commit no-op
     v2, c2 = t.sync_from(spark, snap, evolve=True)
     assert v2 is None and c2["rows_updated"] == 0
+
+
+def test_source_key_type_mismatch_is_cast_before_bucketing(spark, tmp_path):
+    """An int source key against a long table key must hash into the
+    SAME buckets as the table (xxhash64 is type-sensitive) -- without
+    the up-front cast the rewrite would silently drop rows."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.StringType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "lk"), schema, key="id",
+                         bucket_count=8)
+    t.append(spark, spark.createDataFrame(
+        [(i, "old") for i in range(20)], "id long, val string"))
+    src = spark.createDataFrame(
+        [(3, "new"), (99, "new")], "id int, val string")  # INT key
+    v, c = t.merge_into(spark, src, update_set="all", insert_values="all")
+    assert c["rows_updated"] == 1 and c["rows_inserted"] == 1
+    got = {r["id"]: r["val"] for r in t.read(spark).collect()}
+    assert len(got) == 21          # nothing lost
+    assert got[3] == "new" and got[99] == "new"
+    # a key that casts to NULL is rejected, not silently inserted
+    bad = spark.createDataFrame([("abc", "x")], "id string, val string")
+    with pytest.raises(ValueError, match="NULL"):
+        t.merge_into(spark, bad, update_set="all")
+
+
+def test_delete_only_merge_does_not_advance_watermark(spark, tmp_table_root):
+    """Like delete_where, a delete-only merge_into stamps no surviving
+    row, so it must not advance lsn_high or claim an LSN range."""
+    t = seed_table(spark, tmp_table_root, n=6)
+    hw = t.lsn_high_watermark()
+    v, c = t.merge_into(spark, source_df(spark, [0, 1]),
+                        update_set=None, insert_values=None, delete=True)
+    assert c["rows_deleted"] == 2
+    assert t.lsn_high_watermark() == hw
+    a = [e for e in t.audit_entries()
+         if e.get("operation") == "merge_into"][-1]
+    assert a["min_lsn"] is None and a["max_lsn"] is None
+
+
+def test_sync_from_refuses_empty_snapshot(spark, tmp_table_root):
+    t = seed_table(spark, tmp_table_root, n=4)
+    empty = source_df(spark, [])
+    with pytest.raises(ValueError, match="EMPTY snapshot"):
+        t.sync_from(spark, empty)
+    assert len(state(spark, t)) == 4   # untouched
+    v, c = t.sync_from(spark, empty, allow_empty=True)
+    assert c["rows_deleted"] == 4 and state(spark, t) == {}

@@ -8,6 +8,8 @@ repair (/root/reference/src/YADAMU/common/yadamuRejectManager.js:48-108)
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -164,3 +166,85 @@ def test_requeue_second_pass_and_edge_args(spark, tmp_table_root):
     with pytest.raises(TypeError, match="repair must be"):
         requeue_quarantine(t, spark, repair=42)
     assert pending_quarantine_ids(t) == [77]  # untouched
+
+
+def full_fix(df):
+    """Repair EVERYTHING (html and null urls) so a drain leaves no
+    re-quarantined remainder -- keeps the fence-collision tests about
+    the fence, not the repair."""
+    df = fix_html(df)
+    return df.withColumn(
+        "url",
+        F.coalesce(F.col("url"),
+                   F.concat(F.lit("https://fixed/"),
+                            F.col("lsn").cast("string"))))
+
+
+def test_requeue_fence_collision_redrains_leftover(spark, tmp_table_root):
+    """Two drain sets sharing a max() collide on the default fence id;
+    the still-pending remainder must re-drain, not silently no-op."""
+    t = mk_table(tmp_table_root)
+    m0 = apply_batch(t, changelog_df(spark, 200, 20, poison_mod=10,
+                                     dup_mod=0), batch_id=0)
+    m2 = apply_batch(t, changelog_df(spark, 200, 20, seed=7,
+                                     poison_mod=10, dup_mod=0)
+                     .withColumn("lsn", F.col("lsn") + 1000), batch_id=2)
+    assert m0.rows_quarantined > 0 and m2.rows_quarantined > 0
+    assert pending_quarantine_ids(t) == [0, 2]
+
+    # drain ONLY batch 2 -> fence REQUEUE_BASE + 2
+    r = requeue_quarantine(t, spark, batch_ids=[2], repair=full_fix)
+    assert r.batch_id == REQUEUE_BASE + 2 and not r.fenced
+    assert pending_quarantine_ids(t) == [0]
+
+    # request [0, 2]: same default id (R+2, applied) -- the old code
+    # returned a fenced no-op and stranded batch 0 forever
+    r2 = requeue_quarantine(t, spark, batch_ids=[0, 2], repair=full_fix)
+    assert not r2.fenced and r2.batch_id == REQUEUE_BASE + 0
+    assert r2.rows_in == m0.rows_quarantined
+    assert pending_quarantine_ids(t) == []
+
+    # and the whole thing is now replay-stable
+    r3 = requeue_quarantine(t, spark, batch_ids=[0, 2], repair=full_fix)
+    assert r3.fenced
+
+
+def test_requeue_survives_audit_truncation(spark, tmp_table_root):
+    """expire_snapshots truncating the audit row that recorded a drain
+    must not strand re-quarantined/pending dead letters forever."""
+    t = mk_table(tmp_table_root)
+    m0 = apply_batch(t, changelog_df(spark, 300, 30, poison_mod=12,
+                                     dup_mod=0), batch_id=0)
+    assert m0.rows_quarantined > 0
+    # crash between the fenced drain commit and the dir sweep:
+    # simulate by committing the drain then re-creating the dir state
+    # of the crash (the dirs were never swept)
+    import shutil
+
+    qdir = os.path.join(t.root, QUARANTINE_DIR, "batch_id=0")
+    saved = qdir + ".saved"
+    shutil.copytree(qdir, saved)
+    r = requeue_quarantine(t, spark, repair=full_fix)
+    assert not r.fenced
+    shutil.copytree(saved, qdir)            # the un-swept crash state
+    shutil.rmtree(saved)
+
+    # retention truncates the audit chain past the drain's record
+    for i in range(12):
+        t.append(spark, changelog_df(spark, 5, 5, dup_mod=0)
+                 .select("url", "warc_ts", "html")
+                 .withColumn("text", F.lit(None).cast("string"))
+                 .withColumn("lang", F.lit(None).cast("string")),
+                 batch_id=100 + i)
+    t.expire_snapshots(keep_last=2)
+    from yadamu___yet_another_data_migration_utility_spark.operators.apply import (
+        _recorded_drain,
+    )
+    assert _recorded_drain(t, REQUEUE_BASE + 0) is None  # truly truncated
+
+    # replay: the old code swept nothing and returned fenced forever;
+    # now the pending dir re-drains under the next free id (safe:
+    # original lsns -> LWW double-application converges)
+    r2 = requeue_quarantine(t, spark, repair=full_fix)
+    assert not r2.fenced and r2.batch_id == REQUEUE_BASE + 0 + 1
+    assert pending_quarantine_ids(t) == []

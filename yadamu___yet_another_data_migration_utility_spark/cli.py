@@ -685,6 +685,19 @@ def cmd_lookup(args) -> int:
     return 0
 
 
+def _pairs(items: list[str], flag: str) -> dict[str, str] | None:
+    """Parse repeated COL=SQL_EXPR flags; SystemExit on malformed input
+    (callers print it and return usage error 2)."""
+    out: dict[str, str] = {}
+    for item in items:
+        col, _, expr = item.partition("=")
+        if not col or not expr:
+            raise SystemExit(
+                f"error: {flag} expects COL=SQL_EXPR, got {item!r}")
+        out[col] = expr
+    return out or None
+
+
 def cmd_requeue(args) -> int:
     """Drain the dead-letter quarantine back through the engine
     (operators.apply.requeue_quarantine): optional per-column repair,
@@ -693,19 +706,16 @@ def cmd_requeue(args) -> int:
     from .operators.apply import pending_quarantine_ids, requeue_quarantine
 
     t = _table(args)
-    repair = {}
-    for item in args.set or []:
-        col, _, expr = item.partition("=")
-        if not col or not expr:
-            print(f"error: --set expects COL=SQL_EXPR, got {item!r}",
-                  file=sys.stderr)
-            return 2
-        repair[col] = expr
+    try:
+        repair = _pairs(args.set or [], "--set")
+    except SystemExit as e:
+        print(e, file=sys.stderr)
+        return 2
     spark = _spark(args.cpus)
     m = requeue_quarantine(
         t, spark,
         batch_ids=args.batch_id or None,
-        repair=repair or None,
+        repair=repair,
         requeue_id=args.requeue_id,
     )
     print(json.dumps({
@@ -722,17 +732,6 @@ def cmd_merge_into(args) -> int:
     ``t.*``/``s.*`` (LakeTable.merge_into). The CDC stream path is
     ``replay``; this is the ad-hoc upsert/correction surface."""
     t = _table(args)
-
-    def _pairs(items: list[str], flag: str) -> dict[str, str] | None:
-        out: dict[str, str] = {}
-        for item in items:
-            col, _, expr = item.partition("=")
-            if not col or not expr:
-                raise SystemExit(
-                    f"error: {flag} expects COL=SQL_EXPR, got {item!r}")
-            out[col] = expr
-        return out or None
-
     if args.set and args.set_all:
         print("error: --set and --set-all are mutually exclusive",
               file=sys.stderr)
@@ -790,7 +789,9 @@ def cmd_sync(args) -> int:
     spark = _spark(args.cpus)
     snap = _read_source(spark, args.source, args.format)
     v, counts = t.sync_from(spark, snap, source_key=args.source_key,
-                            evolve=args.evolve, batch_id=args.batch_id)
+                            evolve=args.evolve,
+                            allow_empty=args.allow_empty,
+                            batch_id=args.batch_id)
     print(json.dumps({"version": v, "counts": counts}, sort_keys=True))
     return 0
 
@@ -1626,6 +1627,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--evolve", action="store_true",
                     help="new snapshot columns evolve in and backfill "
                          "every row (they count as differences)")
+    sp.add_argument("--allow-empty", action="store_true",
+                    help="permit a 0-row snapshot (deletes EVERY row; "
+                         "refused otherwise)")
     sp.add_argument("--batch-id", type=int, default=None)
     common(sp)
     branch_opt(sp)

@@ -515,6 +515,16 @@ REQUEUE_BASE = 1 << 40
 REQUEUE_AUDIT_KEY = "requeue_source_batches"
 
 
+def _recorded_drain(table: LakeTable, rid: int) -> list[int] | None:
+    """The drain list a requeue commit recorded in its audit row, or
+    None when retention has truncated that row out of the chain."""
+    recorded = None
+    for a in table.audit_entries():
+        if a.get("batch_id") == rid and REQUEUE_AUDIT_KEY in a:
+            recorded = a[REQUEUE_AUDIT_KEY]
+    return recorded
+
+
 def pending_quarantine_ids(table: LakeTable) -> list[int]:
     """Batch ids with rows waiting in the dead-letter side table."""
     qroot = os.path.join(table.root, QUARANTINE_DIR)
@@ -562,7 +572,13 @@ def requeue_quarantine(
       BEFORE the dir sweep recovers the exact list from the fence --
       a quarantine dir that arrived between crash and replay is never
       swept by the replay;
-    - the dir sweep itself is idempotent (rmtree of named dirs).
+    - the dir sweep itself is idempotent (rmtree of named dirs);
+    - a fence whose recorded drain set does NOT cover the request
+      (the default id is max()-derived, so sets sharing a max
+      collide) -- or whose audit row retention truncated -- never
+      strands dead letters: the still-pending remainder re-drains
+      under the next free id (safe: rows re-enter at their original
+      lsn, so LWW makes double-application convergent).
 
     Returns the apply's ``BatchMetrics`` (``None`` if there was nothing
     to drain). ``rows_quarantined`` in the result counts rows that
@@ -596,12 +612,31 @@ def requeue_quarantine(
         # this is a plain replay): recover the recorded drain list from
         # the commit's audit row -- NOT the current dir listing, which
         # may contain newer, undrained batches
-        recorded = None
-        for a in table.audit_entries():
-            if a.get("batch_id") == requeue_id and REQUEUE_AUDIT_KEY in a:
-                recorded = a[REQUEUE_AUDIT_KEY]
-        _sweep(recorded if recorded is not None else [])
-        return BatchMetrics(requeue_id, 0, 0, 0, 0, 0, True, None, 0)
+        _sweep(_recorded_drain(table, requeue_id) or [])
+        leftover = [b for b in batch_ids
+                    if b in set(pending_quarantine_ids(table))]
+        if not leftover:
+            return BatchMetrics(requeue_id, 0, 0, 0, 0, 0, True, None, 0)
+        # requested ids still pending AFTER the recorded sweep: the
+        # fence covered a DIFFERENT drain set (the default id is
+        # max()-derived, so [0,2] and [0,1,2] collide) or retention
+        # truncated the audit row. Those dirs were provably not swept
+        # by that commit, and re-draining is row-wise idempotent (rows
+        # re-enter at their ORIGINAL lsn; LWW ties benignly), so
+        # recovery stays hands-off: walk ids upward from the
+        # leftover's own default -- an applied id whose recorded set
+        # covers the leftover means "drained, just sweep"; the first
+        # unapplied id hosts the re-drain.
+        rid2 = REQUEUE_BASE + max(leftover)
+        while table.is_applied(rid2):
+            rec2 = _recorded_drain(table, rid2)
+            if rec2 is not None and set(leftover) <= set(rec2):
+                _sweep(leftover)
+                return BatchMetrics(rid2, 0, 0, 0, 0, 0, True, None, 0)
+            rid2 += 1
+        return requeue_quarantine(
+            table, spark, batch_ids=leftover, repair=repair,
+            requeue_id=rid2, **apply_kwargs)
 
     paths = [os.path.join(qroot, f"batch_id={b}") for b in batch_ids]
     df = (

@@ -3147,6 +3147,18 @@ class LakeTable:
             elif clause is not None and clause != "all":
                 raise ValueError(f'{what} must be "all" or a dict')
 
+        # bucket placement is xxhash64(key-AS-ITS-TABLE-TYPE) (see
+        # _evolved_schema's key note): cast the source key up front so
+        # bucket discovery, the join, and the bucketed write all hash
+        # the same value -- a raw int source key against a long table
+        # key would otherwise compute the WRONG touched set and the
+        # rewrite would silently drop the real bucket's new file. A
+        # key that casts to NULL ('abc' -> int) is caught by the
+        # NULL-key check below (try_cast: ANSI mode would otherwise
+        # throw mid-job instead of reaching that clear error).
+        source = source.withColumn(skey,
+                                   F.col(skey).try_cast(fields[key]))
+
         # ---- ONE job over the source: touched buckets + dup/NULL-key
         # rejection (count vs count_distinct per bucket) --------------
         bstats = (
@@ -3159,7 +3171,8 @@ class LakeTable:
         )
         if any(r["_b"] == -1 for r in bstats):
             raise ValueError(
-                "merge_into source contains NULL keys; a keyed table "
+                "merge_into source contains NULL keys (or keys that "
+                "cast to NULL as the table's key type); a keyed table "
                 "cannot hold them (the CDC path quarantines such rows)")
         dups = sum(r["n"] - r["d"] for r in bstats)
         if dups:
@@ -3294,6 +3307,10 @@ class LakeTable:
             self.fs.rmtree(out_dir)
             return None, counts
 
+        # a delete-only merge stamps no surviving row: like
+        # delete_where, it must NOT advance the watermark or claim an
+        # applied-LSN range no data carries
+        stamped = bool(counts["rows_updated"] or counts["rows_inserted"])
         _, zone = _footer_stats(self.fs, self.root, new_files,
                                 schema=schema)
         touched_set = set(touched)
@@ -3317,7 +3334,8 @@ class LakeTable:
             "buckets": buckets,
             "deltas": deltas,
             "applied_batches": _cap(applied),
-            "lsn_high": max(m.get("lsn_high") or 0, stamp),
+            "lsn_high": max(m.get("lsn_high") or 0,
+                            stamp if stamped else 0),
             "audit": {
                 "batch_id": batch_id,
                 "operation": "merge_into",
@@ -3325,8 +3343,8 @@ class LakeTable:
                 "rows_applied": counts["rows_updated"]
                 + counts["rows_inserted"],
                 "rows_deleted": counts["rows_deleted"],
-                "min_lsn": stamp,
-                "max_lsn": stamp,
+                "min_lsn": stamp if stamped else None,
+                "max_lsn": stamp if stamped else None,
                 "touched_buckets": len(touched),
                 "version": v,
             },
@@ -3358,6 +3376,7 @@ class LakeTable:
         snapshot: DataFrame,
         source_key: str | None = None,
         evolve: bool = False,
+        allow_empty: bool = False,
         batch_id: int | None = None,
     ) -> tuple[int | None, dict[str, int]]:
         """Make the table EQUAL the given snapshot in one commit -- the
@@ -3386,7 +3405,18 @@ class LakeTable:
         or ``merge_into`` directly -- they stay O(touched).
 
         ``batch_id`` fences the sync exactly-once like any merge.
-        Returns ``merge_into``'s ``(version, counts)``."""
+        Returns ``merge_into``'s ``(version, counts)``.
+
+        An EMPTY snapshot is refused unless ``allow_empty=True``: with
+        the by-source delete armed, syncing to 0 rows truncates the
+        whole table, and the classic failure mode here is a broken
+        upstream export producing a valid-but-empty file -- make the
+        intent explicit."""
+        if not allow_empty and snapshot.isEmpty():
+            raise ValueError(
+                "sync_from got an EMPTY snapshot, which would delete "
+                "every row; pass allow_empty=True if the table really "
+                "should converge to empty")
         key = self.manifest()["key"]
         skey = source_key or key
         known = {f.name for f in self.schema().fields}
