@@ -109,6 +109,44 @@ def test_cli_copy_seeds_laketable(spark, tmp_path, capsys):
     assert t.read(spark).count() == 20 and t.merge_mode() == "mor"
 
 
+def test_cli_sql_verb(spark, tmp_path, capsys):
+    """Ad-hoc SQL over the registered snapshot view: query + metadata
+    views + --max-rows truncation + clean analysis-error exit."""
+    src = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        [(f"u{i}", i % 3) for i in range(20)], "url string, grp int"
+    ).write.parquet(src)
+    root = str(tmp_path / "lake")
+    rc, _ = _run(capsys, ["copy", "--source", src, "--table-root", root,
+                          "--key", "url", "--buckets", "4"])
+    assert rc == 0
+
+    rc = main(["sql", "--table-root", root, "--query",
+               "SELECT grp, count(*) AS n FROM pages GROUP BY grp ORDER BY grp"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and len(out) == 3
+    assert json.loads(out[0]) == {"grp": 0, "n": 7}
+
+    # metadata views come along with --meta
+    rc = main(["sql", "--table-root", root, "--meta", "--query",
+               "SELECT operation FROM pages_snapshots ORDER BY version"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and json.loads(out[-1])["operation"] == "append"
+
+    # driver-side cap: 20 rows at --max-rows 5 -> 5 printed + a note
+    rc = main(["sql", "--table-root", root, "--max-rows", "5",
+               "--query", "SELECT url FROM pages"])
+    cap = capsys.readouterr()
+    assert rc == 0 and len(cap.out.strip().splitlines()) == 5
+    assert "truncated" in cap.err
+
+    # analysis errors exit 2 with a message, not a traceback
+    rc = main(["sql", "--table-root", root, "--query",
+               "SELECT nope FROM pages"])
+    cap = capsys.readouterr()
+    assert rc == 2 and "error:" in cap.err
+
+
 def test_cli_replay_verb(spark, tmp_path, capsys):
     """The core pipeline as a verb: WAL -> fenced merge, exactly-once on
     re-run from the same checkpoint."""

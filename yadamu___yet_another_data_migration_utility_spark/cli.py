@@ -106,6 +106,8 @@ stateless per-job; a lake table needs day-2 operations):
              commit (update changed / insert new / delete absent;
              unchanged rows keep their lsn)
     snapshots / files  Iceberg-style metadata tables as JSON lines
+    sql      one SQL query over the registered snapshot view (--meta
+             adds the metadata views); JSON lines out, --max-rows cap
 
 Every Spark verb builds the standard engine session (session.get_spark)
 and reads/writes plain paths, so s3a:// URIs work where Hadoop is
@@ -843,6 +845,40 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Ad-hoc SQL over the lake table: register the resolved snapshot as
+    a temp view named --name (plus the five metadata views with --meta)
+    and run ONE query, printing JSON lines. The reference's UPLOAD role
+    (ship data into the server, query it with SQL -- SURVEY §2 D2)
+    turned interactive: Spark IS the server. A pinned --version/tag
+    gives a reproducible session; the view captures that snapshot's
+    plan (mor resolution included). Rows are rendered JVM-side
+    (``toJSON``) and capped at --max-rows on the driver -- an
+    accidentally unbounded SELECT prints a truncation note instead of
+    collecting the table."""
+    from pyspark.errors import AnalysisException
+
+    t = _table(args)
+    spark = _spark(args.cpus)
+    t.register(spark, args.name, version=args.version)
+    if args.meta:
+        t.register_meta(spark, args.name)
+    try:
+        # take(max+1): JVM-side JSON rendering, bounded driver transfer,
+        # and an exact truncation signal without a second job
+        rows = spark.sql(args.query).toJSON().take(args.max_rows + 1)
+    except AnalysisException as e:
+        print(f"error: {e.getMessage() if hasattr(e, 'getMessage') else e}",
+              file=sys.stderr)
+        return 2
+    for r in rows[:args.max_rows]:
+        print(r)
+    if len(rows) > args.max_rows:
+        print(f"note: output truncated at --max-rows {args.max_rows}",
+              file=sys.stderr)
+    return 0
+
+
 def cmd_bloom(args) -> int:
     table = _table(args)
     spark = _spark(args.cpus)
@@ -1399,6 +1435,25 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated subset (default: every payload column)")
     common(sp)
     sp.set_defaults(fn=cmd_analyze)
+
+    sp = sub.add_parser("sql", help="run one SQL query over the table "
+                                    "registered as a temp view (--meta adds "
+                                    "the metadata views); JSON lines out")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--query", required=True, help="SQL text; the table is "
+                    "visible under --name (default: pages)")
+    sp.add_argument("--name", default="pages",
+                    help="view name for the snapshot (default: pages)")
+    sp.add_argument("--version", type=_version_arg, default=None,
+                    help="snapshot version or tag name (default: current)")
+    sp.add_argument("--meta", action="store_true",
+                    help="also register <name>_snapshots/_files/_history/"
+                         "_lineage/_refs metadata views")
+    sp.add_argument("--max-rows", type=int, default=1000,
+                    help="driver-side output cap (default: 1000)")
+    branch_opt(sp)
+    common(sp)
+    sp.set_defaults(fn=cmd_sql)
 
     sp = sub.add_parser("bloom", help="harvest the merge-key Bloom index for "
                                       "uncovered files (puffin-style sidecar; "

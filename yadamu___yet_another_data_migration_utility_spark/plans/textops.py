@@ -1501,4 +1501,71 @@ def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_meta(d)
 
 
+# sliding-window chunking: W tokens per chunk, stride S (W-S overlap)
+_CHUNK_W, _CHUNK_S = 64, 48
+
+_CHUNK_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    c AS (
+      SELECT doc_id, len(w) AS n_tok, w,
+             unnest(generate_series(1,
+               CASE WHEN len(w) <= {_CHUNK_W} THEN 1
+                    ELSE 1 + (len(w) - {_CHUNK_W} + {_CHUNK_S} - 1)
+                             // {_CHUNK_S}
+               END)) AS chunk_id
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST((chunk_id - 1) * {_CHUNK_S} + 1 AS BIGINT) AS start_tok,
+           CAST(least({_CHUNK_W}, n_tok - (chunk_id - 1) * {_CHUNK_S})
+                AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(
+             w[(chunk_id-1)*{_CHUNK_S}+1 : (chunk_id-1)*{_CHUNK_S}+{_CHUNK_W}],
+             ' ')) AS chunk_md5
+    FROM c
+"""
+
+
+@_register("doc_chunk_sliding", _CHUNK_SQL)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: every document cut into
+    64-token windows at stride 48 (16-token overlap), the retrieval
+    prep that feeds chunk embeddings. Distinct from the passage op
+    (dedup_passages: disjoint 10-word chunks for dedup) and from
+    corpus_pack_sequences (cross-doc concat-and-chunk for training):
+    here windows OVERLAP so no retrieval boundary splits an answer
+    span. A doc shorter than one window is one chunk; otherwise the
+    last window starts at the final stride step that still reaches the
+    tail (1 + ceil((n-W)/S) chunks), so every token is covered and the
+    final chunk may run short. Emits (doc_id, chunk_id, start_tok,
+    chunk_tokens, chunk_md5) -- the md5 proves the chunk TEXT, not
+    just offsets.
+
+    Scale: narrow projection -- split/sequence/slice/md5 all in one
+    codegen stage, no shuffle, no UDF; output is ~n_tok/S rows per doc.
+    The explode happens JVM-side after a per-row sequence of ~n/S
+    struct entries, so the fan-out never leaves the executor."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w"))
+    chunks = F.expr(
+        f"transform(sequence(1, CASE WHEN size(w) <= {_CHUNK_W} THEN 1"
+        f" ELSE 1 + (size(w) - {_CHUNK_W} + {_CHUNK_S} - 1) div {_CHUNK_S}"
+        f" END), i -> struct("
+        f"   CAST(i AS BIGINT) AS chunk_id,"
+        f"   CAST((i-1)*{_CHUNK_S}+1 AS BIGINT) AS start_tok,"
+        f"   CAST(least({_CHUNK_W}, size(w) - (i-1)*{_CHUNK_S}) AS BIGINT)"
+        f"     AS chunk_tokens,"
+        f"   md5(concat_ws(' ', slice(w, (i-1)*{_CHUNK_S}+1, {_CHUNK_W})))"
+        f"     AS chunk_md5))"
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("s"))
+        .select("doc_id", "s.chunk_id", "s.start_tok", "s.chunk_tokens",
+                "s.chunk_md5")
+    )
+
+
 __all__ = ["QUERIES", "ORACLES"]

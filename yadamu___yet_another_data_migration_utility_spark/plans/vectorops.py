@@ -221,3 +221,76 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cell",
         F.when(F.col("dup_id").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("is_dup"),
     )
+
+
+_QUANT_SQL = """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS amax
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, amax,
+             CASE WHEN amax = 0
+                  THEN list_transform(v, x -> 0)
+                  ELSE list_transform(
+                         v, x -> CAST(floor(x * 127.0 / amax + 0.5) AS INT))
+             END AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(len(qv) AS INT) AS n_dims,
+           CAST(list_min(qv) AS INT) AS qmin,
+           CAST(list_max(qv) AS INT) AS qmax,
+           md5(array_to_string(qv, ',')) AS q_md5,
+           CASE WHEN amax = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE amax / 127.0 END AS scale
+    FROM q
+"""
+
+
+@_register("embedding_quantize", _QUANT_SQL)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column -- the
+    storage format ANN serving stacks keep vectors in (FAISS
+    ``SQ8``-style): per-vector scale = max|x| / 127, q_i =
+    floor(x_i/scale + 0.5) clamped by construction to [-127, 127].
+    Emitted per vector: dim count, quantized min/max, the md5 of the
+    full int8 codes (so the oracle checks every code, not just
+    summaries) and the de-quantization scale.
+
+    Determinism: float32 -> double is exact; abs/max are exact; the
+    quantization expression is one fixed IEEE chain (x*127.0/amax+0.5,
+    left-associated in both engines) and floor is exact -- so codes and
+    scale are bit-identical in DuckDB with NO rounding tolerance.
+    All-zero vectors take the amax=0 branch (codes all 0, scale 0).
+
+    Scale: a pure narrow projection -- per-row array math in codegen,
+    no shuffle, no UDF; at 100 TB this is the shape you want (the
+    quantized codes are 4x smaller than float32 on the way out)."""
+    e = load(spark, sf_dir, "embeddings")
+    v = _to_d("embedding")
+    amax = F.array_max(F.transform(v, F.abs))
+    qv = F.when(
+        amax == 0, F.transform(v, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            v, lambda x: F.floor(x * F.lit(127.0) / amax + F.lit(0.5))
+            .cast("int"))
+    )
+    d = e.select("vec_id", amax.alias("amax"), qv.alias("qv"))
+    return d.select(
+        "vec_id",
+        F.size("qv").alias("n_dims"),
+        F.array_min("qv").alias("qmin"),
+        F.array_max("qv").alias("qmax"),
+        F.md5(F.concat_ws(
+            ",", F.transform("qv", lambda x: x.cast("string")))).alias("q_md5"),
+        F.when(F.col("amax") == 0, F.lit(0.0))
+        .otherwise(F.col("amax") / F.lit(127.0)).alias("scale"),
+    )
