@@ -127,6 +127,14 @@ def test_cli_sql_verb(spark, tmp_path, capsys):
     assert rc == 0 and len(out) == 3
     assert json.loads(out[0]) == {"grp": 0, "n": 7}
 
+    # NULL columns are explicit JSON nulls -- every line has the same
+    # shape (toJSON would drop the key on null rows)
+    rc = main(["sql", "--table-root", root, "--query",
+               "SELECT url, CASE WHEN grp = 0 THEN NULL ELSE grp END AS g "
+               "FROM pages ORDER BY url LIMIT 2"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and json.loads(out[0]) == {"url": "u0", "g": None}
+
     # metadata views come along with --meta
     rc = main(["sql", "--table-root", root, "--meta", "--query",
                "SELECT operation FROM pages_snapshots ORDER BY version"])

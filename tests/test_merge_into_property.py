@@ -110,8 +110,15 @@ def test_merge_into_equals_clause_oracle(spark, tmp_path_factory, c):
     # the all-clauses-absent call is a documented ValueError, not a merge
     assume(c["delete"] or c["update"] is not None or c["insert"] is not None
            or c["by_source_delete"] or c["by_source_update"])
+    # source n/val vary AGAINST the target per key so every t-vs-s
+    # condition has mixed truth across matched rows: n = (i*5) % 7 sits
+    # above i for some keys and below for others, and every 3rd key's
+    # source val EQUALS the target's (t.val <> s.val false there)
     tgt_rows = [(f"k{i}", f"t{i}", i) for i in c["target"]]
-    src_rows = [(f"k{i}", f"s{i}", i + 1) for i in c["source"]]
+    src_rows = [
+        (f"k{i}", f"t{i}" if i % 3 == 0 else f"s{i}", (i * 5) % 7)
+        for i in c["source"]
+    ]
     root = str(tmp_path_factory.mktemp("mip") / "t")
     t = LakeTable.create(root, SCHEMA, key="url", bucket_count=4,
                          merge_mode=c["mode"])

@@ -852,10 +852,11 @@ def cmd_sql(args) -> int:
     (ship data into the server, query it with SQL -- SURVEY §2 D2)
     turned interactive: Spark IS the server. A pinned --version/tag
     gives a reproducible session; the view captures that snapshot's
-    plan (mor resolution included). Rows are rendered JVM-side
-    (``toJSON``) and capped at --max-rows on the driver -- an
-    accidentally unbounded SELECT prints a truncation note instead of
-    collecting the table."""
+    plan (mor resolution included). Output is capped at --max-rows on
+    the driver -- an accidentally unbounded SELECT prints a truncation
+    note instead of collecting the table. NULL columns print as
+    explicit JSON nulls (``toJSON`` would drop them per-row, giving a
+    line-to-line varying shape), matching the other JSON-lines verbs."""
     from pyspark.errors import AnalysisException
 
     t = _table(args)
@@ -864,15 +865,23 @@ def cmd_sql(args) -> int:
     if args.meta:
         t.register_meta(spark, args.name)
     try:
-        # take(max+1): JVM-side JSON rendering, bounded driver transfer,
-        # and an exact truncation signal without a second job
-        rows = spark.sql(args.query).toJSON().take(args.max_rows + 1)
+        # take(max+1): bounded driver transfer and an exact truncation
+        # signal without a second job
+        rows = spark.sql(args.query).take(args.max_rows + 1)
     except AnalysisException as e:
         print(f"error: {e.getMessage() if hasattr(e, 'getMessage') else e}",
               file=sys.stderr)
         return 2
+
+    def _conv(v):  # non-JSON-native scalars, nested depths included
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v).hex()
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        return str(v)  # Decimal and anything else exotic
+
     for r in rows[:args.max_rows]:
-        print(r)
+        print(json.dumps(r.asDict(recursive=True), default=_conv))
     if len(rows) > args.max_rows:
         print(f"note: output truncated at --max-rows {args.max_rows}",
               file=sys.stderr)
