@@ -154,6 +154,14 @@ def test_cli_sql_verb(spark, tmp_path, capsys):
     cap = capsys.readouterr()
     assert rc == 2 and "error:" in cap.err
 
+    # --out: full result written distributed, no --max-rows cap
+    out_dir = str(tmp_path / "sqlout")
+    rc = main(["sql", "--table-root", root, "--max-rows", "5",
+               "--out", out_dir, "--query", "SELECT url FROM pages"])
+    cap = capsys.readouterr()
+    assert rc == 0 and json.loads(cap.out)["written"] == out_dir
+    assert spark.read.parquet(out_dir).count() == 20
+
 
 def test_cli_replay_verb(spark, tmp_path, capsys):
     """The core pipeline as a verb: WAL -> fenced merge, exactly-once on

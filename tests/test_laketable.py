@@ -1411,3 +1411,29 @@ def test_register_meta_sql_views(spark, tmp_table_root):
     assert spark.sql(
         "SELECT max(version) v FROM m_snapshots").collect()[0]["v"] \
         == t.current_version()
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_row_count_metadata_fast_path(spark, tmp_table_root, mode):
+    """count(*) from footers alone: exact whenever no deltas are
+    pending (append-only, cow always, mor after compact), None while
+    mor deltas could drop/overwrite rows on resolution."""
+    t = mk(spark, tmp_table_root, merge_mode=mode)
+    assert t.row_count() == 0  # delta-free empty table
+
+    t.append(spark, spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(25)], SCHEMA))
+    assert t.row_count() == 25 == t.read(spark).count()
+
+    # an update + a delete: cow resolves in the rewrite (still exact);
+    # mor leaves delta files (fast path must refuse)
+    t.merge(spark, batch(
+        spark, [("k1", "x", "U", 100), ("k2", None, "D", 101)]),
+        batch_id=1)
+    if mode == "mor":
+        assert t.row_count() is None
+        t.compact(spark, all_deltas=True)
+    assert t.row_count() == 24 == t.read(spark).count()
+
+    # time travel: the pinned append-only snapshot still counts exactly
+    assert t.row_count(version=2) == 25

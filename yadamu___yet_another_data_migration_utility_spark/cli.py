@@ -813,6 +813,10 @@ def cmd_describe(args) -> int:
         "delta_files": sum(len(v) for v in deltas.values()),
         "buckets_with_deltas": sum(1 for v in deltas.values() if v),
         "applied_batches": len(m["applied_batches"]),
+        # --counts: exact metadata-only count(*) (O(files) footer
+        # reads, still no Spark job) -- null while deltas are pending
+        # (read-side resolution could drop rows; compact to refresh)
+        **({"row_count": t.row_count()} if args.counts else {}),
         # zone-map coverage: how many referenced files carry min/max
         # stats (files without them are never range-pruned)
         "stats_files": len(m.get("stats", {})),
@@ -865,9 +869,16 @@ def cmd_sql(args) -> int:
     if args.meta:
         t.register_meta(spark, args.name)
     try:
+        df = spark.sql(args.query)
+        if args.out:
+            # distributed write: the full result goes executor-side to
+            # parquet, nothing is collected -- the ETL shape of the verb
+            df.write.mode("errorifexists").parquet(args.out)
+            print(json.dumps({"written": args.out}))
+            return 0
         # take(max+1): bounded driver transfer and an exact truncation
         # signal without a second job
-        rows = spark.sql(args.query).take(args.max_rows + 1)
+        rows = df.take(args.max_rows + 1)
     except AnalysisException as e:
         print(f"error: {e.getMessage() if hasattr(e, 'getMessage') else e}",
               file=sys.stderr)
@@ -1460,6 +1471,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "_lineage/_refs metadata views")
     sp.add_argument("--max-rows", type=int, default=1000,
                     help="driver-side output cap (default: 1000)")
+    sp.add_argument("--out", default=None, metavar="DIR",
+                    help="write the FULL result as parquet (distributed, "
+                         "no driver collect, no --max-rows cap) instead "
+                         "of printing; refuses to overwrite")
     branch_opt(sp)
     common(sp)
     sp.set_defaults(fn=cmd_sql)
@@ -1519,6 +1534,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("describe", help="table status from the manifest "
                                          "(schema, layout, delta pressure)")
     sp.add_argument("--table-root", required=True)
+    sp.add_argument("--counts", action="store_true",
+                    help="add the exact metadata-only row_count (O(files) "
+                         "footer reads; null while deltas are pending)")
     branch_opt(sp)
     sp.set_defaults(fn=cmd_describe, cpus=None)
 

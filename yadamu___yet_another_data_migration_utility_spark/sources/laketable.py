@@ -1667,6 +1667,35 @@ class LakeTable:
             "merge_mode string, data_files long, delta_files long, summary string",
         )
 
+    def row_count(self, version: int | str | None = None) -> int | None:
+        """Exact ``count(*)`` from metadata alone -- Iceberg's count
+        pushdown analogue. For a snapshot with NO delta files the base
+        files hold exactly the live rows (compaction/cow materialize
+        resolution; winning tombstones physically disappear -- see
+        ``compact``), so the count is the sum of parquet footer row
+        counts over the referenced files: O(files) driver-side footer
+        reads through the FS seam, no Spark job. Returns ``None`` when
+        any bucket still carries deltas (read-side resolution could
+        drop or overwrite rows; fall back to ``read().count()``).
+
+        Scale note: Iceberg answers this without touching data files at
+        all by recording ``record_count`` per file in its manifests; the
+        port point here is stamping ``num_rows`` next to the zone maps
+        at harvest time (``_footer_stats`` already holds it) if footer
+        round-trips ever matter on an object store."""
+        import pyarrow.parquet as pq
+
+        m = self.manifest(version)
+        if any(fl for fl in m.get("deltas", {}).values()):
+            return None
+        n = 0
+        for files in m.get("buckets", {}).values():
+            for rel in files:
+                with self.fs.open_read(
+                        os.path.join(self.root, rel)) as fobj:
+                    n += pq.ParquetFile(fobj).metadata.num_rows
+        return n
+
     def file_entries(self, version: int | str | None = None) -> list[dict[str, Any]]:
         """One row per live file in a snapshot: bucket, kind (``data``
         base file vs ``delta`` MoR change file), byte size, and the
