@@ -172,9 +172,15 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
             # LakeTable commit machinery (bucketed write, footer stats,
             # manifest publish, observations) so the first timed
             # commit-path query measures its plan, not ~15s of one-time
-            # JIT (measured: cdc_dlq_requeue 24.5s cold vs ~5s warm)
+            # JIT (measured: cdc_dlq_requeue 24.5s cold vs ~5s warm).
+            # cdc_dlq_requeue and cdc_wap_publish additionally warm
+            # their UNIQUE codegen paths (quarantine drain, staged-
+            # fragment publish) that no other query compiles --
+            # measured 15.4/36.1s in-suite vs 9.3/6.0s re-run warm at
+            # identical job counts
             for wq in ("q1_pricing_summary", "cdc_last_state",
-                       "media_decode_meta", "cdc_replay_merge"):
+                       "media_decode_meta", "cdc_replay_merge",
+                       "cdc_dlq_requeue", "cdc_wap_publish"):
                 if wq in QUERIES:
                     force(QUERIES[wq](spark, warm_dir))
             # spawn the FULL Python worker pool (one per core), not just
