@@ -154,6 +154,13 @@ def test_cli_sql_verb(spark, tmp_path, capsys):
     cap = capsys.readouterr()
     assert rc == 2 and "error:" in cap.err
 
+    # ANSI-mode RUNTIME errors (1/0 fails at take(), not analysis) keep
+    # the same clean-error contract
+    rc = main(["sql", "--table-root", root, "--query",
+               "SELECT 1/0 AS boom FROM pages"])
+    cap = capsys.readouterr()
+    assert rc == 2 and "error:" in cap.err
+
     # --out: full result written distributed, no --max-rows cap
     out_dir = str(tmp_path / "sqlout")
     rc = main(["sql", "--table-root", root, "--max-rows", "5",

@@ -861,7 +861,7 @@ def cmd_sql(args) -> int:
     note instead of collecting the table. NULL columns print as
     explicit JSON nulls (``toJSON`` would drop them per-row, giving a
     line-to-line varying shape), matching the other JSON-lines verbs."""
-    from pyspark.errors import AnalysisException
+    from pyspark.errors import PySparkException
 
     t = _table(args)
     spark = _spark(args.cpus)
@@ -879,7 +879,12 @@ def cmd_sql(args) -> int:
         # take(max+1): bounded driver transfer and an exact truncation
         # signal without a second job
         rows = df.take(args.max_rows + 1)
-    except AnalysisException as e:
+    except PySparkException as e:
+        # the WHOLE family, not just AnalysisException: the engine
+        # session runs ANSI mode, so hand-typed SQL also fails at
+        # runtime (1/0, bad casts -> ArithmeticException/CastException
+        # out of take()/write) and the verb's clean-error contract must
+        # hold there too, not dump a Py4J stack
         print(f"error: {e.getMessage() if hasattr(e, 'getMessage') else e}",
               file=sys.stderr)
         return 2
