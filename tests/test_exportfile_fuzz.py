@@ -1,0 +1,107 @@
+"""Monolithic-import parser robustness fuzz: ``_stream_to_jsonl`` (the
+clarinet/SAX role -- the incremental pull parser behind import_json)
+over randomly corrupted export documents. The contract under garbage:
+either a clean ``ValueError`` ("malformed export document" family --
+json.JSONDecodeError is a ValueError subclass) or a successful parse
+whose spilled rows are self-consistent; NEVER a stray
+TypeError/KeyError/AttributeError traceback, and never a hang. The
+deterministic happy-path/bounded-memory tests live in test_formats.py.
+
+No Spark: the parser is pure driver code, so the fuzz runs hundreds of
+corruptions per second."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from yadamu___yet_another_data_migration_utility_spark.sources.exportfile import (
+    _stream_to_jsonl,
+)
+
+
+def _doc() -> str:
+    meta = {
+        "t": {"columnNames": ["a", "b"],
+              "schema": {"type": "struct", "fields": [
+                  {"name": "a", "type": "long", "nullable": True,
+                   "metadata": {}},
+                  {"name": "b", "type": "string", "nullable": True,
+                   "metadata": {}}]}},
+    }
+    return json.dumps({
+        "systemInformation": {"vendor": "x"},
+        "ddl": [],
+        "metadata": meta,
+        "data": {"t": [[1, "x"], [2, "y,{}"], [None, "[\"]"]]},
+    })
+
+
+MUT = st.one_of(
+    st.none(),
+    st.tuples(st.just("truncate"), st.integers(0, 400)),
+    st.tuples(st.just("flip"), st.integers(0, 400),
+              st.sampled_from('x}{"[],:5n')),
+    st.tuples(st.just("delete"), st.integers(0, 400), st.integers(1, 12)),
+    st.tuples(st.just("insert"), st.integers(0, 400),
+              st.sampled_from('}{"[],:x')),
+)
+
+
+def _mutate(doc: str, m) -> str:
+    if m is None:
+        return doc
+    kind, i = m[0], min(m[1], len(doc) - 1)
+    if kind == "truncate":
+        return doc[:i]
+    if kind == "flip":
+        return doc[:i] + m[2] + doc[i + 1:]
+    if kind == "delete":
+        return doc[:i] + doc[i + m[2]:]
+    return doc[:i] + m[2] + doc[i:]
+
+
+@settings(max_examples=300, deadline=None)
+@given(m=MUT)
+def test_stream_parser_clean_error_or_consistent_parse(tmp_path_factory, m):
+    doc = _mutate(_doc(), m)
+    work = tmp_path_factory.mktemp("fuzz")
+    path = str(work / "doc.json")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(doc)
+    try:
+        head, files, _peak = _stream_to_jsonl(path, str(work))
+    except ValueError:
+        return  # the clean-error half of the contract (JSONDecodeError included)
+    # success half: whatever was spilled must be valid JSONL, and a
+    # pristine document must round-trip its rows exactly
+    for p in files.values():
+        with open(p, encoding="utf-8") as f:
+            rows = [json.loads(ln) for ln in f]
+    if m is None:
+        assert [list(r.values()) for r in rows] == [
+            [1, "x"], [2, "y,{}"], [None, "[\"]"]]
+        assert head["metadata"]["t"]["columnNames"] == ["a", "b"]
+
+
+def test_parser_converts_structural_garbage_to_valueerror(tmp_path):
+    """The specific shapes that used to leak non-ValueError: a row that
+    is not an array (zip over int -> TypeError), metadata that is not
+    an object (AttributeError on .items)."""
+    cases = [
+        # data row is a scalar, not an array
+        '{"metadata": {"t": {"columnNames": ["a"]}}, "data": {"t": [5]}}',
+        # metadata section is an array
+        '{"metadata": [1], "data": {"t": [[1]]}}',
+        # a table's metadata entry is a scalar
+        '{"metadata": {"t": 7}, "data": {"t": [[1]]}}',
+    ]
+    for doc in cases:
+        p = str(tmp_path / "d.json")
+        with open(p, "w", encoding="utf-8") as f:
+            f.write(doc)
+        with pytest.raises(ValueError):
+            _stream_to_jsonl(p, str(tmp_path))

@@ -278,6 +278,22 @@ def _stream_to_jsonl(
     -- NOT the document size."""
     head: dict = {}
     files: dict[str, str] = {}
+    try:
+        return _stream_to_jsonl_inner(
+            path, scratch, chunk_size, encryption_key, head, files)
+    except (TypeError, KeyError, AttributeError) as e:
+        # structurally-wrong-but-valid JSON (a scalar where a row array
+        # belongs, metadata as a list, ...) surfaces from dict/zip/attr
+        # machinery -- normalize to the parser's clean-error contract
+        # so CLI/main() error handling treats corruption uniformly
+        raise ValueError(
+            f"malformed export document: {type(e).__name__}: {e}") from e
+
+
+def _stream_to_jsonl_inner(
+    path: str, scratch: str, chunk_size: int,
+    encryption_key: bytes | None, head: dict, files: dict[str, str],
+) -> tuple[dict, dict[str, str], int]:
     with _open_text(path, encryption_key) as f:
         js = _JsonStream(f, chunk_size)
         js.expect("{")
@@ -343,8 +359,19 @@ def import_json(
     atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     head, files, _peak = _stream_to_jsonl(path, scratch, chunk_size, encryption_key)
     out: dict[str, DataFrame] = {}
-    for name, meta in head["metadata"].items():
-        schema = T.StructType.fromJson(meta["schema"])
+    try:
+        metadata = dict(head["metadata"])
+        schemas = {
+            n: T.StructType.fromJson(m["schema"])
+            for n, m in metadata.items()
+        }
+    except (TypeError, KeyError, AttributeError, ValueError) as e:
+        # same clean-error normalization as _stream_to_jsonl: a corrupt
+        # metadata section must not leak fromJson internals
+        raise ValueError(
+            f"malformed export document metadata: {e}") from e
+    for name in metadata:
+        schema = schemas[name]
         lines_path = files.get(name)
         if lines_path is None:  # exported table with no data section
             out[name] = spark.createDataFrame([], schema)
