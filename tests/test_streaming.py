@@ -618,6 +618,116 @@ def test_follow_changes_stress_with_rewrites_and_tags(spark, tmp_path):
     assert rollbacks >= 1  # the seed actually exercised a revert
 
 
+def test_follow_changes_stress_with_staging_and_branches(spark, tmp_path):
+    """Third randomized CDC-loop stress, biased to the MULTI-COMMIT
+    publication surfaces: WAP staging (stage -> publish, stage ->
+    abort), writable branches (create -> branch merges ->
+    fast_forward -> drop) and general merge_into, interleaved with
+    plain merges under a tailing follow_changes consumer applying
+    every window through the real merge. The replica must equal the
+    source at every poll -- this pins the claim that published and
+    adopted commits keep the downstream change cursor seamless, and
+    that aborted stages never leak rows."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
+        follow_changes,
+    )
+
+    rng = random.Random(20260821)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "url string, val string, op string, lsn long")
+
+    schema = spark.createDataFrame([], "url string, val string").schema
+    t = LakeTable.create(str(tmp_path / "src"), schema, key="url",
+                         bucket_count=4)
+    t2 = LakeTable.create(str(tmp_path / "dst"), schema, key="url",
+                          bucket_count=4)
+    seed_rows = [(f"u{i}", "v0", "I", i + 1) for i in range(24)]
+    t.merge(spark, batch(seed_rows), batch_id=0)
+    t2.merge(spark, batch(seed_rows), batch_id=0)
+    cursor, lsn, bid, polls = t.current_version(), 100, 1, 0
+
+    def consume(df, since, until):
+        ch = df.select(
+            "url", "val",
+            F.when(F.col("_change_type") == "delete", "D")
+            .otherwise("U").alias("op"),
+            F.col("_lsn").alias("lsn"),
+        )
+        t2.merge(spark, ch, batch_id=1000 + until)
+
+    def snap(tbl):
+        return {(r["url"], r["val"]) for r in tbl.read(spark).collect()}
+
+    def some_rows(tag):
+        nonlocal lsn
+        rows = {}
+        for _ in range(rng.randint(1, 3)):
+            u = f"u{rng.randint(0, 30)}"
+            rows[u] = (u, f"{tag}{lsn}", "U", lsn)
+            lsn += 1
+        return list(rows.values())
+
+    ops = ["merge", "merge", "stage_publish", "stage_abort",
+           "branch_cycle", "merge_into", "poll"]
+    for step in range(16):
+        op = rng.choice(ops)
+        if op == "merge":
+            t.merge(spark, batch(some_rows("v")), batch_id=bid)
+            bid += 1
+        elif op == "stage_publish":
+            t.stage_merge(spark, batch(some_rows("sp")), batch_id=bid)
+            assert t.publish_staged(bid) is not None
+            bid += 1
+        elif op == "stage_abort":
+            before = snap(t)
+            t.stage_merge(spark, batch(some_rows("ab")), batch_id=bid)
+            assert snap(t) == before  # staged rows invisible
+            t.abort_staged(bid)
+            assert snap(t) == before  # ...and gone for good
+            bid += 1  # the id is burned, never reused
+        elif op == "branch_cycle":
+            name = f"b{step}"
+            br = t.create_branch(name)
+            for _ in range(rng.randint(1, 2)):
+                br.merge(spark, batch(some_rows("br")), batch_id=bid)
+                bid += 1
+            t.fast_forward(name)  # drops the branch on success
+        elif op == "merge_into":
+            src = spark.createDataFrame(
+                [(f"u{rng.randint(0, 34)}", f"mi{lsn}")],
+                "url string, val string")
+            t.merge_into(spark, src, update_set="all",
+                         insert_values="all", batch_id=bid)
+            bid += 1
+            # merge_into stamps fresh LSNs above the watermark; the
+            # WAL counter must stay above them (a monotonic real WAL
+            # always does)
+            lsn = max(lsn, t.lsn_high_watermark() + 1)
+        else:
+            cursor = follow_changes(spark, t, cursor, consume,
+                                    poll_seconds=0.01,
+                                    stop_at_version=t.current_version())
+            polls += 1
+            assert snap(t2) == snap(t), f"diverged at step {step}"
+    # deterministic closing coverage regardless of the seed's draw:
+    # one stage->publish and one branch cycle, then a final poll
+    t.stage_merge(spark, batch(some_rows("sp")), batch_id=bid)
+    assert t.publish_staged(bid) is not None
+    br = t.create_branch("final")
+    br.merge(spark, batch(some_rows("br")), batch_id=bid + 1)
+    t.fast_forward("final")  # drops the branch on success
+    cursor = follow_changes(spark, t, cursor, consume, poll_seconds=0.01,
+                            stop_at_version=t.current_version())
+    assert snap(t2) == snap(t)
+    assert polls >= 1
+
+
 def test_streaming_replay_multi_routes_resumes_exactly_once(spark, tmp_path):
     """One WAL stream interleaving two tables: start_replay_multi
     routes each micro-batch's slices under a shared fence id. Kill
