@@ -148,15 +148,21 @@ def force(df) -> int:
     return 0
 
 
-def run_queries(sf_dir: str, cpus: int) -> dict:
+def run_queries(sf_dir: str, cpus: int, only: list[str] | None = None) -> dict:
     from yadamu___yet_another_data_migration_utility_spark.plans import QUERIES
 
+    if only:
+        unknown = [n for n in only if n not in QUERIES]
+        if unknown:
+            raise SystemExit(f"--queries: unknown catalog entries {unknown}")
     spark = build_spark(cpus)
     try:
         timings: dict[str, float] = {}
         names = [n for n in HEADLINE_ORDER if n in QUERIES] + [
             n for n in QUERIES if n not in HEADLINE_ORDER
         ]
+        if only:
+            names = [n for n in names if n in set(only)]
         # untimed JIT/codegen warmup at the smallest SF: without it the
         # first timed query absorbs ~20s of compiler work that belongs
         # to the JVM, not the plan. media_decode_meta additionally
@@ -511,6 +517,10 @@ def main() -> None:
                     help="reuse/write the changelog at this path (scaling protocol)")
     ap.add_argument("--gen-log", type=int, default=None, metavar="N_EVENTS",
                     help="only generate the changelog to --log-path, then exit")
+    ap.add_argument("--queries", default=None, metavar="NAME,NAME",
+                    help="run only this comma-separated catalog subset "
+                         "(iteration aid; the emitted total is then NOT "
+                         "comparable to full-suite rows)")
     ap.add_argument("--dedup", default="none",
                     choices=["none", "broadcast", "salted"],
                     help="pre-write dedup strategy for --replay/--scaling "
@@ -533,7 +543,9 @@ def main() -> None:
         out = run_replay(args.replay, args.cpus, args.batches,
                          log_path=args.log_path, dedup=args.dedup)
     else:
-        out = run_queries(args.sf_dir, args.cpus)
+        only = ([q.strip() for q in args.queries.split(",") if q.strip()]
+                if args.queries else None)
+        out = run_queries(args.sf_dir, args.cpus, only=only)
     print(json.dumps(out))
 
 
