@@ -105,3 +105,51 @@ def test_parser_converts_structural_garbage_to_valueerror(tmp_path):
             f.write(doc)
         with pytest.raises(ValueError):
             _stream_to_jsonl(p, str(tmp_path))
+
+
+def test_parser_converts_envelope_corruption_to_valueerror(tmp_path):
+    """Corrupt COMPRESSION envelopes, not just corrupt JSON: a truncated
+    gzip stream (EOFError), garbage bytes behind a gzip magic
+    (BadGzipFile mid-read), and a wrong decryption key (whose output is
+    gzip-sniffed garbage) must all land on the clean malformed-document
+    ValueError, while a genuinely missing file stays FileNotFoundError."""
+    import gzip as _gzip
+
+    import pytest as _pytest
+
+    from yadamu___yet_another_data_migration_utility_spark.sources.filecrypto import (
+        derive_key,
+        encrypt_file,
+    )
+
+    # truncated gzip: compress a valid doc, cut it mid-stream
+    whole = _gzip.compress(_doc().encode())
+    trunc = str(tmp_path / "t.json.gz")
+    with open(trunc, "wb") as f:
+        f.write(whole[: len(whole) // 2])
+    with _pytest.raises(ValueError):
+        _stream_to_jsonl(trunc, str(tmp_path))
+
+    # gzip magic followed by garbage
+    garb = str(tmp_path / "g.json.gz")
+    with open(garb, "wb") as f:
+        f.write(b"\x1f\x8b" + b"\x00" * 64)
+    with _pytest.raises(ValueError):
+        _stream_to_jsonl(garb, str(tmp_path))
+
+    # wrong key: a validly-encrypted document read with another
+    # passphrase decrypts to garbage (UnicodeDecodeError is a
+    # ValueError; a garbage gzip sniff raises BadGzipFile -- both must
+    # land on the clean contract)
+    plain = str(tmp_path / "p.json")
+    with open(plain, "w", encoding="utf-8") as f:
+        f.write(_doc())
+    enc = str(tmp_path / "e.json")
+    encrypt_file(plain, enc, derive_key("right"))
+    with _pytest.raises(ValueError):
+        _stream_to_jsonl(enc, str(tmp_path),
+                         encryption_key=derive_key("wrong"))
+
+    # a missing file keeps its own contract
+    with _pytest.raises(FileNotFoundError):
+        _stream_to_jsonl(str(tmp_path / "nope.json"), str(tmp_path))

@@ -281,11 +281,16 @@ def _stream_to_jsonl(
     try:
         return _stream_to_jsonl_inner(
             path, scratch, chunk_size, encryption_key, head, files)
-    except (TypeError, KeyError, AttributeError) as e:
+    except (TypeError, KeyError, AttributeError,
+            EOFError, gzip.BadGzipFile) as e:
         # structurally-wrong-but-valid JSON (a scalar where a row array
         # belongs, metadata as a list, ...) surfaces from dict/zip/attr
-        # machinery -- normalize to the parser's clean-error contract
-        # so CLI/main() error handling treats corruption uniformly
+        # machinery; a corrupt/truncated gzip envelope (wrong key
+        # produces one too) surfaces BadGzipFile/EOFError mid-stream --
+        # normalize all of it to the parser's clean-error contract so
+        # CLI/main() error handling treats corruption uniformly.
+        # FileNotFoundError deliberately passes through untouched (the
+        # missing-file case is its own CLI contract).
         raise ValueError(
             f"malformed export document: {type(e).__name__}: {e}") from e
 
