@@ -1974,6 +1974,46 @@ def cdc_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_metadata_count",
+    f"""
+    WITH chg AS ({_CDC_SQL_SRC}),
+    last AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY lsn DESC) AS rn
+      FROM chg
+    ),
+    live AS (SELECT url FROM last WHERE rn = 1 AND op <> 'D')
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_meta,
+           CAST(COUNT(*) AS BIGINT) AS n_scan
+    FROM live
+    """,
+)
+def cdc_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(*) answered from METADATA alone (Iceberg's count pushdown
+    analogue, LakeTable.row_count): replay the changelog into a scratch
+    mor table in 2 fenced batches -- while deltas are pending the fast
+    path must refuse (read-side resolution could drop rows) -- then
+    ``compact(all_deltas=True)`` folds to delta-free bases and
+    ``row_count()`` sums parquet footer counts driver-side with NO
+    Spark job. The output carries the metadata count NEXT TO the real
+    distributed scan count, and the oracle is the declarative LWW live
+    count -- a hash match therefore proves the fast path, the scan,
+    and the independent SQL all agree on the live-row cardinality
+    (tombstones physically gone after the fold).
+
+    Scale: the count itself is O(files) footer reads; at 100 TB this is
+    the difference between answering a BI count from metadata and
+    scanning the table (Iceberg stores record_count per file in its
+    manifests to skip even the footers -- the documented port point)."""
+    table, _keys = _replayed_lookup_table(spark, sf_dir, "cdc_metacount_")
+    assert table.row_count() is None, "delta-pending fast path must refuse"
+    table.compact(spark, all_deltas=True)
+    n_meta = table.row_count()
+    n_scan = table.read(spark).count()
+    return spark.createDataFrame([(n_meta, n_scan)],
+                                 "n_meta long, n_scan long")
+
+
+@_register(
     "cdc_timeslice_scan",
     """
     SELECT event_type,
