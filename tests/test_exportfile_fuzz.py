@@ -150,6 +150,28 @@ def test_parser_converts_envelope_corruption_to_valueerror(tmp_path):
         _stream_to_jsonl(enc, str(tmp_path),
                          encryption_key=derive_key("wrong"))
 
+    # valid gzip HEADER, corrupted deflate BODY (bit flips mid-file --
+    # the most common real corruption): GzipFile.read raises
+    # zlib.error ("Error -3 ... invalid distance"), which is NOT a
+    # ValueError and must be normalized too. A high-entropy payload +
+    # an early-offset flip lands in live huffman data, so the zlib
+    # path (not merely EOFError) is genuinely exercised.
+    import json as _json
+    import random as _random
+
+    _random.seed(7)
+    rows = [["".join(_random.choice("abcdefghij0123456789")
+                     for _ in range(40))] for _ in range(2000)]
+    big = _json.dumps({"metadata": {"t": {"columnNames": ["a"]}},
+                       "data": {"t": rows}}).encode()
+    body = bytearray(_gzip.compress(big))
+    body[200] ^= 0xFF
+    flip = str(tmp_path / "f.json.gz")
+    with open(flip, "wb") as f:
+        f.write(bytes(body))
+    with _pytest.raises(ValueError):
+        _stream_to_jsonl(flip, str(tmp_path))
+
     # a missing file keeps its own contract
     with _pytest.raises(FileNotFoundError):
         _stream_to_jsonl(str(tmp_path / "nope.json"), str(tmp_path))

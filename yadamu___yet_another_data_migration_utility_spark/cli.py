@@ -865,10 +865,13 @@ def cmd_sql(args) -> int:
 
     t = _table(args)
     spark = _spark(args.cpus)
-    t.register(spark, args.name, version=args.version)
-    if args.meta:
-        t.register_meta(spark, args.name)
     try:
+        # register inside the clean-error block: building the snapshot
+        # view / metadata DataFrames can itself fail Spark-side (corrupt
+        # parquet footer, schema mismatch) and must share the contract
+        t.register(spark, args.name, version=args.version)
+        if args.meta:
+            t.register_meta(spark, args.name)
         df = spark.sql(args.query)
         if args.out:
             # distributed write: the full result goes executor-side to

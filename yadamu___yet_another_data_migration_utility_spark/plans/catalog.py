@@ -2005,7 +2005,8 @@ def cdc_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanning the table (Iceberg stores record_count per file in its
     manifests to skip even the footers -- the documented port point)."""
     table, _keys = _replayed_lookup_table(spark, sf_dir, "cdc_metacount_")
-    assert table.row_count() is None, "delta-pending fast path must refuse"
+    if table.row_count() is not None:  # must hold under python -O too
+        raise ValueError("delta-pending fast path must refuse")
     table.compact(spark, all_deltas=True)
     n_meta = table.row_count()
     n_scan = table.read(spark).count()

@@ -43,6 +43,7 @@ import json
 import os
 import shutil
 import tempfile
+import zlib
 import uuid
 from typing import Iterator
 
@@ -282,11 +283,13 @@ def _stream_to_jsonl(
         return _stream_to_jsonl_inner(
             path, scratch, chunk_size, encryption_key, head, files)
     except (TypeError, KeyError, AttributeError,
-            EOFError, gzip.BadGzipFile) as e:
+            EOFError, gzip.BadGzipFile, zlib.error) as e:
         # structurally-wrong-but-valid JSON (a scalar where a row array
         # belongs, metadata as a list, ...) surfaces from dict/zip/attr
         # machinery; a corrupt/truncated gzip envelope (wrong key
-        # produces one too) surfaces BadGzipFile/EOFError mid-stream --
+        # produces one too) surfaces BadGzipFile/EOFError mid-stream,
+        # and a valid-header/corrupt-deflate-body envelope (bit flips
+        # mid-file) surfaces zlib.error from GzipFile.read --
         # normalize all of it to the parser's clean-error contract so
         # CLI/main() error handling treats corruption uniformly.
         # FileNotFoundError deliberately passes through untouched (the
