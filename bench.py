@@ -148,6 +148,28 @@ def force(df) -> int:
     return 0
 
 
+#: the 47 catalog queries BENCH_r02 measured -- their subtotal is the
+#: round-over-round comparable trend number (the full-catalog total
+#: moves every time the catalog grows)
+R2_SHARED = frozenset([
+    "ann_cosine_topk", "ann_ivf", "ann_lsh_bucketed", "boilerplate_score",
+    "cdc_asof_join", "cdc_dedup_salted", "cdc_incremental_read",
+    "cdc_last_state", "cdc_quarantine_split", "cdc_replay_merge",
+    "cdc_scd2_history", "corpus_sample", "corpus_shuffle", "dedup_clusters",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_simhash", "doc_fingerprint", "doc_repetition", "doc_rolling_hash",
+    "document_roundtrip", "embedding_label_centroids", "events_hourly_rollup",
+    "events_sessionization", "events_user_props", "export_roundtrip_json",
+    "hot_domains", "media_decode_meta", "media_frame_sample",
+    "media_metadata", "minhash_lsh_dedup", "part_type_price_stats",
+    "pii_scrub", "pipeline_keep_list", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume", "simhash_signatures",
+    "staged_roundtrip_csv", "staged_roundtrip_parquet", "text_lang_id",
+    "text_quality_stats", "token_count_bpe", "token_stats_by_source",
+    "top_customer_per_nation", "url_canonical_dedup",
+])
+
+
 def run_queries(sf_dir: str, cpus: int, only: list[str] | None = None) -> dict:
     from yadamu___yet_another_data_migration_utility_spark.plans import QUERIES
 
@@ -218,6 +240,7 @@ def run_queries(sf_dir: str, cpus: int, only: list[str] | None = None) -> dict:
             timings[name] = round(time.monotonic() - t0, 3)
             jobs[name] = len(tracker.getJobIdsForGroup(name))
         total = round(sum(timings.values()), 3)
+        shared = {n: t for n, t in timings.items() if n in R2_SHARED}
         sf = _sf_of(sf_dir)
         return {
             "metric": "total wall-clock of headline query suite (noop-sink forced)",
@@ -226,6 +249,10 @@ def run_queries(sf_dir: str, cpus: int, only: list[str] | None = None) -> dict:
             "queries": timings,
             "jobs": jobs,
             "warmed_pool": warmed,
+            # round-over-round trend: BENCH_r02's 47 queries, comparable
+            # across catalogs of any size (only present on full runs)
+            "subtotal_r2_shared": (round(sum(shared.values()), 3)
+                                   if len(shared) == len(R2_SHARED) else None),
             "sf": sf,
             "cpus": cpus,
             "n_queries": len(timings),
@@ -362,7 +389,8 @@ def run_replay(n_events: int, cpus: int, n_batches: int = 5,
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _gen_log(spark, n_events: int, n_batches: int, log_path: str) -> None:
+def _gen_log(spark, n_events: int, n_batches: int, log_path: str,
+             hot_fraction: float = 0.2, n_hot: int = 5) -> None:
     """Materialize the synthetic changelog (untimed setup).
 
     Range-partition + sort by lsn: a WAL is contiguous segments, and
@@ -378,7 +406,7 @@ def _gen_log(spark, n_events: int, n_batches: int, log_path: str) -> None:
 
     chg = changelog_df(
         spark, n_events=n_events, n_urls=max(1000, n_events // 10),
-        hot_fraction=0.2, n_hot=5,
+        hot_fraction=hot_fraction, n_hot=n_hot,
     )
     chg.repartitionByRange(n_batches * 16, "lsn").sortWithinPartitions(
         "lsn"
@@ -500,6 +528,65 @@ def _run_scaling_inner(n_events: int, n_batches: int, cpu_pair: tuple[int, int],
     }
 
 
+def run_skew(n_events: int, cpus: int, n_batches: int = 3) -> dict:
+    """Hot-domain skew ABLATION (the north rule's skew story, measured):
+    a changelog where ONE url receives half of every batch -- the
+    worst-case hash-bucket hot key -- replayed twice over the identical
+    pre-generated parquet log:
+
+    - **salted** (engine default): ``_distribute_delta``'s key-derived
+      salt splits the hot bucket across ceil(cores/buckets) write
+      tasks, and the apply uses the two-phase salted reduction;
+    - **unsalted** (``SPARK_GRAFT_DISABLE_WRITE_SALT=1``, dedup
+      "none"): the hot bucket's writes serialize into one task.
+
+    ``bucket_count`` is forced BELOW the core count (cores/2) so the
+    salt path is live -- the regime the knob exists for (at 100 TB:
+    thousands of buckets, tens of thousands of cores, same ratio).
+    Reports events/sec for both and the salted/unsalted ratio; > 1
+    means salting held throughput the hot key would otherwise cost."""
+    work = tempfile.mkdtemp(prefix="bench_skew_", dir=_scratch_dir())
+    log_path = os.path.join(work, "hotlog")
+    old_buckets = os.environ.get("SPARK_GRAFT_BUCKETS")
+    try:
+        spark = build_spark(cpus)
+        try:
+            _gen_log(spark, n_events, n_batches, log_path,
+                     hot_fraction=0.5, n_hot=1)
+        finally:
+            spark.stop()
+        os.environ["SPARK_GRAFT_BUCKETS"] = str(max(2, cpus // 2))
+        os.environ["SPARK_GRAFT_DISABLE_WRITE_SALT"] = "1"
+        try:
+            unsalted = run_replay(n_events, cpus, n_batches,
+                                  log_path=log_path, dedup="none")
+        finally:
+            del os.environ["SPARK_GRAFT_DISABLE_WRITE_SALT"]
+        salted = run_replay(n_events, cpus, n_batches,
+                            log_path=log_path, dedup="salted")
+        ratio = (salted["peak_batch_events_per_sec"]
+                 / max(unsalted["peak_batch_events_per_sec"], 1e-9))
+        return {
+            "metric": "hot-domain skew ablation (1 url = 50% of events)",
+            "value": round(ratio, 3),
+            "unit": "salted/unsalted peak throughput ratio",
+            "salted_events_per_sec": salted["peak_batch_events_per_sec"],
+            "unsalted_events_per_sec": unsalted["peak_batch_events_per_sec"],
+            "salted_elapsed_sec": salted["elapsed_sec"],
+            "unsalted_elapsed_sec": unsalted["elapsed_sec"],
+            "events": n_events,
+            "cpus": cpus,
+            "bucket_count": max(2, cpus // 2),
+            "n_batches": n_batches,
+        }
+    finally:
+        if old_buckets is None:
+            os.environ.pop("SPARK_GRAFT_BUCKETS", None)
+        else:
+            os.environ["SPARK_GRAFT_BUCKETS"] = old_buckets
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replay", type=int, default=None, metavar="N_EVENTS",
@@ -521,6 +608,9 @@ def main() -> None:
                     help="run only this comma-separated catalog subset "
                          "(iteration aid; the emitted total is then NOT "
                          "comparable to full-suite rows)")
+    ap.add_argument("--skew", action="store_true",
+                    help="with --replay N: run the hot-domain skew ablation "
+                         "(salted vs unsalted) instead of the plain replay")
     ap.add_argument("--dedup", default="none",
                     choices=["none", "broadcast", "salted"],
                     help="pre-write dedup strategy for --replay/--scaling "
@@ -539,6 +629,8 @@ def main() -> None:
         out = {"metric": "gen-log", "events": args.gen_log, "path": args.log_path}
     elif args.scaling is not None:
         out = run_scaling(args.scaling, args.batches)
+    elif args.replay is not None and args.skew:
+        out = run_skew(args.replay, args.cpus, args.batches)
     elif args.replay is not None:
         out = run_replay(args.replay, args.cpus, args.batches,
                          log_path=args.log_path, dedup=args.dedup)

@@ -1,0 +1,236 @@
+"""Composite (multi-column) merge keys end-to-end: every surface that
+keys rows -- bucket placement, MoR/CoW merge, lookup, bloom index,
+change stream, MERGE INTO, snapshot sync, rename, quarantine -- must
+key on the full column TUPLE. The single-key paths stay bit-identical
+(their manifests still store the scalar key form)."""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+import pytest
+from pyspark.sql import functions as F
+
+from yadamu___yet_another_data_migration_utility_spark.operators.apply import (
+    apply_batch,
+    last_lsn_dedup,
+    quarantine_split,
+)
+from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
+    LakeTable,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("site", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("val", T.StringType()),
+])
+
+CHG = "site string, path string, val string, op string, lsn long"
+
+
+def _mk(tmp_path, spark, mode="mor", name="t"):
+    return LakeTable.create(
+        str(tmp_path / name), SCHEMA, key=["site", "path"],
+        bucket_count=4, merge_mode=mode)
+
+
+def _apply(spark, t, rows, bid):
+    t.merge(spark, spark.createDataFrame(rows, CHG), batch_id=bid)
+
+
+ROWS0 = [
+    ("a", "/1", "v1", "I", 1),
+    ("a", "/2", "v2", "I", 2),
+    ("b", "/1", "v3", "I", 3),   # same path, different site: distinct key
+    ("a", "/1", "v4", "U", 4),
+    ("b", "/2", "v5", "I", 5),
+]
+
+
+def test_create_validates_composite_key(tmp_path, spark):
+    with pytest.raises(ValueError, match="not in schema"):
+        LakeTable.create(str(tmp_path / "x"), SCHEMA, key=["site", "nope"])
+    with pytest.raises(ValueError, match="duplicate"):
+        LakeTable.create(str(tmp_path / "y"), SCHEMA, key=["site", "site"])
+    # single-element list normalizes to the scalar manifest form
+    t = LakeTable.create(str(tmp_path / "z"), SCHEMA, key=["site"])
+    assert t.manifest()["key"] == "site"
+    assert t.key_columns() == ["site"]
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_merge_resolves_per_tuple(tmp_path, spark, mode):
+    t = _mk(tmp_path, spark, mode)
+    _apply(spark, t, ROWS0, 0)
+    _apply(spark, t, [("a", "/2", None, "D", 6),
+                      ("b", "/1", "v7", "U", 7)], 1)
+    got = {(r["site"], r["path"]): (r["val"], r["_lsn"])
+           for r in t.read(spark).collect()}
+    assert got == {
+        ("a", "/1"): ("v4", 4),
+        ("b", "/1"): ("v7", 7),
+        ("b", "/2"): ("v5", 5),
+    }
+    assert t.key_columns() == ["site", "path"]
+
+
+def test_lookup_by_tuple(tmp_path, spark):
+    t = _mk(tmp_path, spark)
+    _apply(spark, t, ROWS0, 0)
+    rows = t.lookup(spark, [("a", "/1"), ("b", "/2"), ("zz", "/9")],
+                    public=True).collect()
+    assert {(r["site"], r["path"], r["val"]) for r in rows} == {
+        ("a", "/1", "v4"), ("b", "/2", "v5")}
+    with pytest.raises(ValueError, match="tuples"):
+        t.lookup(spark, ["a"])
+
+
+def test_read_keys_residual_and_bloom(tmp_path, spark):
+    t = _mk(tmp_path, spark)
+    _apply(spark, t, ROWS0, 0)
+    t.compact(spark, all_deltas=True)
+    info = t.harvest_blooms(spark)
+    assert info["files_indexed"] > 0
+    got = t.read(spark, keys=[("a", "/1")]).collect()
+    assert [(r["site"], r["path"]) for r in got] == [("a", "/1")]
+    # bloom file skipping: a key in no file prunes everything
+    plan = t.plan_files(keys=[("nope", "/nope")])
+    assert plan["plain"] == [] and plan["delta_resolved"] == []
+    # malformed probe arity is a clean error
+    with pytest.raises(ValueError, match="tuples"):
+        t.read(spark, keys=["a"])
+
+
+def test_read_changes_fast_and_diff(tmp_path, spark):
+    t = _mk(tmp_path, spark)
+    _apply(spark, t, ROWS0, 0)
+    v1 = t.current_version()
+    _apply(spark, t, [("a", "/1", "v8", "U", 8),
+                      ("b", "/2", None, "D", 9)], 1)
+    fast = t.read_changes(spark, v1)
+    got = {(r["site"], r["path"]): r["_change_type"] for r in fast.collect()}
+    assert got == {("a", "/1"): "upsert", ("b", "/2"): "delete"}
+    # compact in the window forces the snapshot-diff path
+    v2 = t.current_version()
+    t.compact(spark, all_deltas=True)
+    _apply(spark, t, [("c", "/3", "v10", "I", 10)], 2)
+    diff = t.read_changes(spark, v2)
+    got2 = {(r["site"], r["path"]): r["_change_type"] for r in diff.collect()}
+    assert got2 == {("c", "/3"): "upsert"}
+    # exactness contract across the tuple key: replaying v1->head into a
+    # copy of v1 reproduces the head snapshot
+    replica = LakeTable.create(str(tmp_path / "r"), SCHEMA,
+                               key=["site", "path"], bucket_count=4)
+    seed = t.read(spark, version=v1).withColumn("op", F.lit("I"))
+    replica.merge(spark, seed.withColumnRenamed("_lsn", "lsn"), batch_id=0)
+    ch = t.read_changes(spark, v1).withColumn(
+        "op", F.when(F.col("_change_type") == "delete", "D").otherwise("U")
+    ).drop("_change_type").withColumnRenamed("_lsn", "lsn")
+    # diff-path rows carry NULL lsn; stamp above the watermark exactly
+    # as follow_changes does before applying downstream
+    ch = ch.withColumn("lsn", F.coalesce(
+        F.col("lsn"), F.lit(t.lsn_high_watermark() + 1)))
+    replica.merge(spark, ch, batch_id=1)
+    a = {tuple(r) for r in t.read(spark, public=True).collect()}
+    b = {tuple(r) for r in replica.read(spark, public=True).collect()}
+    assert a == b
+
+
+def test_merge_into_composite_and_renamed_source_key(tmp_path, spark):
+    t = _mk(tmp_path, spark)
+    _apply(spark, t, ROWS0, 0)
+    src = spark.createDataFrame(
+        [("a", "/1", "UPD"), ("c", "/9", "NEW")],
+        "s_site string, s_path string, val string")
+    v, counts = t.merge_into(
+        spark, src, source_key=["s_site", "s_path"],
+        update_set={"val": "s.val"}, insert_values="all")
+    assert counts["rows_updated"] == 1 and counts["rows_inserted"] == 1
+    got = {(r["site"], r["path"]): r["val"]
+           for r in t.read(spark, public=True).collect()}
+    assert got[("a", "/1")] == "UPD" and got[("c", "/9")] == "NEW"
+    # key columns cannot be assigned
+    with pytest.raises(ValueError, match="merge key"):
+        t.merge_into(spark, src, source_key=["s_site", "s_path"],
+                     update_set={"path": "'/x'"})
+    # NULL component and duplicate-tuple sources are rejected
+    with pytest.raises(ValueError, match="NULL keys"):
+        t.merge_into(
+            spark,
+            spark.createDataFrame([("a", None, "x")],
+                                  "s_site string, s_path string, val string"),
+            source_key=["s_site", "s_path"], update_set="all")
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge_into(
+            spark,
+            spark.createDataFrame([("a", "/1", "x"), ("a", "/1", "y")],
+                                  "s_site string, s_path string, val string"),
+            source_key=["s_site", "s_path"], update_set="all")
+
+
+def test_sync_from_composite(tmp_path, spark):
+    t = _mk(tmp_path, spark)
+    _apply(spark, t, ROWS0, 0)
+    snap = spark.createDataFrame(
+        [("a", "/1", "v4"),          # unchanged: keeps its _lsn
+         ("b", "/1", "changed"),     # update
+         ("d", "/7", "new")],        # insert; all other keys deleted
+        "site string, path string, val string")
+    _, counts = t.sync_from(spark, snap)
+    assert counts["rows_updated"] == 1
+    assert counts["rows_inserted"] == 1
+    assert counts["rows_deleted"] == 2  # (a,/2) was deleted in ROWS0? no: (a,/2),(b,/2)
+    got = {(r["site"], r["path"]): r["val"]
+           for r in t.read(spark, public=True).collect()}
+    assert got == {("a", "/1"): "v4", ("b", "/1"): "changed",
+                   ("d", "/7"): "new"}
+
+
+def test_rename_key_component_and_locked_updates(tmp_path, spark):
+    t = _mk(tmp_path, spark)
+    _apply(spark, t, ROWS0, 0)
+    with pytest.raises(ValueError, match="merge key"):
+        t.update_where(spark, {"path": "'/x'"}, predicate="true")
+    with pytest.raises(ValueError, match="merge key"):
+        t.drop_column(spark, "site")
+    t.rename_column(spark, "path", "page")
+    assert t.key_columns() == ["site", "page"]
+    got = t.lookup(spark, [("a", "/1")], public=True).collect()
+    assert [(r["site"], r["page"], r["val"]) for r in got] == [
+        ("a", "/1", "v4")]
+
+
+def test_apply_batch_quarantines_null_component(tmp_path, spark):
+    t = _mk(tmp_path, spark)
+    rows = ROWS0 + [(None, "/1", "bad", "I", 90), ("a", None, "bad", "I", 91)]
+    df = spark.createDataFrame(rows, CHG)
+    m = apply_batch(t, df, batch_id=0, run_extract=False)
+    assert m.rows_quarantined == 2
+    assert m.rows_in == len(rows)
+    good, bad = quarantine_split(df, key=["site", "path"])
+    assert bad.count() == 2
+    assert {r["_reason"] for r in bad.collect()} == {"null_key"}
+
+
+def test_last_lsn_dedup_composite_salted(spark):
+    rows = [("a", "/1", "x", "I", 1), ("a", "/1", "y", "U", 2),
+            ("a", "/2", "z", "I", 3)]
+    df = spark.createDataFrame(rows, CHG)
+    for salt in (0, 4):
+        out = {(r["site"], r["path"]): r["lsn"]
+               for r in last_lsn_dedup(df, key=["site", "path"],
+                                       salt_buckets=salt).collect()}
+        assert out == {("a", "/1"): 2, ("a", "/2"): 3}
+
+
+def test_composite_debezium_key_envelope(spark):
+    from yadamu___yet_another_data_migration_utility_spark.sources.envelope import (
+        encode_debezium,
+    )
+    import json
+
+    df = spark.createDataFrame(
+        [("a", "/1", "x", "U", 1)], CHG)
+    wire = encode_debezium(df, key=["site", "path"], ts_col=None).collect()
+    k = json.loads(wire[0]["key"])
+    assert k == {"site": "a", "path": "/1"}

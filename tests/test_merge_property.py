@@ -94,3 +94,71 @@ def test_merge_equals_lww_oracle(spark, tmp_path_factory, events, cuts, mode):
         for r in t.read(spark).select("url", "val", "_lsn").collect()
     }
     assert got == _python_oracle(events)
+
+
+# ---------------------------------------------------------------------
+# same property over a COMPOSITE key: the tuple (site, page) is 1:1
+# with the single key above (site = k % 2, page = k), so the oracle is
+# the same LWW state re-keyed -- fuzzing arity proves the tuple paths
+# (bucket hash, dedup, resolve, fence) share the single-key semantics
+# ---------------------------------------------------------------------
+
+SCHEMA2 = T.StructType(
+    [T.StructField("site", T.StringType()),
+     T.StructField("page", T.StringType()),
+     T.StructField("val", T.StringType())]
+)
+
+
+def _python_oracle2(events):
+    state = {}
+    for lsn, (k, op) in enumerate(events, start=1):
+        key = (f"s{k % 2}", f"p{k}")
+        if op == "D":
+            state[key] = (None, lsn, True)
+        else:
+            state[key] = (f"v{lsn}", lsn, False)
+    return {
+        (key[0], key[1], v[0], v[1])
+        for key, v in state.items() if not v[2]
+    }
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=EVENTS, cuts=CUTS, mode=MODE)
+def test_merge_equals_lww_oracle_composite_key(
+        spark, tmp_path_factory, events, cuts, mode):
+    rows = [
+        (f"s{k % 2}", f"p{k}", None if op == "D" else f"v{lsn}", op, lsn)
+        for lsn, (k, op) in enumerate(events, start=1)
+    ]
+    root = str(tmp_path_factory.mktemp("prop2") / "t")
+    t = LakeTable.create(root, SCHEMA2, key=["site", "page"],
+                         bucket_count=4, merge_mode=mode)
+    bounds = sorted({c for c in cuts if c < len(rows)}) + [len(rows)]
+    start = 0
+    ddl = "site string, page string, val string, op string, lsn long"
+    for bid, end in enumerate(bounds):
+        chunk = rows[start:end]
+        if not chunk:
+            continue
+        dup = [r for i, r in enumerate(chunk) if i % 3 == 0]
+        df = spark.createDataFrame(chunk + dup, ddl)
+        if mode == "cow":
+            df = last_lsn_dedup(df, key=["site", "page"], lsn_col="lsn",
+                                salt_buckets=4)
+        t.merge(spark, df, batch_id=bid)
+        start = end
+    first = rows[: bounds[0]]
+    if first:
+        r = t.merge(spark, spark.createDataFrame(first, ddl), batch_id=0)
+        assert r.fenced
+    got = {
+        (r["site"], r["page"], r["val"], r["_lsn"])
+        for r in t.read(spark).collect()
+    }
+    assert got == _python_oracle2(events)

@@ -217,12 +217,21 @@ def cmd_load(args) -> int:
     return 0
 
 
+def _key_arg(key: str) -> "str | list[str]":
+    """--key accepts a comma-separated list for composite merge keys
+    (e.g. --key url,warc_ts is a two-column key)."""
+    parts = [p.strip() for p in key.split(",") if p.strip()]
+    if not parts:
+        raise SystemExit(f"error: bad --key {key!r}")
+    return parts[0] if len(parts) == 1 else parts
+
+
 def cmd_copy(args) -> int:
     from .sources.laketable import LakeTable
 
     spark = _spark(args.cpus)
     df = spark.read.parquet(args.source)
-    table = LakeTable.create(args.table_root, df.schema, key=args.key,
+    table = LakeTable.create(args.table_root, df.schema, key=_key_arg(args.key),
                              bucket_count=args.buckets,
                              overwrite=args.overwrite,
                              merge_mode=args.merge_mode)
@@ -256,7 +265,7 @@ def cmd_replay(args) -> int:
     elif args.create:
         from .fixtures.changelog import PAGE_SCHEMA
 
-        table = LakeTable.create(args.table_root, PAGE_SCHEMA, key=args.key,
+        table = LakeTable.create(args.table_root, PAGE_SCHEMA, key=_key_arg(args.key),
                                  bucket_count=args.buckets,
                                  merge_mode=args.merge_mode)
     else:
@@ -340,7 +349,7 @@ def cmd_replay_multi(args) -> int:
             from .fixtures.changelog import PAGE_SCHEMA
 
             tables[name] = LakeTable.create(
-                root, PAGE_SCHEMA, key=args.key, bucket_count=args.buckets,
+                root, PAGE_SCHEMA, key=_key_arg(args.key), bucket_count=args.buckets,
                 merge_mode=args.merge_mode)
         else:
             print(f"error: no table at {root} (pass --create)",
@@ -668,14 +677,28 @@ def cmd_plan(args) -> int:
 def cmd_lookup(args) -> int:
     """Point lookup: current row per key, scanning only the hashed
     buckets (LakeTable.lookup). Keys are parsed to the merge-key
-    column's type."""
+    column's type; on a COMPOSITE-key table each --key is a
+    comma-separated tuple in key-column order."""
     t = _table(args)
     m = t.manifest(args.version)
-    ty = next(f["type"] for f in m["schema"]["fields"] if f["name"] == m["key"])
+    kcols = m["key"] if isinstance(m["key"], list) else [m["key"]]
+    types = {f["name"]: f["type"] for f in m["schema"]["fields"]}
     try:
-        keys = [_parse_typed(ty, k) for k in args.key]
+        if len(kcols) == 1:
+            keys: list = [_parse_typed(types[kcols[0]], k) for k in args.key]
+        else:
+            keys = []
+            for karg in args.key:
+                comps = karg.split(",")
+                if len(comps) != len(kcols):
+                    raise ValueError(
+                        f"{karg!r}: need {len(kcols)} comma-separated "
+                        f"components for composite key {kcols}")
+                keys.append(tuple(
+                    _parse_typed(types[c], v)
+                    for c, v in zip(kcols, comps)))
     except ValueError as e:
-        print(f"error: bad key for {ty} column {m['key']!r}: {e}",
+        print(f"error: bad key for merge key {m['key']!r}: {e}",
               file=sys.stderr)
         return 2
     spark = _spark(args.cpus)  # only after the keys validated
@@ -1309,7 +1332,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("copy", help="parquet -> LakeTable bulk seed")
     sp.add_argument("--source", required=True, help="parquet path")
     sp.add_argument("--table-root", required=True)
-    sp.add_argument("--key", required=True, help="merge key column")
+    sp.add_argument("--key", required=True, help="merge key column (comma-separate for a composite key)")
     sp.add_argument("--buckets", type=int, default=32)
     sp.add_argument("--merge-mode", choices=["mor", "cow"], default="mor")
     sp.add_argument("--overwrite", action="store_true")

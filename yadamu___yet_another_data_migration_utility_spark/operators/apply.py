@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.extract import extract_text
-from ..sources.laketable import LakeTable, MergeResult
+from ..sources.laketable import LakeTable, MergeResult, _keylist
 
 QUARANTINE_DIR = "quarantine"
 
@@ -93,17 +93,28 @@ class BatchMetrics:
         return dict(self.__dict__)
 
 
-def _tag_quarantine(df: DataFrame, op_col: str = "op", key: str = "url",
+def _key_null(key) -> F.Column:
+    """TRUE when ANY merge-key column is NULL (a composite key with a
+    NULL component cannot be merged, same as a NULL single key)."""
+    ks = _keylist(key)
+    cond = F.col(ks[0]).isNull()
+    for k in ks[1:]:
+        cond = cond | F.col(k).isNull()
+    return cond
+
+
+def _tag_quarantine(df: DataFrame, op_col: str = "op", key="url",
                     lsn_col: str = "lsn", html_col: str = "html",
                     constraints: dict[str, str] | None = None) -> DataFrame:
-    """Add a ``_reason`` column (NULL == valid row). The payload-presence
+    """Add a ``_reason`` column (NULL == valid row). ``key`` is one
+    column name or the composite key column list. The payload-presence
     check applies only when the payload column exists in this changelog's
     schema. ``constraints`` ({name: sql_bool_expr}, from the table
     manifest) tag non-delete rows that violate a CHECK as
     ``check:<name>`` -- SQL semantics, so only FALSE violates (NULL
     passes); deletes are exempt (their logical content is "no row")."""
     reason = (
-        F.when(F.col(key).isNull(), "null_key")
+        F.when(_key_null(key), "null_key")
         .when(F.col(lsn_col).isNull(), "null_lsn")
         .when(~F.col(op_col).isin("I", "U", "D"), "bad_op")
     )
@@ -120,7 +131,7 @@ def _tag_quarantine(df: DataFrame, op_col: str = "op", key: str = "url",
     return df.withColumn("_reason", reason)
 
 
-def quarantine_split(df: DataFrame, op_col: str = "op", key: str = "url",
+def quarantine_split(df: DataFrame, op_col: str = "op", key="url",
                      lsn_col: str = "lsn", html_col: str = "html",
                      constraints: dict[str, str] | None = None,
                      ) -> tuple[DataFrame, DataFrame]:
@@ -132,9 +143,10 @@ def quarantine_split(df: DataFrame, op_col: str = "op", key: str = "url",
     )
 
 
-def last_lsn_dedup(df: DataFrame, key: str = "url", lsn_col: str = "lsn",
+def last_lsn_dedup(df: DataFrame, key="url", lsn_col: str = "lsn",
                    salt_buckets: int = 0) -> DataFrame:
-    """Last-writer-wins: keep the max-lsn event per key.
+    """Last-writer-wins: keep the max-lsn event per key (``key`` is one
+    column name or the composite key column list).
 
     Exact duplicates (same lsn re-delivered) collapse here too: max_by
     picks one of the identical rows.
@@ -152,21 +164,23 @@ def last_lsn_dedup(df: DataFrame, key: str = "url", lsn_col: str = "lsn",
     style), which is where salting genuinely pays; the engine default
     is 0.
     """
-    payload = [c for c in df.columns if c != key]
+    ks = _keylist(key)
+    payload = [c for c in df.columns if c not in ks]
     if salt_buckets > 0:
         salt = F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt_buckets))
         partial = (
-            df.groupBy(F.col(key), salt.alias("_salt"))
+            df.groupBy(*[F.col(k) for k in ks], salt.alias("_salt"))
             .agg(F.max_by(F.struct(*payload), F.col(lsn_col)).alias("_w"))
-            .select(key, "_w.*")
+            .select(*ks, "_w.*")
         )
     else:
         partial = df
     return (
-        partial.groupBy(key)
-        .agg(F.max_by(F.struct(*[c for c in partial.columns if c != key]),
-                      F.col(lsn_col)).alias("_w"))
-        .select(key, "_w.*")
+        partial.groupBy(*ks)
+        .agg(F.max_by(
+            F.struct(*[c for c in partial.columns if c not in ks]),
+            F.col(lsn_col)).alias("_w"))
+        .select(*ks, "_w.*")
     )
 
 
@@ -177,7 +191,7 @@ def apply_batch(
     table: LakeTable,
     batch_df: DataFrame,
     batch_id: int,
-    key: str | None = None,
+    key: str | list[str] | None = None,
     op_col: str = "op",
     lsn_col: str = "lsn",
     salt_buckets: int = 0,
@@ -339,17 +353,19 @@ def apply_batch(
         # payload arrives on redelivery/repair, exactly like any other
         # quarantined event. The poisoned row itself is still counted
         # and persisted by the quarantine path.
+        ks = _keylist(key)
         structurally_valid = (
-            F.col(key).isNotNull()
+            ~_key_null(key)
             & F.col(lsn_col).isNotNull()
             & F.col(op_col).isin("I", "U", "D")
         )
         winners = (
             batch_df.filter(structurally_valid)
-            .groupBy(key)
+            .groupBy(*ks)
             .agg(F.max(lsn_col).alias(lsn_col))
         )
-        reduced = valid.join(F.broadcast(winners), on=[key, lsn_col], how="leftsemi")
+        reduced = valid.join(F.broadcast(winners), on=ks + [lsn_col],
+                             how="leftsemi")
 
     # extract AFTER dedup: text is a pure function of html, so only
     # winner rows need the pandas UDF (fewer rows through Python),

@@ -70,6 +70,31 @@ BLOOM_FORMAT = 1
 #: salt deriving the second hash of the double-hashing scheme
 BLOOM_SALT = "#bloom2"
 
+#: separator joining the component strings of a COMPOSITE key into the
+#: one canonical value both sides hash. A C0 control char cannot occur
+#: in the str() form of any supported component type except free-text
+#: strings, where collisions ("a\x1fb"+"c" vs "a"+"b\x1fc") merely
+#: create a shared bloom entry -- an extra false POSITIVE, which the
+#: reader's exact residual removes; soundness (no false negatives for
+#: the true tuple) is unaffected.
+KEY_SEP = "\x1f"
+
+
+def canonical_probe(value) -> str | int | None:
+    """The canonical hash input for a probe: scalars pass through
+    (``positions`` strs them -- bit-compatible with every existing
+    single-key sidecar); a composite tuple/list joins its components'
+    str() forms with :data:`KEY_SEP`. None anywhere means "matches
+    nothing" (SQL equality), surfaced as None."""
+    if value is None:
+        return None
+    if isinstance(value, (tuple, list)):
+        if any(v is None for v in value):
+            return None
+        return KEY_SEP.join(
+            v if isinstance(v, str) else str(v) for v in value)
+    return value
+
 #: largest supported hash count: the Spark-side position expression
 #: ``h1 + i*h2`` is evaluated in BIGINT, and with h1, h2 < 2^60 the
 #: largest term ``h1 + (MAX_K-1)*h2 < 7*2^60`` stays inside int64;

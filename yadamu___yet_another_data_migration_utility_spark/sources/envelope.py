@@ -125,7 +125,7 @@ def _from_wire(col: Column, dt: T.DataType) -> Column:
 
 def encode_debezium(
     df: DataFrame,
-    key: str = "url",
+    key: str | list[str] = "url",
     lsn_col: str = "lsn",
     op_col: str = "op",
     ts_col: str | None = "warc_ts",
@@ -136,15 +136,20 @@ def encode_debezium(
     """Render canonical change events as Debezium JSON envelopes.
 
     Returns ``(key string, value string)`` -- the Kafka record shape.
-    ``key`` is the Debezium key envelope (a one-field JSON object);
-    ``value`` the change envelope described in the module docstring.
-    Every column except ``lsn_col``/``op_col`` is part of the row image.
-    Used by the fixtures (synthesize a realistic connector feed), by
-    tests (round-trip proof) and as the mirror-out wire format.
+    ``key`` is the Debezium key envelope (a JSON object with one field
+    per key column -- exactly how the real connectors encode a
+    composite primary key); ``value`` the change envelope described in
+    the module docstring. Every column except ``lsn_col``/``op_col``
+    is part of the row image. Used by the fixtures (synthesize a
+    realistic connector feed), by tests (round-trip proof) and as the
+    mirror-out wire format.
     """
+    keys = [key] if isinstance(key, str) else list(key)
     payload_cols = [c for c in df.columns if c not in (lsn_col, op_col)]
-    if key not in payload_cols:
-        raise ValueError(f"key column {key!r} not in payload {payload_cols}")
+    missing = [k for k in keys if k not in payload_cols]
+    if missing:
+        raise ValueError(
+            f"key column(s) {missing} not in payload {payload_cols}")
     dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
     img = F.struct(
         *[_to_wire(F.col(c), dtypes[c]).alias(c) for c in payload_cols]
@@ -182,7 +187,7 @@ def encode_debezium(
             F.lit("}"),
         )
     return df.select(
-        F.to_json(F.struct(F.col(key).alias(key))).alias("key"),
+        F.to_json(F.struct(*[F.col(k).alias(k) for k in keys])).alias("key"),
         value_json.alias("value"),
     )
 

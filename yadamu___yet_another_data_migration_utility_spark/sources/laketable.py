@@ -144,13 +144,27 @@ STATS_FORMAT = 2
 MERGE_MODES = ("mor", "cow")
 
 
-def _bucket_expr(key: str, n: int):
-    """Deterministic bucket id for a key. xxhash64 is a Catalyst builtin
-    (JVM-side, codegen); pmod keeps it non-negative."""
-    return F.pmod(F.xxhash64(F.col(key)), F.lit(n)).cast("int")
+def _keylist(key) -> list[str]:
+    """Normalize the manifest's merge key: a plain string is a single
+    key (the wire format every pre-composite manifest uses, kept for
+    compatibility); a list is a COMPOSITE key. All internal machinery
+    operates on the list form; manifests store the str form for single
+    keys so existing tables read byte-identically."""
+    return [key] if isinstance(key, str) else list(key)
 
 
-def _distribute_delta(df: DataFrame, key: str, nb: int, spark) -> DataFrame:
+def _bucket_expr(key, n: int):
+    """Deterministic bucket id for a (possibly composite) key.
+    xxhash64 is a variadic Catalyst builtin (JVM-side, codegen) -- the
+    composite hash is the same one-pass xxhash over all key columns in
+    declaration order, so single-key tables hash exactly as before;
+    pmod keeps it non-negative."""
+    return F.pmod(
+        F.xxhash64(*[F.col(k) for k in _keylist(key)]), F.lit(n)
+    ).cast("int")
+
+
+def _distribute_delta(df: DataFrame, key, nb: int, spark) -> DataFrame:
     """Cluster a merge batch to ~one write task per touched bucket
     before the ``partitionBy("_b")`` delta write (Iceberg:
     ``write.distribution-mode=hash``, the default for MERGE). Without
@@ -170,9 +184,14 @@ def _distribute_delta(df: DataFrame, key: str, nb: int, spark) -> DataFrame:
     differs from the bucket hash so the split is independent of
     bucket placement."""
     dp = spark.sparkContext.defaultParallelism
-    if dp > nb:
+    if dp > nb and not os.environ.get("SPARK_GRAFT_DISABLE_WRITE_SALT"):
+        # SPARK_GRAFT_DISABLE_WRITE_SALT is an ABLATION knob for
+        # bench.py --skew only: it measures what a hot bucket costs
+        # without the salt split. Never set it in production.
         k = -(-dp // nb)  # ceil
-        salt = F.pmod(F.xxhash64(F.col(key), F.lit(-7)), F.lit(k))
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in _keylist(key)], F.lit(-7)),
+            F.lit(k))
         return df.repartition(dp, F.col("_b"), salt)
     # hashing on _b alone sends each bucket wholly to one task: file
     # count == touched buckets, task count capped at 2x cores
@@ -329,13 +348,22 @@ class LakeTable:
         cls,
         root: str,
         schema: T.StructType,
-        key: str,
+        key: str | list[str],
         bucket_count: int = 32,
         overwrite: bool = False,
         merge_mode: str = "mor",
         fs: LocalFS | None = None,
     ) -> "LakeTable":
         """Create an empty table (snapshot v1, no data files).
+
+        ``key`` is the merge key: one column name, or a LIST of column
+        names for a COMPOSITE key (the reference replicates arbitrary
+        relational tables, whose primary keys are mostly composite --
+        /root/reference/src/YADAMU/common/yadamuDBI.js:1163-1186
+        carries full column metadata per table). Bucket placement,
+        merge resolution, lookup, MERGE INTO and the change stream all
+        key on the full column tuple; a single-element list is
+        normalized to the scalar form.
 
         ``merge_mode`` is a table property (Iceberg: write.merge.mode):
         "mor" writes per-batch delta files resolved at read/compact;
@@ -369,8 +397,15 @@ class LakeTable:
                         f"to v{v} after an interrupted create; use load())"
                     )
                 fs.rmtree(root)
-        if key not in schema.fieldNames():
-            raise ValueError(f"merge key {key!r} not in schema")
+        ks = _keylist(key)
+        if not ks:
+            raise ValueError("merge key must name at least one column")
+        if len(set(ks)) != len(ks):
+            raise ValueError(f"duplicate columns in composite key: {ks}")
+        missing = [k for k in ks if k not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"merge key column(s) {missing} not in schema")
+        key = ks[0] if len(ks) == 1 else ks
         if LSN_COL not in schema.fieldNames():
             schema = T.StructType(list(schema.fields) + [T.StructField(LSN_COL, T.LongType())])
         fs.makedirs(os.path.join(root, MANIFEST_DIR))
@@ -476,6 +511,10 @@ class LakeTable:
 
     def merge_mode(self) -> str:
         return self.manifest().get("merge_mode", "cow")
+
+    def key_columns(self) -> list[str]:
+        """The merge-key column list (length 1 for single-key tables)."""
+        return _keylist(self.manifest()["key"])
 
     # ------------------------------------------------------------------
     # named refs (Iceberg tags) + timestamp time travel
@@ -1090,9 +1129,13 @@ class LakeTable:
         if not bloom_files:
             return None
         schema = T.StructType.fromJson(m["schema"])
-        if not _bloom.bloom_supported(schema[m["key"]].dataType):
+        if not all(_bloom.bloom_supported(schema[k].dataType)
+                   for k in _keylist(m["key"])):
             return None
-        kvals = [v for v in keys if v is not None]
+        # composite probes canonicalize to the one joined string both
+        # sides hash (bloomindex.canonical_probe); scalars pass through
+        kvals = [c for v in keys
+                 if (c := _bloom.canonical_probe(v)) is not None]
         if not kvals:
             return None
         tables: list[tuple[set, dict, int, int, list[list[int]]]] = []
@@ -1191,14 +1234,27 @@ class LakeTable:
         (harvest_blooms) under the same whole-bucket rule as ranges.
         Supported for string/integral keys only -- the bloom hash
         contract's precondition (sources/bloomindex.py); other key
-        types raise. A None probe matches nothing, like SQL equality."""
+        types raise. A None probe matches nothing, like SQL equality.
+        On a COMPOSITE-key table each probe is a tuple in key-column
+        order; the residual becomes an OR of per-tuple conjunctions
+        and the bloom hashes the canonical joined string."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
-        if keys is not None and not _bloom.bloom_supported(
-                schema[m["key"]].dataType):
-            raise TypeError(
-                f"read(keys=...) supports string/integral merge keys; "
-                f"{m['key']} is {schema[m['key']].dataType.simpleString()}")
+        ks = _keylist(m["key"])
+        if keys is not None:
+            bad = [k for k in ks
+                   if not _bloom.bloom_supported(schema[k].dataType)]
+            if bad:
+                raise TypeError(
+                    f"read(keys=...) supports string/integral merge keys; "
+                    f"{bad[0]} is {schema[bad[0]].dataType.simpleString()}")
+            if len(ks) > 1 and any(
+                    v is not None and (not isinstance(v, (tuple, list))
+                                       or len(v) != len(ks))
+                    for v in keys):
+                raise ValueError(
+                    f"composite-key probes must be {len(ks)}-tuples in "
+                    f"key order {ks}")
         plain_rel, delta_buckets = self._plan_scan(
             m, buckets, ranges,
             tz=spark.conf.get("spark.sql.session.timeZone"),
@@ -1227,9 +1283,7 @@ class LakeTable:
                 if hi is not None:
                     df = df.filter(F.col(col) <= F.lit(hi))
         if keys is not None:
-            kvals = [v for v in keys if v is not None]
-            df = (df.filter(F.col(m["key"]).isin(kvals)) if kvals
-                  else df.filter(F.lit(False)))
+            df = df.filter(_keys_residual(ks, keys))
         if public:
             df = df.drop(LSN_COL)
         return df
@@ -1257,11 +1311,13 @@ class LakeTable:
             # same validation as read(keys=...): the plan must never
             # succeed where the read it explains would raise
             schema = T.StructType.fromJson(m["schema"])
-            if not _bloom.bloom_supported(schema[m["key"]].dataType):
+            bad = [k for k in _keylist(m["key"])
+                   if not _bloom.bloom_supported(schema[k].dataType)]
+            if bad:
                 raise TypeError(
                     f"plan_files(keys=...) supports string/integral merge "
-                    f"keys; {m['key']} is "
-                    f"{schema[m['key']].dataType.simpleString()}")
+                    f"keys; {bad[0]} is "
+                    f"{schema[bad[0]].dataType.simpleString()}")
         plain, delta_buckets = self._plan_scan(m, buckets, ranges, tz=tz,
                                                keys=keys)
         dfiles = self._files(m, delta_buckets, strip=True) + self._files(
@@ -1296,15 +1352,27 @@ class LakeTable:
         Catalyst pushes into the parquet scans."""
         m = self.manifest(version)
         key, nb = m["key"], m["bucket_count"]
+        ks = _keylist(key)
         schema = T.StructType.fromJson(m["schema"])
-        kt = next(f.dataType for f in schema.fields if f.name == key)
+        ktypes = [schema[k].dataType for k in ks]
         if not keys:
             return spark.createDataFrame(
                 [], schema if not public
                 else T.StructType([f for f in schema.fields
                                    if f.name != LSN_COL]))
+        if len(ks) == 1:
+            rows = [(k,) for k in keys]
+        else:
+            bad = [t for t in keys
+                   if not isinstance(t, (tuple, list)) or len(t) != len(ks)]
+            if bad:
+                raise ValueError(
+                    f"composite-key lookup needs {len(ks)}-tuples in "
+                    f"key order {ks}; got {bad[0]!r}")
+            rows = [tuple(t) for t in keys]
         kdf = spark.createDataFrame(
-            [(k,) for k in keys], T.StructType([T.StructField(key, kt)]))
+            rows, T.StructType(
+                [T.StructField(k, t) for k, t in zip(ks, ktypes)]))
         hit = [
             r["_b"]
             for r in kdf.select(_bucket_expr(key, nb).alias("_b"))
@@ -1313,27 +1381,33 @@ class LakeTable:
         # pin the read to the SAME manifest the buckets were computed
         # under: a concurrent rebucket between the two reads would
         # otherwise prune the new layout with old bucket ids and
-        # silently miss existing keys. The [min(keys), max(keys)]
+        # silently miss existing keys. A per-column [min, max]
         # envelope rides along as a range so the KEY zone maps (string/
         # numeric) also skip files inside the hashed buckets -- with
         # key-clustered files (append sort_within / compact sort) a
         # point lookup then touches a handful of files, not the bucket;
-        # the envelope never excludes a requested key, and read()'s
-        # residual filter is subsumed by the semi-join.
-        ranges = None
-        try:
-            # NaN keys break the envelope both ways: python min/max are
-            # position-dependent with NaN, and Spark orders NaN above
-            # every double so a finite upper bound would drop the NaN
-            # row -- skip the envelope entirely (k != k catches NaN)
-            if all(k is not None and k == k for k in keys):
-                ranges = {key: (min(keys), max(keys))}
-        except TypeError:  # unorderable key values: no envelope
-            ranges = None
+        # each column's envelope contains every requested value, so it
+        # never excludes a requested key, and read()'s residual filter
+        # is subsumed by the semi-join.
+        ranges: dict[str, tuple] | None = {}
+        for i, k in enumerate(ks):
+            vals = [t[i] if len(ks) > 1 else t
+                    for t in (rows if len(ks) > 1 else keys)]
+            try:
+                # NaN keys break the envelope both ways: python min/max
+                # are position-dependent with NaN, and Spark orders NaN
+                # above every double so a finite upper bound would drop
+                # the NaN row -- skip the envelope (v != v catches NaN)
+                if all(v is not None and v == v for v in vals):
+                    ranges[k] = (min(vals), max(vals))
+            except TypeError:  # unorderable key values: no envelope
+                pass
+        ranges = ranges or None
+        probe_ok = all(_bloom.bloom_supported(t) for t in ktypes)
         df = self.read(spark, version=m["version"], buckets=hit,
                        public=public, ranges=ranges,
-                       keys=keys if _bloom.bloom_supported(kt) else None)
-        return df.join(F.broadcast(kdf), key, "left_semi")
+                       keys=keys if probe_ok else None)
+        return df.join(F.broadcast(kdf), ks, "left_semi")
 
     CHANGE_COL = "_change_type"
 
@@ -1412,6 +1486,7 @@ class LakeTable:
         m_until = _mf(until)
         schema = T.StructType.fromJson(m_until["schema"])
         key = m_until["key"]
+        ks = _keylist(key)
         out_cols = [f.name for f in schema.fields] + [self.CHANGE_COL]
         if since_version == until:
             df = spark.createDataFrame([], schema).withColumn(
@@ -1458,7 +1533,7 @@ class LakeTable:
                 list(schema.fields) + [T.StructField(DELETED_COL, T.BooleanType())]
             )
             raw = spark.read.schema(rs).parquet(*new_files)
-            payload = [c for c in raw.columns if c != key]
+            payload = [c for c in raw.columns if c not in ks]
             # same (NULL-_lsn, content) ranking as _resolve -- ties must
             # pick the same winner the snapshot read picks
             ftypes = {f.name: f.dataType for f in schema.fields}
@@ -1469,10 +1544,10 @@ class LakeTable:
                 F.struct(*payload),
                 _lsn_rank(content, F.coalesce(F.col(DELETED_COL), F.lit(False))),
             )
-            net = raw.groupBy(key).agg(winner.alias("_w")).select(key, "_w.*")
+            net = raw.groupBy(*ks).agg(winner.alias("_w")).select(*ks, "_w.*")
             is_del = F.coalesce(F.col(DELETED_COL), F.lit(False))
             net = net.select(
-                key,
+                *ks,
                 *[
                     F.when(is_del & F.lit(c != LSN_COL), F.lit(None)).otherwise(
                         F.col(c)
@@ -1489,19 +1564,23 @@ class LakeTable:
         else:
             cur = self.read(spark, version=until)
             prev = self.read(spark, version=since_version).select(
-                F.col(key).alias("_pk"), F.col(LSN_COL).alias("_prev_lsn")
+                *[F.col(k).alias(f"_pk{i}") for i, k in enumerate(ks)],
+                F.col(LSN_COL).alias("_prev_lsn"),
             )
-            j = cur.join(prev, cur[key] == prev["_pk"], "full_outer")
+            jcond = cur[ks[0]] == prev["_pk0"]
+            for i, k in enumerate(ks[1:], 1):
+                jcond = jcond & (cur[k] == prev[f"_pk{i}"])
+            j = cur.join(prev, jcond, "full_outer")
             upserts = (
                 j.filter(
-                    F.col(key).isNotNull()
+                    F.col(ks[0]).isNotNull()
                     & (
                         # new key (absent at since: join found no _pk) OR
                         # changed LSN (advanced: a normal write; receded:
                         # only a rollback revert can recede); seed rows
                         # rank -1 on both sides, so unchanged seeds are
                         # NOT re-emitted
-                        F.col("_pk").isNull()
+                        F.col("_pk0").isNull()
                         | (
                             F.coalesce(F.col(LSN_COL), F.lit(-1))
                             != F.coalesce(F.col("_prev_lsn"), F.lit(-1))
@@ -1528,9 +1607,10 @@ class LakeTable:
                              if f.name == LSN_COL)
                 upserts = upserts.withColumn(
                     LSN_COL, F.lit(None).cast(ftype))
-            gone = j.filter(F.col(key).isNull()).select(F.col("_pk").alias(key))
+            gone = j.filter(F.col(ks[0]).isNull()).select(
+                *[F.col(f"_pk{i}").alias(k) for i, k in enumerate(ks)])
             for f in schema.fields:
-                if f.name != key:
+                if f.name not in ks:
                     gone = gone.withColumn(f.name, F.lit(None).cast(f.dataType))
             df = upserts.unionByName(
                 gone.select(*[f.name for f in schema.fields]).withColumn(
@@ -2027,6 +2107,7 @@ class LakeTable:
         Iceberg copy-on-write MERGE."""
         t0 = time.monotonic()
         key = m["key"]
+        ks = _keylist(key)
         nb = m["bucket_count"]
         if any(m.get("deltas", {}).values()):
             # a cow rewrite of a bucket must fold its deltas too; keep
@@ -2075,17 +2156,17 @@ class LakeTable:
             unioned = tgt.select(*all_cols).unionByName(src.select(*all_cols))
             ttypes = {f.name: f.dataType for f in table_schema.fields}
             winner = F.max_by(
-                F.struct(*[c for c in all_cols if c != key]),
+                F.struct(*[c for c in all_cols if c not in ks]),
                 # same logical-content tie rank as _resolve: deletes are
                 # content-free, target rows (op 'K') rank as live rows
-                _lsn_rank([c for c in data_cols if c != key
+                _lsn_rank([c for c in data_cols if c not in ks
                            and _hashable(ttypes.get(c, T.StringType()))],
                           F.col(op_col) == "D"),
             )
             resolved = (
-                unioned.groupBy(key)
+                unioned.groupBy(*ks)
                 .agg(winner.alias("_w"))
-                .select(key, "_w.*")
+                .select(*ks, "_w.*")
             )
             result = resolved.filter(F.col(op_col) != "D").drop(op_col)
 
@@ -3137,19 +3218,26 @@ class LakeTable:
                 "merge_into needs at least one clause (update_set, "
                 "delete=True, insert_values, or a by_source_* clause)")
         key, nb = m["key"], m["bucket_count"]
-        skey = source_key or key
-        if skey not in source.columns:
-            raise ValueError(f"source has no key column {skey!r}")
+        ks = _keylist(key)
+        # source_key mirrors the table key's shape: one name, or a list
+        # matching the composite key column-for-column in order
+        sk = _keylist(source_key) if source_key is not None else ks
+        if len(sk) != len(ks):
+            raise ValueError(
+                f"source_key must name {len(ks)} column(s) matching the "
+                f"table key {ks}; got {sk}")
+        missing_sk = [c for c in sk if c not in source.columns]
+        if missing_sk:
+            raise ValueError(f"source has no key column(s) {missing_sk}")
         if evolve:
-            # a RENAMED source key maps onto the table key -- exclude
-            # it from evolution via the op_col slot; engine (_-prefix)
-            # columns never evolve in
-            src_for_evo = source.drop(
-                *[c for c in source.columns if c.startswith("_")])
+            # RENAMED source key columns map onto the table key --
+            # exclude them from evolution; engine (_-prefix) columns
+            # never evolve in
+            drop_evo = [c for c in source.columns if c.startswith("_")]
+            drop_evo += [s for s, k in zip(sk, ks) if s != k]
+            src_for_evo = source.drop(*drop_evo)
             schema = _evolved_schema(
-                m, src_for_evo,
-                op_col=skey if skey != key else "\x00none",
-                lsn_col="\x00none2")
+                m, src_for_evo, op_col="\x00none", lsn_col="\x00none2")
         else:
             schema = T.StructType.fromJson(m["schema"])
         fields = {f.name: f.dataType for f in schema.fields}
@@ -3167,11 +3255,13 @@ class LakeTable:
                 if bad:
                     raise ValueError(
                         f"unknown/engine columns in {what}: {bad}")
-                if key in clause:
+                assigned_keys = [c for c in clause if c in ks]
+                if assigned_keys:
                     raise ValueError(
-                        f"cannot assign the merge key in {what}: "
-                        "the key comes from the ON equality (update) or "
-                        f"s.{skey} (insert); delete + re-merge is the "
+                        f"cannot assign merge key column(s) "
+                        f"{assigned_keys} in {what}: the key comes from "
+                        "the ON equality (update) or the source key "
+                        "columns (insert); delete + re-merge is the "
                         "safe spelling of a key change")
             elif clause is not None and clause != "all":
                 raise ValueError(f'{what} must be "all" or a dict')
@@ -3185,17 +3275,21 @@ class LakeTable:
         # key that casts to NULL ('abc' -> int) is caught by the
         # NULL-key check below (try_cast: ANSI mode would otherwise
         # throw mid-job instead of reaching that clear error).
-        source = source.withColumn(skey,
-                                   F.col(skey).try_cast(fields[key]))
+        for s_c, k_c in zip(sk, ks):
+            source = source.withColumn(s_c,
+                                       F.col(s_c).try_cast(fields[k_c]))
 
         # ---- ONE job over the source: touched buckets + dup/NULL-key
         # rejection (count vs count_distinct per bucket) --------------
+        any_null = F.lit(False)
+        for s_c in sk:
+            any_null = any_null | F.col(s_c).isNull()
         bstats = (
             source.groupBy(
-                F.when(F.col(skey).isNull(), F.lit(-1))
-                .otherwise(_bucket_expr(skey, nb)).alias("_b"))
+                F.when(any_null, F.lit(-1))
+                .otherwise(_bucket_expr(sk, nb)).alias("_b"))
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.count_distinct(F.col(skey)).alias("d"))
+                 F.count_distinct(*[F.col(c) for c in sk]).alias("d"))
             .collect()
         )
         if any(r["_b"] == -1 for r in bstats):
@@ -3237,8 +3331,10 @@ class LakeTable:
 
         t = tgt.withColumn("_t_ex", F.lit(True)).alias("t")
         s = source.withColumn("_s_ex", F.lit(True)).alias("s")
-        j = t.join(s, F.col(f"t.`{key}`") == F.col(f"s.`{skey}`"),
-                   "full_outer")
+        on = F.col(f"t.`{ks[0]}`") == F.col(f"s.`{sk[0]}`")
+        for k_c, s_c in zip(ks[1:], sk[1:]):
+            on = on & (F.col(f"t.`{k_c}`") == F.col(f"s.`{s_c}`"))
+        j = t.join(s, on, "full_outer")
 
         def _cond(expr: str | None):
             if expr is None:
@@ -3276,10 +3372,11 @@ class LakeTable:
                 val = F.when(upd_fire | ins_fire | bs_upd_fire,
                              F.lit(stamp).cast("long")) \
                     .otherwise(F.col(f"t.`{LSN_COL}`"))
-            elif f.name == key:
+            elif f.name in ks:
+                s_c = sk[ks.index(f.name)]
                 val = F.when(ins_fire,
-                             F.col(f"s.`{skey}`").cast(f.dataType)) \
-                    .otherwise(F.col(f"t.`{key}`"))
+                             F.col(f"s.`{s_c}`").cast(f.dataType)) \
+                    .otherwise(F.col(f"t.`{f.name}`"))
             else:
                 keep = F.col(f"t.`{f.name}`")
                 val = (
@@ -3446,12 +3543,12 @@ class LakeTable:
                 "sync_from got an EMPTY snapshot, which would delete "
                 "every row; pass allow_empty=True if the table really "
                 "should converge to empty")
-        key = self.manifest()["key"]
-        skey = source_key or key
+        ks = _keylist(self.manifest()["key"])
+        sk = _keylist(source_key) if source_key is not None else ks
         known = {f.name for f in self.schema().fields}
         shared = [c for c in snapshot.columns
                   if (c in known or evolve)
-                  and c not in (key, skey) and not c.startswith("_")]
+                  and c not in set(ks) | set(sk) and not c.startswith("_")]
         # with evolve=True a brand-new snapshot column participates in
         # the differs check too: old rows read it as NULL, so any
         # non-NULL value marks the row changed and the backfill lands
@@ -3459,7 +3556,7 @@ class LakeTable:
             f"NOT (t.`{c}` <=> s.`{c}`)" for c in shared) or "false"
         return self.merge_into(
             spark, snapshot,
-            source_key=skey,
+            source_key=sk,
             update_set="all",
             update_condition=differs,
             insert_values="all",
@@ -3490,7 +3587,8 @@ class LakeTable:
             if bad:
                 raise ValueError(f"unknown columns in assignments: {bad}")
             locked = [c for c in assignments
-                      if c == m["key"] or c == LSN_COL or c.startswith("_")]
+                      if c in _keylist(m["key"]) or c == LSN_COL
+                      or c.startswith("_")]
             if locked:
                 raise ValueError(
                     f"cannot assign merge key / engine columns: {locked}")
@@ -3825,8 +3923,8 @@ class LakeTable:
         schema = T.StructType.fromJson(m["schema"])
         if name not in schema.fieldNames():
             raise ValueError(f"no column {name!r} in table schema")
-        if name == m["key"]:
-            raise ValueError(f"cannot drop the merge key {name!r}")
+        if name in _keylist(m["key"]):
+            raise ValueError(f"cannot drop the merge key column {name!r}")
         if name == LSN_COL:
             raise ValueError(f"cannot drop the ordering token {LSN_COL!r}")
         refs = self._constraints_referencing(name)
@@ -3896,7 +3994,9 @@ class LakeTable:
             T.StructField(new if f.name == old else f.name, f.dataType,
                           f.nullable) for f in schema.fields
         ])
-        new_key = new if m["key"] == old else m["key"]
+        old_ks = _keylist(m["key"])
+        new_ks = [new if k == old else k for k in old_ks]
+        new_key = new_ks[0] if len(new_ks) == 1 else new_ks
         df = self.read(spark, version=m["version"]).withColumnRenamed(old, new)
         # bucket under the RENAMED key: same values -> same placement
         new_files, n_rows, out_dir = self._write_bucketed(
@@ -4487,7 +4587,9 @@ class LakeTable:
         referenced-blob list. Reference capability it extends: the
         loader's control-file manifest has no file-skipping metadata
         at all (/root/reference/src/YADAMU/loader/node/loaderDBI.js:321)."""
-        from .bloomindex import BLOOM_FORMAT, BLOOM_SALT, MAX_K, bloom_supported
+        from .bloomindex import (
+            BLOOM_FORMAT, BLOOM_SALT, KEY_SEP, MAX_K, bloom_supported,
+        )
         from ..functions.sketchlib import md5_long
 
         if not 1 <= k <= MAX_K:
@@ -4500,12 +4602,13 @@ class LakeTable:
             raise ValueError("bits_per_key must be >= 1")
         m = self.manifest()
         key = m["key"]
+        ks = _keylist(key)
         schema = T.StructType.fromJson(m["schema"])
-        kdt = schema[key].dataType
-        if not bloom_supported(kdt):
+        bad = [kc for kc in ks if not bloom_supported(schema[kc].dataType)]
+        if bad:
             raise ValueError(
-                f"bloom index needs a string/integral merge key; {key} "
-                f"is {kdt.simpleString()}")
+                f"bloom index needs string/integral merge key columns; "
+                f"{bad[0]} is {schema[bad[0]].dataType.simpleString()}")
         live = self._files(m, None, strip=True) + self._files(
             m, None, "deltas", strip=True)
         # a file counts as covered only if its sidecar is actually
@@ -4537,8 +4640,19 @@ class LakeTable:
         suffix_of = {"/".join(rel.split("/")[-2:]): rel for rel in todo}
         paths = [self.fs.spark_path(os.path.join(self.root, rel))
                  for rel in todo]
-        kschema = T.StructType([T.StructField(key, kdt)])
-        s = F.col(key).cast("string")
+        kschema = T.StructType(
+            [T.StructField(kc, schema[kc].dataType) for kc in ks])
+        # composite keys hash ONE canonical joined string -- the same
+        # value bloomindex.canonical_probe computes driver-side (the
+        # cast-to-string / str() agreement holds per component)
+        if len(ks) == 1:
+            s = F.col(ks[0]).cast("string")
+        else:
+            s = F.concat_ws(
+                KEY_SEP, *[F.col(kc).cast("string") for kc in ks])
+        nn = F.col(ks[0]).isNotNull()
+        for kc in ks[1:]:
+            nn = nn & F.col(kc).isNotNull()
         h1, h2 = md5_long(s), md5_long(F.concat(s, F.lit(BLOOM_SALT)))
         pos = F.explode(F.array(
             *[(h1 + F.lit(i) * h2) % F.lit(m_bits) for i in range(k)]
@@ -4547,8 +4661,8 @@ class LakeTable:
             spark.read.schema(kschema).parquet(*paths)
             .select(F.regexp_extract(F.input_file_name(),
                                      r"([^/]+/[^/]+)$", 1).alias("f"),
-                    F.col(key))
-            .where(F.col(key).isNotNull())
+                    *[F.col(kc) for kc in ks])
+            .where(nn)
             .select("f", pos)
             .select(
                 "f",
@@ -4663,6 +4777,28 @@ class LakeTable:
 
 
 
+def _keys_residual(ks: list[str], keys: list) -> "F.Column":
+    """Exact membership predicate for ``read(keys=...)``. Single key:
+    one ``isin`` (Catalyst pushes it into the parquet scans). Composite
+    key: an OR of per-tuple conjunctions -- probe lists are point-
+    lookup sized, so the predicate stays small; NULL-bearing probes
+    match nothing (SQL equality)."""
+    if len(ks) == 1:
+        kvals = [v for v in keys if v is not None]
+        return F.col(ks[0]).isin(kvals) if kvals else F.lit(False)
+    tuples = [t for t in keys
+              if t is not None and not any(v is None for v in t)]
+    if not tuples:
+        return F.lit(False)
+    cond = F.lit(False)
+    for t in tuples:
+        c = F.lit(True)
+        for k, v in zip(ks, t):
+            c = c & (F.col(k) == F.lit(v))
+        cond = cond | c
+    return cond
+
+
 def _hashable(dt: T.DataType) -> bool:
     """xxhash64 rejects MapType (and anything containing one); such
     columns are left out of the tie rank -- ties then fall back to
@@ -4704,14 +4840,16 @@ def _lsn_rank(content_cols: list[str], is_del) -> "F.Column":
     )
 
 
-def _resolve(df: DataFrame, key: str, schema: T.StructType) -> DataFrame:
+def _resolve(df: DataFrame, key, schema: T.StructType) -> DataFrame:
     """Last-writer-wins resolution over (base ∪ delta) rows: keep the
     max-``_lsn`` row per key (seed rows with NULL ``_lsn`` rank lowest,
     ties broken by ``_lsn_rank``'s deterministic content rank), drop
     keys whose winner is a tombstone. One hash-aggregate shuffle on
-    the key -- max_by has a partial aggregate, so hot keys map-side
-    combine (the skew defense for this reduction)."""
-    payload = [c for c in df.columns if c != key]
+    the key (the full column tuple for composite keys) -- max_by has a
+    partial aggregate, so hot keys map-side combine (the skew defense
+    for this reduction)."""
+    ks = _keylist(key)
+    payload = [c for c in df.columns if c not in ks]
     types = {f.name: f.dataType for f in schema.fields}
     content = [c for c in payload
                if c not in (LSN_COL, DELETED_COL)
@@ -4720,7 +4858,7 @@ def _resolve(df: DataFrame, key: str, schema: T.StructType) -> DataFrame:
         F.struct(*payload),
         _lsn_rank(content, F.coalesce(F.col(DELETED_COL), F.lit(False))),
     )
-    out = df.groupBy(key).agg(winner.alias("_w")).select(key, "_w.*")
+    out = df.groupBy(*ks).agg(winner.alias("_w")).select(*ks, "_w.*")
     return out.filter(
         ~F.coalesce(F.col(DELETED_COL), F.lit(False))
     ).select(*[f.name for f in schema.fields])
@@ -4766,7 +4904,7 @@ def _evolved_schema(m: dict[str, Any], batch_df: DataFrame, op_col: str,
         # duplicates (a wider batch key is cast down by _align instead)
         T.StructField(f.name, batch_fields[f.name].dataType, f.nullable,
                       f.metadata)
-        if f.name != m["key"] and f.name in batch_fields
+        if f.name not in _keylist(m["key"]) and f.name in batch_fields
         and _widens(f.dataType, batch_fields[f.name].dataType)
         else f
         for f in table_schema.fields

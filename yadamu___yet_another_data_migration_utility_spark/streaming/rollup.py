@@ -233,9 +233,10 @@ class IncrementalRollup:
             return cur
 
         key = self.base.manifest()["key"]
+        kcols = [key] if isinstance(key, str) else list(key)
         nb = self.base.manifest()["bucket_count"]
         ch = self.base.read_changes(spark, cur, until)
-        keys = ch.select(key).distinct()
+        keys = ch.select(*kcols).distinct()
         touched = [
             r["_b"]
             for r in keys.select(_bucket_expr(key, nb).alias("_b"))
@@ -245,11 +246,11 @@ class IncrementalRollup:
         if touched:
             pre = (
                 self.base.read(spark, version=cur, buckets=touched)
-                .join(keys, key, "left_semi")
+                .join(keys, kcols, "left_semi")
             )
             post = (
                 self.base.read(spark, version=until, buckets=touched)
-                .join(keys, key, "left_semi")
+                .join(keys, kcols, "left_semi")
             )
             delta = (
                 _contrib(pre, self.dims, self.sums, -1)
