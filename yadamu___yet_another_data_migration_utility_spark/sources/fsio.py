@@ -124,3 +124,166 @@ class LocalFS:
         """URI Spark should use for this path (identity locally; an
         object-store FS returns the s3a:// form)."""
         return path
+
+
+class ObjectFS:
+    """Object-store backend on a ``pyarrow.fs.FileSystem`` -- the
+    deployable form of the S3-semantics port documented above (and
+    proven by tests/test_fsio_object.py's primitive-level fake).
+
+    Configuration::
+
+        # tests / single-host deployments (POSIX under pyarrow):
+        fs = ObjectFS()                      # LocalFileSystem
+
+        # S3 (real deployment; no network in this sandbox, documented):
+        import pyarrow.fs as pafs
+        fs = ObjectFS(
+            pafs.S3FileSystem(region="us-east-1"),
+            spark_scheme="s3a",              # data-plane URIs for Spark
+            cas_put=my_conditional_put,      # see below
+        )
+        t = LakeTable.create("bucket/warehouse/pages", schema,
+                             key="url", fs=fs)
+
+    Primitive mapping (the only two that carry correctness):
+
+    - ``put_if_absent`` (the commit CAS). S3 supports it natively as
+      ``PUT If-None-Match: *`` (412 == lost the race), but pyarrow's
+      S3FileSystem does not expose conditional headers -- so the CAS
+      is INJECTED: pass ``cas_put(path, data)`` backed by e.g.
+      ``boto3 put_object(..., IfNoneMatch="*")``, raising
+      ``CommitConflict`` on the 412. Without it, a LOCAL pyarrow
+      filesystem gets an exact O_CREAT|O_EXCL claim (same semantics as
+      the fake the protocol tests run against), and any other backend
+      falls back to probe-then-create -- correct for a single writer,
+      and explicitly rejected for multi-writer use (ValueError at
+      construction time via ``require_cas=True``... default False).
+    - ``put_atomic`` (the ``_current`` hint): a plain truncating PUT.
+      S3 per-object PUTs are atomic and strongly consistent; a torn
+      local read costs the reader a few roll-forward probes, never
+      correctness (the pointer is a hint by design).
+
+    Everything else is namespace traversal (LIST/GET/DELETE) straight
+    on the pyarrow FS. ``spark_scheme`` prefixes data-plane paths for
+    Spark (``s3a://bucket/key``); None keeps plain paths (local)."""
+
+    def __init__(self, fs=None, spark_scheme: str | None = None,
+                 cas_put=None, require_cas: bool = False):
+        import pyarrow.fs as pafs
+
+        self.pafs = pafs
+        self.fs = fs if fs is not None else pafs.LocalFileSystem()
+        self._local = isinstance(self.fs, pafs.LocalFileSystem)
+        self.spark_scheme = spark_scheme
+        self._cas_put = cas_put
+        if require_cas and cas_put is None and not self._local:
+            raise ValueError(
+                "multi-writer object-store deployments need an injected "
+                "conditional PUT (cas_put=); pyarrow alone cannot express "
+                "If-None-Match")
+
+    # -- commit primitives ---------------------------------------------
+    def put_if_absent(self, path: str, data: str) -> None:
+        if self._cas_put is not None:
+            self._cas_put(path, data)  # raises CommitConflict on conflict
+            return
+        if self._local:
+            # exact exclusive create -- bit-for-bit the semantics the
+            # protocol fake (tests/test_fsio_object.py) proves against
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise CommitConflict(
+                    f"commit conflict: {os.path.basename(path)} "
+                    "already published") from None
+            with os.fdopen(fd, "w") as f:
+                f.write(data)
+            return
+        # generic backend without an injected CAS: probe-then-create.
+        # Single-writer correct; the race window is the documented
+        # reason cas_put exists for multi-writer S3.
+        if self.exists(path):
+            raise CommitConflict(
+                f"commit conflict: {os.path.basename(path)} already published")
+        with self.fs.open_output_stream(path) as f:
+            f.write(data.encode("utf-8"))
+
+    def put_atomic(self, path: str, data: str) -> None:
+        # plain PUT: atomic per object on S3; the pointer is a hint
+        with self.fs.open_output_stream(path) as f:
+            f.write(data.encode("utf-8"))
+
+    # -- reads ---------------------------------------------------------
+    def read_text(self, path: str) -> str:
+        try:
+            with self.fs.open_input_stream(path) as f:
+                return f.read().decode("utf-8")
+        except FileNotFoundError:
+            raise
+        except OSError as e:  # pyarrow raises OSError for missing keys
+            raise FileNotFoundError(str(e)) from e
+
+    def open_read(self, path: str):
+        try:
+            return self.fs.open_input_file(path)  # seekable (ranged GET)
+        except FileNotFoundError:
+            raise
+        except OSError as e:
+            raise FileNotFoundError(str(e)) from e
+
+    # -- namespace traversal -------------------------------------------
+    def _info(self, path: str):
+        return self.fs.get_file_info(path)
+
+    def exists(self, path: str) -> bool:
+        return self._info(path).type != self.pafs.FileType.NotFound
+
+    def isdir(self, path: str) -> bool:
+        return self._info(path).type == self.pafs.FileType.Directory
+
+    def makedirs(self, path: str) -> None:
+        self.fs.create_dir(path, recursive=True)  # no-op prefix on S3
+
+    def listdir(self, path: str) -> list[str]:
+        sel = self.pafs.FileSelector(path, recursive=False)
+        return [fi.path.rsplit("/", 1)[-1] for fi in self.fs.get_file_info(sel)]
+
+    def walk_bottom_up(self, path: str):
+        sel = self.pafs.FileSelector(path, recursive=True,
+                                     allow_not_found=True)
+        dirs: dict[str, tuple[list[str], list[str]]] = {path.rstrip("/"): ([], [])}
+        for fi in self.fs.get_file_info(sel):
+            parent, _, name = fi.path.rpartition("/")
+            dirs.setdefault(parent, ([], []))
+            if fi.type == self.pafs.FileType.Directory:
+                dirs.setdefault(fi.path, ([], []))
+                dirs[parent][0].append(name)
+            else:
+                dirs[parent][1].append(name)
+        for d in sorted(dirs, key=lambda p: p.count("/"), reverse=True):
+            sub, files = dirs[d]
+            yield d, sorted(sub), sorted(files)
+
+    # -- deletes -------------------------------------------------------
+    def remove(self, path: str) -> None:
+        self.fs.delete_file(path)
+
+    def rmdir_if_empty(self, path: str) -> None:
+        try:
+            if self.isdir(path) and not self.listdir(path):
+                self.fs.delete_dir(path)
+        except OSError:
+            pass  # already gone / concurrent sweep
+
+    def rmtree(self, path: str) -> None:
+        try:
+            self.fs.delete_dir(path)
+        except (OSError, FileNotFoundError):
+            pass  # ignore_errors contract, like LocalFS.rmtree
+
+    # -- Spark handoff -------------------------------------------------
+    def spark_path(self, path: str) -> str:
+        if self.spark_scheme:
+            return f"{self.spark_scheme}://{path.lstrip('/')}"
+        return path

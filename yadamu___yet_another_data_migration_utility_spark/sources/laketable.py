@@ -108,218 +108,35 @@ from . import bloomindex as _bloom
 from .fsio import CommitConflict, LocalFS
 
 
-class RebaseError(RuntimeError):
-    """A concurrent commit landed that this commit cannot be rebased
-    onto (schema drift, or overlapping copy-on-write buckets). The
-    batch was NOT applied and NOT fenced -- retry it whole."""
+
+# ----------------------------------------------------------------------
+# The class was split mechanically in round 4 (laketable.py had grown to
+# 5,250 lines). The public module is still THIS one: every name the
+# pre-split module defined -- exceptions, constants, helpers -- is
+# re-exported here, so `from .laketable import X` keeps working for all
+# existing call sites (engine, CLI, tests).
+# ----------------------------------------------------------------------
+from .lakebase import (  # noqa: F401,E402
+    RebaseError, ConstraintViolation, MergeResult,
+    FORMAT_VERSION, MANIFEST_DIR, DATA_DIR, CURRENT, BRANCHES_SUBDIR,
+    BRANCH_META, MAIN_BRANCH, LSN_COL, DELETED_COL, STATS_FORMAT,
+    MERGE_MODES,
+    _keylist, _bucket_expr, _distribute_delta, _znorm_expr, _zorder_expr,
+    _zorder_key, _where_cond, _keys_residual, _hashable, _lsn_rank,
+    _resolve, _widens, _evolved_schema, _buckets_changed_between,
+    _list_bucket_files, _ts_micros, _enc_stat, _inherit_stats,
+    _zone_kind, _session_tz, _enc_bound, _disjoint, _footer_stats,
+    _align, _cap, _utc_now_iso, _ZONE_TYPES, _ZONE_STR_CAP, _WIDEN_RANK,
+)
+from .lakedml import DmlMixin  # noqa: E402
+from .lakemaint import MaintenanceMixin  # noqa: E402
+from .lakemerge import MergeMixin  # noqa: E402
+from .lakerefs import RefsMixin  # noqa: E402
+from .lakescan import ScanMixin  # noqa: E402
 
 
-class ConstraintViolation(ValueError):
-    """A bulk write carried rows that violate a CHECK constraint. The
-    commit was aborted whole (speculative files removed, manifest and
-    fences untouched); fix the data or drop the constraint. CDC applies
-    never raise this -- their violating rows quarantine per-row under
-    the ON_ERROR policy instead (operators.apply)."""
-
-
-FORMAT_VERSION = 2
-MANIFEST_DIR = "manifests"
-DATA_DIR = "data"
-CURRENT = "_current"
-BRANCHES_SUBDIR = "branches"  # manifests/branches/<name>/v*.json
-BRANCH_META = "_branch.json"  # per-branch metadata: {"fork_version": N}
-MAIN_BRANCH = "main"
-# Internal engine columns stored in the table alongside user columns.
-LSN_COL = "_lsn"  # last applied LSN per key -> LSN-monotonic idempotent merge
-DELETED_COL = "_deleted"  # mor tombstone marker (delta files only)
-
-#: zone-map stats encoding version. Bump whenever the harvester's
-#: soundness rules change (v2: row-group completeness requirement +
-#: zero-padded year encoding). The planner prunes ONLY on stats stamped
-#: with the current value, so zones written by an older, less careful
-#: harvester are ignored (never trusted) instead of silently pruning
-#: rows they shouldn't; commits re-stamp after re-harvest.
-STATS_FORMAT = 2
-
-MERGE_MODES = ("mor", "cow")
-
-
-def _keylist(key) -> list[str]:
-    """Normalize the manifest's merge key: a plain string is a single
-    key (the wire format every pre-composite manifest uses, kept for
-    compatibility); a list is a COMPOSITE key. All internal machinery
-    operates on the list form; manifests store the str form for single
-    keys so existing tables read byte-identically."""
-    return [key] if isinstance(key, str) else list(key)
-
-
-def _bucket_expr(key, n: int):
-    """Deterministic bucket id for a (possibly composite) key.
-    xxhash64 is a variadic Catalyst builtin (JVM-side, codegen) -- the
-    composite hash is the same one-pass xxhash over all key columns in
-    declaration order, so single-key tables hash exactly as before;
-    pmod keeps it non-negative."""
-    return F.pmod(
-        F.xxhash64(*[F.col(k) for k in _keylist(key)]), F.lit(n)
-    ).cast("int")
-
-
-def _distribute_delta(df: DataFrame, key, nb: int, spark) -> DataFrame:
-    """Cluster a merge batch to ~one write task per touched bucket
-    before the ``partitionBy("_b")`` delta write (Iceberg:
-    ``write.distribution-mode=hash``, the default for MERGE). Without
-    it every task writes a file into every bucket it sees -- O(tasks x
-    buckets) files per commit, which on a 1000-executor cluster is
-    tens of thousands of tiny objects per batch (manifest bloat, read
-    amplification, one S3 PUT each); with it the count is O(buckets).
-    Locally it halves the isolated partitioned-write cost (fewer
-    files through the Hadoop commit protocol -- 0.54s -> 0.27s for a
-    cached 20k-row batch at 8 cores; end-to-end merges are dominated
-    by computing the batch, so the local wall-clock is a wash).
-
-    When the cluster has more slots than buckets, a key-derived salt
-    splits each bucket across ``ceil(cores/nb)`` tasks so a hot domain
-    (skewed bucket) cannot serialize the write -- the north-star's
-    explicit repartition-by-url-hash + skew salting. The salt seed
-    differs from the bucket hash so the split is independent of
-    bucket placement."""
-    dp = spark.sparkContext.defaultParallelism
-    if dp > nb and not os.environ.get("SPARK_GRAFT_DISABLE_WRITE_SALT"):
-        # SPARK_GRAFT_DISABLE_WRITE_SALT is an ABLATION knob for
-        # bench.py --skew only: it measures what a hot bucket costs
-        # without the salt split. Never set it in production.
-        k = -(-dp // nb)  # ceil
-        salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in _keylist(key)], F.lit(-7)),
-            F.lit(k))
-        return df.repartition(dp, F.col("_b"), salt)
-    # hashing on _b alone sends each bucket wholly to one task: file
-    # count == touched buckets, task count capped at 2x cores
-    return df.repartition(min(nb, 2 * dp), "_b")
-
-
-def _znorm_expr(name: str, dt: T.DataType) -> "F.Column":
-    """Map a column to a DOUBLE axis for z-order ranking. Numeric /
-    boolean cast directly; timestamps become epoch seconds; dates
-    become epoch days. Strings/complex are rejected -- interleaving
-    hashed strings would destroy the locality z-order exists for."""
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-        return F.col(name).cast("double")
-    if isinstance(dt, T.DateType):
-        return F.datediff(F.col(name), F.to_date(F.lit("1970-01-01"))
-                          ).cast("double")
-    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                       T.FloatType, T.DoubleType, T.DecimalType,
-                       T.BooleanType)):
-        return F.col(name).cast("double")
-    raise ValueError(
-        f"zorder_by column {name!r}: unsupported type {dt.simpleString()} "
-        f"(numeric, timestamp or date only)")
-
-
-def _zorder_expr(ranked: list["F.Column"], bits: int) -> "F.Column":
-    """Interleave k ``bits``-wide integer ranks into one Morton key
-    (bit j of column i lands at position j*k + i). Pure Catalyst bit
-    algebra -- k*bits shift/mask/or nodes, all whole-stage codegen; no
-    UDF. k*bits must fit a signed long (<= 63)."""
-    k = len(ranked)
-    if k * bits > 63:
-        raise ValueError(f"zorder: {k} columns x {bits} bits exceeds 63")
-    z = F.lit(0).cast("long")
-    for i, c in enumerate(ranked):
-        cl = c.cast("long")
-        for b in range(bits):
-            z = z.bitwiseOR(F.shiftleft(
-                F.shiftright(cl, b).bitwiseAND(F.lit(1)), b * k + i))
-    return z
-
-
-def _zorder_key(df: DataFrame, cols: list[str],
-                schema: T.StructType) -> "F.Column":
-    """Z-order sort key over ``cols`` (Delta OPTIMIZE ZORDER / Iceberg
-    z-order rewrite strategy). Each column is normalized to a double
-    axis, linearly binned into 2^bits cells over its [min, max] (ONE
-    column-pruned agg job -- reads only these columns, negligible next
-    to the full-payload rewrite it serves), and the cell ids are
-    bit-interleaved. Sorting a rewrite by this key gives every parquet
-    row group a tight bounding box in ALL the dimensions at once, so
-    pushed-down range predicates on ANY of them skip row groups --
-    where a lexicographic sort serves only its leading column. NULLs
-    rank as cell 0 (co-located, never scattered)."""
-    types = {f.name: f.dataType for f in schema.fields}
-    for c in cols:
-        if c not in types:
-            raise ValueError(f"zorder_by: no column {c!r} in table schema")
-    bits = max(1, 63 // max(1, len(cols)))
-    bits = min(bits, 16)
-    norm = {c: _znorm_expr(c, types[c]) for c in cols}
-    row = df.select(*[
-        e for c in cols
-        for e in (F.min(norm[c]).alias(f"lo_{c}"),
-                  F.max(norm[c]).alias(f"hi_{c}"))
-    ]).collect()[0]
-    n_cells = 1 << bits
-    ranked = []
-    for c in cols:
-        lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
-        if lo is None or hi is None or not (hi > lo):
-            ranked.append(F.lit(0))  # empty / constant / all-NULL axis
-            continue
-        # linear bin into [0, n_cells): floor((v - lo) / cell_width),
-        # clamped (the max value would otherwise land in cell n_cells)
-        cell = (float(hi) - float(lo)) / n_cells
-        ranked.append(
-            F.when(norm[c].isNull(), F.lit(0)).otherwise(
-                F.least(
-                    F.greatest(
-                        F.floor((norm[c] - F.lit(float(lo))) / F.lit(cell))
-                        .cast("long"),
-                        F.lit(0),
-                    ),
-                    F.lit(n_cells - 1),
-                )
-            )
-        )
-    return _zorder_expr(ranked, bits).alias("_z")
-
-
-@dataclass
-class MergeResult:
-    """Outcome of one merge/append commit (audit row)."""
-
-    batch_id: int
-    version: int | None  # None if fenced (already applied)
-    fenced: bool
-    rows_in: int
-    rows_applied: int
-    rows_deleted: int
-    min_lsn: int | None
-    max_lsn: int | None
-    touched_buckets: int
-    duration_ms: int
-
-    def as_dict(self) -> dict[str, Any]:
-        return dict(self.__dict__)
-
-
-
-def _where_cond(predicate: str | None,
-                ranges: dict[str, tuple] | None) -> "F.Column":
-    """SQL-semantics match condition shared by delete_where /
-    update_where / overwrite_where: inclusive range bounds AND the
-    predicate, with NULL evaluations coalesced to no-match."""
-    cond = F.lit(True)
-    for col, (lo, hi) in (ranges or {}).items():
-        if lo is not None:
-            cond = cond & (F.col(col) >= F.lit(lo))
-        if hi is not None:
-            cond = cond & (F.col(col) <= F.lit(hi))
-    if predicate is not None:
-        cond = cond & F.expr(predicate)
-    return F.coalesce(cond, F.lit(False))
-
-
-class LakeTable:
+class LakeTable(RefsMixin, ScanMixin, MergeMixin, DmlMixin,
+                MaintenanceMixin):
     """A transactional hash-bucketed parquet table with MERGE semantics."""
 
     def __init__(self, root: str, fs: LocalFS | None = None,
@@ -516,424 +333,6 @@ class LakeTable:
         """The merge-key column list (length 1 for single-key tables)."""
         return _keylist(self.manifest()["key"])
 
-    # ------------------------------------------------------------------
-    # named refs (Iceberg tags) + timestamp time travel
-    # ------------------------------------------------------------------
-    def refs(self) -> dict[str, int]:
-        """Current named refs: ``{tag_name: version}``."""
-        return dict(self.manifest().get("refs", {}))
-
-    def resolve_ref(self, name: str) -> int:
-        r = self.manifest().get("refs", {})
-        if name not in r:
-            raise ValueError(
-                f"unknown ref {name!r} (have: {sorted(r) or 'none'})")
-        return int(r[name])
-
-    def tag(self, name: str, version: int | None = None) -> int:
-        """Create or move a named ref to ``version`` (default: head) --
-        Iceberg's ``CREATE TAG``: a durable, human-named snapshot
-        pointer for audits and reproducible reads. The ref rides the
-        manifest, so setting it is a metadata-only commit (no Spark
-        job, no data files) that rebases onto any concurrent commit,
-        and ``expire_snapshots`` will NOT expire at or past a tagged
-        version -- a tag pins its snapshot's history until untagged.
-        Returns the new table version."""
-        if not name or name.isdigit() or not all(
-                c.isalnum() or c in "._-" for c in name):
-            raise ValueError(
-                f"bad tag name {name!r}: need [A-Za-z0-9._-]+, not all digits")
-        m = self.manifest()
-        target = m["version"] if version is None else int(version)
-        self.manifest(target)  # must exist (raises if expired/unknown)
-
-        def build(mp: dict[str, Any]) -> dict[str, Any]:
-            v = mp["version"] + 1
-            return {
-                **mp,
-                "version": v,
-                "parent": mp["version"],
-                "refs": {**mp.get("refs", {}), name: target},
-                "audit": None,
-                "lineage": [],
-                "summary": {"operation": "tag", "name": name,
-                            "target": target},
-                "committed_at": _utc_now_iso(),
-            }
-
-        return self._commit_with_rebase(m, build)["version"]
-
-    def untag(self, name: str) -> int:
-        """Drop a named ref (its snapshot becomes expirable again)."""
-        m = self.manifest()
-        if name not in m.get("refs", {}):
-            raise ValueError(f"unknown ref {name!r}")
-
-        def build(mp: dict[str, Any]) -> dict[str, Any]:
-            refs = {k: v for k, v in mp.get("refs", {}).items() if k != name}
-            v = mp["version"] + 1
-            return {
-                **mp,
-                "version": v,
-                "parent": mp["version"],
-                "refs": refs,
-                "audit": None,
-                "lineage": [],
-                "summary": {"operation": "untag", "name": name},
-                "committed_at": _utc_now_iso(),
-            }
-
-        return self._commit_with_rebase(m, build)["version"]
-
-    # ------------------------------------------------------------------
-    # CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT; NOT NULL is
-    # the special case ``col IS NOT NULL``)
-    # ------------------------------------------------------------------
-    def constraints(self) -> dict[str, str]:
-        """Active CHECK constraints: ``{name: sql_boolean_expr}``."""
-        return dict(self.manifest().get("constraints", {}))
-
-    def add_constraint(self, spark: SparkSession, name: str, check: str,
-                       validate: bool = True) -> int:
-        """Declare a CHECK constraint: a SQL boolean expression over the
-        public columns that every NON-DELETE row must satisfy (SQL
-        semantics: only FALSE violates; NULL passes -- add an explicit
-        ``IS NOT NULL`` to forbid it). Rides the manifest as a
-        metadata-only commit, so it versions, time-travels, rebases and
-        mirrors like any other table property.
-
-        Enforcement points: ``operators.apply.apply_batch`` quarantines
-        violating events (reason ``check:<name>``, composing with the
-        ON_ERROR policy exactly like structural errors -- the
-        reference's per-row error funnel, yadamuOutputManager
-        rejection-file contract); ``append``, ``overwrite_where``
-        replacement rows and ``update_where`` assigned values abort the
-        commit whole -- each violation count rides a pass the write
-        already makes (bulk-write Observation / REPLACE-WHERE probe),
-        so enforcement costs no extra job and a failed commit leaves
-        no trace (speculative dirs removed, manifest untouched).
-        The low-level ``merge`` primitive sits BELOW the constraint
-        layer (like Iceberg's format-vs-engine split); every public
-        ingest surface routes through an enforcing path.
-
-        ``validate=True`` (one count job) proves the CURRENT snapshot
-        satisfies the check first, so a scan can trust the constraint
-        over all data, old and new."""
-        if not name or name.isdigit() or not all(
-                c.isalnum() or c in "._-" for c in name):
-            raise ValueError(
-                f"bad constraint name {name!r}: need [A-Za-z0-9._-]+, "
-                "not all digits")
-        m = self.manifest()
-        if name in m.get("constraints", {}):
-            raise ValueError(f"constraint {name!r} already exists")
-        schema = T.StructType.fromJson(m["schema"])
-        # resolve the expression against the PUBLIC schema now (empty
-        # local relation: analysis only, no job) -- a typo'd column
-        # must fail here, not inside some future batch's quarantine
-        probe = spark.createDataFrame([], schema)
-        try:
-            probe.select(F.expr(check).cast("boolean"))
-        except Exception as exc:
-            raise ValueError(
-                f"constraint {name!r} does not resolve against the "
-                f"table schema: {exc}") from exc
-        if validate:
-            bad = self.read(spark).filter(
-                ~F.coalesce(F.expr(check).cast("boolean"), F.lit(True))
-            ).count()
-            if bad:
-                raise ValueError(
-                    f"constraint {name!r} rejected: {bad} existing rows "
-                    "violate it (fix the data or pass validate=False "
-                    "to enforce on new writes only)")
-
-        def build(mp: dict[str, Any]) -> dict[str, Any]:
-            if name in mp.get("constraints", {}):
-                raise RebaseError(
-                    f"constraint {name!r} added concurrently")
-            v = mp["version"] + 1
-            return {
-                **mp,
-                "version": v,
-                "parent": mp["version"],
-                "constraints": {**mp.get("constraints", {}), name: check},
-                "audit": None,
-                "lineage": [],
-                "summary": {"operation": "add_constraint", "name": name,
-                            "check": check},
-                "committed_at": _utc_now_iso(),
-            }
-
-        return self._commit_with_rebase(m, build)["version"]
-
-    def drop_constraint(self, name: str) -> int:
-        """Remove a CHECK constraint (metadata-only commit)."""
-        m = self.manifest()
-        if name not in m.get("constraints", {}):
-            raise ValueError(
-                f"unknown constraint {name!r} "
-                f"(have: {sorted(m.get('constraints', {})) or 'none'})")
-
-        def build(mp: dict[str, Any]) -> dict[str, Any]:
-            cons = {k: v for k, v in mp.get("constraints", {}).items()
-                    if k != name}
-            v = mp["version"] + 1
-            return {
-                **mp,
-                "version": v,
-                "parent": mp["version"],
-                "constraints": cons,
-                "audit": None,
-                "lineage": [],
-                "summary": {"operation": "drop_constraint", "name": name},
-                "committed_at": _utc_now_iso(),
-            }
-
-        return self._commit_with_rebase(m, build)["version"]
-
-    def _constraints_referencing(self, column: str) -> list[str]:
-        """Constraint names whose check text mentions ``column`` (word-
-        boundary match -- conservative: a false positive merely asks the
-        user to drop/re-add the constraint around a column change)."""
-        import re
-
-        pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(column)}(?![A-Za-z0-9_])")
-        return sorted(
-            n for n, c in self.manifest().get("constraints", {}).items()
-            if pat.search(c)
-        )
-
-    # ------------------------------------------------------------------
-    # branches (Iceberg writable refs): an isolated line of commits that
-    # fast-forwards back onto main
-    # ------------------------------------------------------------------
-    def _require_main(self, op: str) -> None:
-        if self.branch != MAIN_BRANCH:
-            raise ValueError(
-                f"{op} must run on the main view, not branch {self.branch!r}")
-
-    def for_branch(self, name: str) -> "LakeTable":
-        """A view of this table bound to branch ``name`` -- every read
-        (read/lookup/plan_files/read_changes/time travel) and every
-        commit (merge/append/compact/delete_where/...) on the returned
-        handle targets the branch's line of history; main is untouched
-        until ``fast_forward``. ``for_branch("main")`` returns the main
-        view."""
-        if name == MAIN_BRANCH:
-            return LakeTable(self.root, fs=self.fs)
-        t = LakeTable(self.root, fs=self.fs, branch=name)
-        t.fork_version()  # raises ValueError when the branch is unknown
-        return t
-
-    def create_branch(self, name: str,
-                      version: int | str | None = None) -> "LakeTable":
-        """Create branch ``name`` at ``version`` (default: main head) --
-        Iceberg's ``CREATE BRANCH``: a WRITABLE named ref. Commits on
-        the branch land in the branch's own manifest namespace under
-        the SAME monotonic version numbering (first branch commit =
-        fork+1), write their data into the shared data root, and run
-        the full commit protocol (name-CAS, rebase, fencing)
-        per-branch. Existence is itself a name-CAS (put-if-absent of
-        the branch metadata), so two concurrent creates race safely.
-        A live branch PINS main's retention at its fork point (like a
-        tag) -- drop stale branches or they block expiry. Returns the
-        branch view."""
-        self._require_main("create_branch")
-        if not name or name.isdigit() or name == MAIN_BRANCH or not all(
-                c.isalnum() or c in "._-" for c in name):
-            raise ValueError(
-                f"bad branch name {name!r}: need [A-Za-z0-9._-]+, "
-                "not all digits, not 'main'")
-        m = self.manifest()
-        if isinstance(version, str):
-            version = self.resolve_ref(version)
-        fork = m["version"] if version is None else int(version)
-        self.manifest(fork)  # must exist (raises if expired/unknown)
-        bdir = self._branch_dir(name)
-        self.fs.makedirs(bdir)
-        meta = {"fork_version": fork, "created_at": _utc_now_iso()}
-        try:
-            self.fs.put_if_absent(
-                os.path.join(bdir, BRANCH_META), json.dumps(meta))
-        except CommitConflict:
-            raise FileExistsError(
-                f"branch {name!r} already exists at {self.root}") from None
-        return self.for_branch(name)
-
-    def branches(self) -> dict[str, dict[str, int]]:
-        """Live branches: ``{name: {fork_version, head}}``. Driver-side
-        listing; half-created branches (crash between mkdir and the
-        metadata put) are skipped -- a retried create completes them."""
-        broot = os.path.join(self.root, MANIFEST_DIR, BRANCHES_SUBDIR)
-        out: dict[str, dict[str, int]] = {}
-        if not self.fs.isdir(broot):
-            return out
-        for name in sorted(self.fs.listdir(broot)):
-            if not self.fs.exists(os.path.join(self._branch_dir(name),
-                                               BRANCH_META)):
-                continue
-            b = LakeTable(self.root, fs=self.fs, branch=name)
-            out[name] = {"fork_version": b.fork_version(),
-                         "head": b.current_version()}
-        return out
-
-    def drop_branch(self, name: str) -> None:
-        """Delete branch ``name`` (metadata + branch manifests). Data
-        files written by branch-only commits become orphans under
-        version-prefixed commit dirs at or above the fork; they age out
-        of ``expire_snapshots`` the same way crashed-commit debris
-        does, once main's retained horizon passes them."""
-        self._require_main("drop_branch")
-        bdir = self._branch_dir(name)
-        if not self.fs.exists(os.path.join(bdir, BRANCH_META)):
-            raise ValueError(f"unknown branch {name!r}")
-        self.fs.rmtree(bdir)
-
-    def fast_forward(self, name: str) -> int:
-        """Publish branch ``name`` onto main (Iceberg
-        ``fast_forward``): adopt the branch's commits fork+1..head as
-        main's own, PRESERVING every manifest byte-for-byte -- version
-        numbers, parent chain, audit rows, fence ledger and lineage all
-        carry over, so downstream ``read_changes``/``follow_changes``
-        cursors continue across the publish without a seam.
-
-        Atomicity rides the same name-CAS as every commit: each branch
-        manifest is put-if-absent at main's path for that version. If
-        main committed anything after the fork, the FIRST put conflicts
-        with different content and the whole fast-forward aborts with
-        ``RebaseError`` (branch diverged; main is left exactly as it
-        was -- a byte-identical prefix from a crashed earlier attempt
-        is recognized and skipped, making the operation resumable and
-        idempotent). On success the branch is dropped. Returns main's
-        new head version."""
-        self._require_main("fast_forward")
-        br = self.for_branch(name)
-        fork, bhead = br.fork_version(), br.current_version()
-        for v in range(fork + 1, bhead + 1):
-            txt = self.fs.read_text(br._manifest_path(v))
-            path = os.path.join(self.root, MANIFEST_DIR, f"v{v:012d}.json")
-            try:
-                self.fs.put_if_absent(path, txt)
-            except CommitConflict:
-                if self.fs.read_text(path) != txt:
-                    raise RebaseError(
-                        f"cannot fast-forward {name!r}: main diverged at "
-                        f"v{v} (rebase by re-branching from the new head)"
-                    ) from None
-        if bhead > fork:
-            self.fs.put_atomic(
-                os.path.join(self.root, MANIFEST_DIR, CURRENT), str(bhead))
-        self.drop_branch(name)
-        return bhead
-
-    def rollback_to(self, version: int | str) -> int:
-        """Revert the table to an earlier RETAINED snapshot (Iceberg
-        ``rollback_to_snapshot``): a metadata-only commit -- no Spark
-        job, no data files -- whose state (schema, layout, file refs,
-        zone stats) is the target's. History is preserved: the bad
-        commits stay in the chain (auditable, still time-travelable
-        until expired); the rollback is a NEW version on top.
-
-        CDC semantics (the reason this engine needs rollback at all --
-        a bad batch landed, revert and re-replay):
-
-        - the fence ledger reverts WITH the state, so re-replaying the
-          reverted batches from the WAL applies them again instead of
-          no-opping against a stale fence -- revert + replay is the
-          recovery story, and it stays exactly-once per replay;
-        - ``lsn_high`` does NOT revert -- it takes a +1 bump instead,
-          so post-rollback synthetic stamps (update_where, the change
-          tail's revert/delete stamps) stay above everything any
-          downstream consumer has already applied, and successive
-          rollbacks get distinct stamp bands;
-        - a change window crossing the rollback takes ``read_changes``'
-          snapshot-diff path automatically (a rollback changes data
-          without adding delta files) and emits the WHOLE window with
-          NULL ``_lsn`` for the tail to stamp (physical LSNs receded,
-          and resurrected keys may face a higher-LSN tombstone
-          downstream) -- a mirror follows the revert instead of
-          diverging.
-
-        Composes with branches (it is an ordinary build-commit) and
-        with concurrent writers via the usual rebase -- though
-        rebasing a rollback past an intervening data commit would
-        silently drop that commit, so any intervening commit aborts
-        the rollback with ``RebaseError`` (re-issue against the new
-        head if the revert is still right). Returns the new version."""
-        m = self.manifest()
-        if isinstance(version, str):
-            version = self.resolve_ref(version)
-        target = int(version)
-        if target >= m["version"]:
-            raise ValueError(
-                f"rollback target v{target} is not older than the head "
-                f"v{m['version']}")
-        try:
-            tgt = self.manifest(target)
-        except FileNotFoundError:
-            raise ValueError(
-                f"rollback target v{target} has been expired by "
-                "expire_snapshots (or never existed)") from None
-        base_version = m["version"]
-
-        def build(mp: dict[str, Any]) -> dict[str, Any]:
-            if mp["version"] != base_version:
-                raise RebaseError(
-                    f"rollback aborted: v{mp['version']} landed after the "
-                    f"rollback was planned against v{base_version} -- "
-                    "re-issue against the new head")
-            v = mp["version"] + 1
-            # never launder stats stamped by an older harvester
-            stats = (dict(tgt.get("stats", {}))
-                     if tgt.get("stats_format") == STATS_FORMAT else {})
-            return {
-                **mp,
-                "version": v,
-                "parent": mp["version"],
-                "key": tgt["key"],
-                "bucket_count": tgt["bucket_count"],
-                "merge_mode": tgt.get("merge_mode", "cow"),
-                "schema": tgt["schema"],
-                "buckets": tgt["buckets"],
-                "deltas": tgt.get("deltas", {}),
-                "applied_batches": tgt["applied_batches"],
-                "lsn_high": max(mp.get("lsn_high") or 0,
-                                tgt.get("lsn_high") or 0) + 1,
-                "stats": stats,
-                "audit": None,
-                "lineage": [],
-                "summary": {"operation": "rollback", "target": target,
-                            "reverted_from": base_version},
-                "committed_at": _utc_now_iso(),
-            }
-
-        return self._commit_with_rebase(m, build)["version"]
-
-    def version_as_of(self, ts) -> int:
-        """``TIMESTAMP AS OF``: the newest version whose commit landed
-        at or before ``ts`` (datetime; naive = UTC, matching the
-        manifests' UTC ``committed_at`` stamps -- second resolution).
-        Raises when every retained commit is newer (or that history has
-        been expired): Iceberg's contract for a pre-history timestamp.
-        Driver-side parent walk, O(versions back), no Spark job."""
-        import datetime as _dt
-
-        if ts.tzinfo is not None:
-            ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        v: int | None = self.current_version()
-        while v is not None:
-            try:
-                m = self.manifest(v)
-            except FileNotFoundError:
-                break  # expired history
-            committed = _dt.datetime.strptime(
-                m["committed_at"], "%Y-%m-%dT%H:%M:%SZ")
-            if committed <= ts:
-                return m["version"]
-            v = m["parent"]
-        raise ValueError(
-            f"no retained snapshot at or before {ts.isoformat()}Z")
 
     def _write_manifest(self, manifest: dict[str, Any], expected_parent: int | None) -> None:
         """Atomic commit: exclusively PUBLISH the immutable vN.json --
@@ -1025,4210 +424,3 @@ class LakeTable:
                     return None
         raise last  # type: ignore[misc]  # loop ran at least once
 
-    # ------------------------------------------------------------------
-    # read path
-    # ------------------------------------------------------------------
-    def schema(self, version: int | None = None) -> T.StructType:
-        return T.StructType.fromJson(self.manifest(version)["schema"])
-
-    def _files(self, manifest: dict[str, Any], buckets: list[int] | None = None,
-               which: str = "buckets", strip: bool = False) -> list[str]:
-        out: list[str] = []
-        for b, files in manifest.get(which, {}).items():
-            if buckets is None or int(b) in buckets:
-                out.extend(
-                    f if strip
-                    else self.fs.spark_path(os.path.join(self.root, f))
-                    for f in files
-                )
-        return out
-
-    def _plan_scan(
-        self,
-        m: dict[str, Any],
-        buckets: list[int] | None,
-        ranges: dict[str, tuple] | None,
-        tz: str | None = None,
-        keys: list | None = None,
-    ) -> tuple[list[str], list[int]]:
-        """ONE planner for ``read`` and ``plan_files`` (they must never
-        drift: plan_files IS the explanation of what read scans):
-        returns ``(plain_rel_paths, delta_bucket_ids)`` after bucket
-        pruning, zone-map file skipping, and (with ``keys``) Bloom-index
-        file skipping. A delta-touched bucket is dropped only when
-        EVERY file in it is provably disjoint / provably key-free.
-        ``tz`` names the timezone naive timestamp bounds are expressed
-        in -- ``read`` passes ITS session's setting so the prune and
-        the residual filter can never disagree; None falls back to the
-        active session (or UTC). ``keys`` are probe values of the MERGE
-        KEY: a file is skipped when its bloom (sources/bloomindex.py)
-        rejects every probe -- no false negatives, so the skip is
-        exact; files without an entry always scan."""
-        schema = T.StructType.fromJson(m["schema"])
-        enc: dict[str, tuple] = {}
-        if ranges:
-            kinds = {f.name: _zone_kind(f.dataType) for f in schema.fields}
-            bad = [c for c in ranges if c not in kinds]
-            if bad:
-                raise ValueError(f"ranges on unknown columns: {bad}")
-            # encode each bound ONCE, type-checked against the column
-            # (a bound whose type doesn't match the column never prunes
-            # -- the residual filter still applies it exactly)
-            for col, (lo, hi) in ranges.items():
-                k = kinds[col]
-                enc[col] = (_enc_bound(lo, k, tz), _enc_bound(hi, k, tz), k,
-                            hi is not None)
-        # pre-fix manifests may carry zones written by an unsound
-        # harvester (NaN-narrowed floats, unpadded years): prune only on
-        # stats stamped with the CURRENT format
-        stats = (
-            m.get("stats", {})
-            if enc and m.get("stats_format") == STATS_FORMAT else {}
-        )
-        rejects = self._bloom_rejector(m, keys) if keys else None
-
-        def _skip(f: str) -> bool:
-            return (enc and _disjoint(stats.get(f), enc)) or (
-                rejects is not None and rejects(f)
-            )
-
-        deltas = m.get("deltas", {})
-        delta_buckets = [
-            int(b) for b, fl in deltas.items()
-            if fl and (buckets is None or int(b) in buckets)
-        ]
-        if enc or rejects is not None:
-            delta_buckets = [
-                b for b in delta_buckets
-                if not all(
-                    _skip(f)
-                    for f in (m["buckets"].get(str(b), [])
-                              + deltas.get(str(b), []))
-                )
-            ]
-        plain = [
-            f
-            for b, fl in m["buckets"].items()
-            if int(b) not in delta_buckets and (buckets is None or int(b) in buckets)
-            for f in fl
-        ]
-        if enc or rejects is not None:
-            plain = [f for f in plain if not _skip(f)]
-        return plain, delta_buckets
-
-    def _bloom_rejector(self, m: dict[str, Any], keys: list):
-        """A ``rel -> bool`` predicate ("this file provably holds NONE
-        of the probe keys") from the manifest's bloom sidecars, or None
-        when no consultable index exists. NULL probes are dropped (SQL
-        equality never matches a NULL key), an empty remainder means no
-        pruning; unreadable / stale-format sidecars are ignored --
-        coverage loss is always sound."""
-        if m.get("blooms_format") != _bloom.BLOOM_FORMAT:
-            return None
-        bloom_files = m.get("bloom_files") or {}
-        if not bloom_files:
-            return None
-        schema = T.StructType.fromJson(m["schema"])
-        if not all(_bloom.bloom_supported(schema[k].dataType)
-                   for k in _keylist(m["key"])):
-            return None
-        # composite probes canonicalize to the one joined string both
-        # sides hash (bloomindex.canonical_probe); scalars pass through
-        kvals = [c for v in keys
-                 if (c := _bloom.canonical_probe(v)) is not None]
-        if not kvals:
-            return None
-        tables: list[tuple[set, dict, int, int, list[list[int]]]] = []
-        for sc_rel, cov in bloom_files.items():
-            doc = self._bloom_sidecar(sc_rel)
-            if doc is None:
-                continue
-            mb, kk = doc["m"], doc["k"]
-            pos = [_bloom.positions(v, mb, kk) for v in kvals]
-            tables.append((set(cov), doc["blooms"], mb, kk, pos))
-        if not tables:
-            return None
-        decoded: dict[tuple[str, str], bytes | None] = {}
-
-        def rejects(rel: str) -> bool:
-            for cov, entries, mb, kk, pos in tables:
-                if rel not in cov:
-                    continue
-                b64 = entries.get(rel)
-                if b64 is None:
-                    return False
-                ck = (id(entries), rel)
-                bits = decoded.get(ck)
-                if bits is None and ck not in decoded:
-                    try:
-                        bits = _bloom.decode_bitset(b64)
-                    except Exception:
-                        bits = None
-                    decoded[ck] = bits
-                if bits is None or len(bits) * 8 != mb:
-                    return False  # corrupt entry: scan the file
-                return all(
-                    any(not ((bits[p >> 3] >> (p & 7)) & 1) for p in pl)
-                    for pl in pos
-                )
-            return False
-
-        return rejects
-
-    def _bloom_sidecar(self, sc_rel: str) -> dict | None:
-        """Load-and-cache one immutable bloom sidecar (None = absent or
-        undecodable; cached either way -- uuid names never mutate)."""
-        if sc_rel in self._bloom_cache:
-            return self._bloom_cache[sc_rel]
-        try:
-            doc = _bloom.decode_sidecar(
-                self.fs.read_text(os.path.join(self.root, sc_rel)))
-        except Exception:
-            doc = None
-        self._bloom_cache[sc_rel] = doc
-        return doc
-
-    def read(
-        self,
-        spark: SparkSession,
-        version: int | None = None,
-        buckets: list[int] | None = None,
-        public: bool = False,
-        ranges: dict[str, tuple] | None = None,
-        keys: list | None = None,
-    ) -> DataFrame:
-        """Snapshot read (optionally time-traveled / bucket-pruned /
-        zone-map-pruned).
-
-        Reading with the *current* schema makes additive evolution work:
-        parquet files written before a column existed yield NULL for it
-        (Spark fills missing columns when an explicit schema is given).
-
-        mor resolution: buckets that have delta files are read
-        (base ∪ deltas) and reduced last-writer-wins per key (max-_lsn
-        row survives; a surviving tombstone removes the key). Buckets
-        with no deltas scan plain -- the resolve shuffle only covers
-        delta-touched data, which ``compact()`` keeps bounded.
-
-        ``ranges={"col": (lo, hi)}`` (inclusive; None = open end) both
-        FILTERS the result and PRUNES the scan with the manifest's
-        file-level zone maps (Iceberg's min/max file skipping): plain
-        buckets skip individual disjoint files; a delta bucket is
-        skipped only when EVERY file in it (base and delta alike) is
-        provably disjoint -- LWW resolution must see a touched bucket
-        whole, or a pruned-away delta/tombstone could resurrect or
-        leak an older row. NULL column values never satisfy a range
-        (SQL semantics), so files pruned on non-null stats cannot hide
-        matching rows. Files without stats are always read; the
-        residual predicate makes the result exact either way. Bounds
-        prune only when their Python type matches the column (datetime
-        for timestamp, date for date, int/float for numerics) --
-        anything else is applied by the residual filter alone.
-        Timestamp pruning interprets naive datetime bounds in the
-        session timezone (engine sessions pin UTC).
-
-        ``keys=[...]`` restricts the result to rows whose MERGE KEY is
-        in the list (exact ``isin`` residual, which Catalyst pushes
-        through the union and the LWW aggregation into both parquet
-        scans) and PRUNES the scan with the manifest's Bloom sidecars
-        (harvest_blooms) under the same whole-bucket rule as ranges.
-        Supported for string/integral keys only -- the bloom hash
-        contract's precondition (sources/bloomindex.py); other key
-        types raise. A None probe matches nothing, like SQL equality.
-        On a COMPOSITE-key table each probe is a tuple in key-column
-        order; the residual becomes an OR of per-tuple conjunctions
-        and the bloom hashes the canonical joined string."""
-        m = self.manifest(version)
-        schema = T.StructType.fromJson(m["schema"])
-        ks = _keylist(m["key"])
-        if keys is not None:
-            bad = [k for k in ks
-                   if not _bloom.bloom_supported(schema[k].dataType)]
-            if bad:
-                raise TypeError(
-                    f"read(keys=...) supports string/integral merge keys; "
-                    f"{bad[0]} is {schema[bad[0]].dataType.simpleString()}")
-            if len(ks) > 1 and any(
-                    v is not None and (not isinstance(v, (tuple, list))
-                                       or len(v) != len(ks))
-                    for v in keys):
-                raise ValueError(
-                    f"composite-key probes must be {len(ks)}-tuples in "
-                    f"key order {ks}")
-        plain_rel, delta_buckets = self._plan_scan(
-            m, buckets, ranges,
-            tz=spark.conf.get("spark.sql.session.timeZone"),
-            keys=keys)
-        plain_files = [
-            self.fs.spark_path(os.path.join(self.root, f)) for f in plain_rel
-        ]
-        parts: list[DataFrame] = []
-        if plain_files:
-            parts.append(spark.read.schema(schema).parquet(*plain_files))
-        if delta_buckets:
-            rs = T.StructType(list(schema.fields) + [T.StructField(DELETED_COL, T.BooleanType())])
-            files = self._files(m, delta_buckets) + self._files(m, delta_buckets, "deltas")
-            raw = spark.read.schema(rs).parquet(*files)
-            parts.append(_resolve(raw, m["key"], schema))
-        if not parts:
-            df = spark.createDataFrame([], schema)
-        elif len(parts) == 1:
-            df = parts[0]
-        else:
-            df = parts[0].unionByName(parts[1])
-        if ranges:
-            for col, (lo, hi) in ranges.items():
-                if lo is not None:
-                    df = df.filter(F.col(col) >= F.lit(lo))
-                if hi is not None:
-                    df = df.filter(F.col(col) <= F.lit(hi))
-        if keys is not None:
-            df = df.filter(_keys_residual(ks, keys))
-        if public:
-            df = df.drop(LSN_COL)
-        return df
-
-    def plan_files(
-        self,
-        version: int | None = None,
-        buckets: list[int] | None = None,
-        ranges: dict[str, tuple] | None = None,
-        tz: str | None = None,
-        keys: list | None = None,
-    ) -> dict[str, list[str]]:
-        """The scan plan ``read`` would execute, WITHOUT Spark: relative
-        paths under ``{"plain": [...], "delta_resolved": [...]}``.
-        Exists so zone-map pruning is observable/testable and scans are
-        explainable (`EXPLAIN`-for-files) -- it shares ``_plan_scan``
-        with ``read``, so it cannot drift from what read scans (same
-        validation too: unknown range columns raise). Pass ``tz`` to
-        name the timezone of naive timestamp bounds when explaining a
-        session whose timeZone differs from the active one; ``keys`` to
-        explain Bloom-index file skipping the way ``read(keys=...)``
-        executes it."""
-        m = self.manifest(version)
-        if keys is not None:
-            # same validation as read(keys=...): the plan must never
-            # succeed where the read it explains would raise
-            schema = T.StructType.fromJson(m["schema"])
-            bad = [k for k in _keylist(m["key"])
-                   if not _bloom.bloom_supported(schema[k].dataType)]
-            if bad:
-                raise TypeError(
-                    f"plan_files(keys=...) supports string/integral merge "
-                    f"keys; {bad[0]} is "
-                    f"{schema[bad[0]].dataType.simpleString()}")
-        plain, delta_buckets = self._plan_scan(m, buckets, ranges, tz=tz,
-                                               keys=keys)
-        dfiles = self._files(m, delta_buckets, strip=True) + self._files(
-            m, delta_buckets, "deltas", strip=True)
-        return {"plain": plain, "delta_resolved": dfiles}
-
-    def lookup(
-        self,
-        spark: SparkSession,
-        keys: list,
-        version: int | None = None,
-        public: bool = False,
-    ) -> DataFrame:
-        """POINT LOOKUP: the current row for each given merge-key value,
-        scanning ONLY the buckets those keys hash to -- the "what is
-        the state of url X" question a CDC operator asks constantly,
-        answered in O(|keys| buckets / bucket_count) of the table
-        instead of a full scan (with mor resolution applied, so the
-        answer is exactly ``read``'s).
-
-        Two Spark jobs: a constant-size job hashing the keys to bucket
-        ids (xxhash64 is JVM-side -- the one bucketing definition,
-        never reimplemented driver-side), then a bucket-pruned snapshot
-        read semi-joined against the broadcast key set. Deleted /
-        never-written keys simply yield no row.
-
-        When the table carries Bloom sidecars (``harvest_blooms``) and
-        the key type supports the hash contract, the keys also ride
-        through ``read(keys=...)``: file-level bloom skipping inside
-        the hashed buckets (which the zone-map envelope cannot do for
-        uniformly scattered keys) plus an exact ``isin`` residual that
-        Catalyst pushes into the parquet scans."""
-        m = self.manifest(version)
-        key, nb = m["key"], m["bucket_count"]
-        ks = _keylist(key)
-        schema = T.StructType.fromJson(m["schema"])
-        ktypes = [schema[k].dataType for k in ks]
-        if not keys:
-            return spark.createDataFrame(
-                [], schema if not public
-                else T.StructType([f for f in schema.fields
-                                   if f.name != LSN_COL]))
-        if len(ks) == 1:
-            rows = [(k,) for k in keys]
-        else:
-            bad = [t for t in keys
-                   if not isinstance(t, (tuple, list)) or len(t) != len(ks)]
-            if bad:
-                raise ValueError(
-                    f"composite-key lookup needs {len(ks)}-tuples in "
-                    f"key order {ks}; got {bad[0]!r}")
-            rows = [tuple(t) for t in keys]
-        kdf = spark.createDataFrame(
-            rows, T.StructType(
-                [T.StructField(k, t) for k, t in zip(ks, ktypes)]))
-        hit = [
-            r["_b"]
-            for r in kdf.select(_bucket_expr(key, nb).alias("_b"))
-            .distinct().collect()
-        ]
-        # pin the read to the SAME manifest the buckets were computed
-        # under: a concurrent rebucket between the two reads would
-        # otherwise prune the new layout with old bucket ids and
-        # silently miss existing keys. A per-column [min, max]
-        # envelope rides along as a range so the KEY zone maps (string/
-        # numeric) also skip files inside the hashed buckets -- with
-        # key-clustered files (append sort_within / compact sort) a
-        # point lookup then touches a handful of files, not the bucket;
-        # each column's envelope contains every requested value, so it
-        # never excludes a requested key, and read()'s residual filter
-        # is subsumed by the semi-join.
-        ranges: dict[str, tuple] | None = {}
-        for i, k in enumerate(ks):
-            vals = [t[i] if len(ks) > 1 else t
-                    for t in (rows if len(ks) > 1 else keys)]
-            try:
-                # NaN keys break the envelope both ways: python min/max
-                # are position-dependent with NaN, and Spark orders NaN
-                # above every double so a finite upper bound would drop
-                # the NaN row -- skip the envelope (v != v catches NaN)
-                if all(v is not None and v == v for v in vals):
-                    ranges[k] = (min(vals), max(vals))
-            except TypeError:  # unorderable key values: no envelope
-                pass
-        ranges = ranges or None
-        probe_ok = all(_bloom.bloom_supported(t) for t in ktypes)
-        df = self.read(spark, version=m["version"], buckets=hit,
-                       public=public, ranges=ranges,
-                       keys=keys if probe_ok else None)
-        return df.join(F.broadcast(kdf), ks, "left_semi")
-
-    CHANGE_COL = "_change_type"
-
-    def read_changes(
-        self,
-        spark: SparkSession,
-        since_version: int,
-        until_version: int | None = None,
-        public: bool = False,
-    ) -> DataFrame:
-        """Incremental CDC-OUT read: the NET per-key changes committed in
-        ``(since_version, until_version]`` -- current-schema rows plus a
-        ``_change_type`` column (``'upsert'`` | ``'delete'``; delete rows
-        carry the key, NULL payload). This is what a downstream consumer
-        tails instead of re-scanning snapshots (Iceberg: incremental /
-        changelog scan), closing the CDC loop: the engine both ingests a
-        changelog and emits one.
-
-        Exactness contract (tested): merging the returned changes into a
-        copy of snapshot ``since_version`` through the engine's
-        LSN-monotonic merge reproduces snapshot ``until_version``.
-        Consumers MUST apply LSN-monotonically: the delta fast path
-        reports the window's per-key winner even when a higher-LSN
-        pre-window row still wins at read time (a stale late event),
-        exactly like Iceberg's changelog scan -- the monotonic apply
-        makes such rows no-ops. Delete rows carry the key, the
-        tombstone ``_lsn`` (NULL on the diff path -- the tombstone was
-        already compacted away) and NULL payload. A window crossing a
-        ``rollback_to`` commit emits EVERY change with NULL ``_lsn``:
-        reverted keys' physical LSNs went backwards and resurrected
-        keys may face a higher-LSN tombstone downstream, so neither
-        can be applied under its physical LSN -- ``follow_changes``
-        stamps NULL-LSN rows above the table's LSN watermark.
-
-        ``public=True`` drops the ``_lsn`` column: that projection is
-        for INSPECTION/analytics only (what changed, human-readable) --
-        it cannot be applied downstream under the LSN-monotonic
-        contract above. Appliers must consume the default
-        (``public=False``) output, whose ``_lsn`` is the ordering token
-        the monotonic merge keys on.
-
-        Window bounds are validated against RETAINED history:
-        ``until_version`` beyond the head, or a window that crosses an
-        ``expire_snapshots`` horizon, raises ``ValueError`` (Iceberg's
-        expired-snapshot contract, surfaced as a clean error instead of
-        a mid-walk FileNotFoundError).
-
-        Scale: when every commit in the window is a MOR merge (the
-        steady state), the read touches ONLY the delta files those
-        commits added -- O(changes), no table scan -- resolved
-        last-writer-wins per key with tombstones kept. Any other commit
-        in the window (compact rewrites files; a cow or mode-override
-        merge resolves eagerly; append adds base files) falls back to a
-        snapshot DIFF: two time-travel reads full-outer-joined on the
-        key -- O(table), but always correct, and the per-key ``_lsn``
-        makes the diff a column compare, not a payload hash."""
-        current = self.current_version()
-        until = current if until_version is None else until_version
-        if until > current:
-            raise ValueError(
-                f"until_version {until} > current version {current} (unknown snapshot)"
-            )
-        if since_version > until:
-            raise ValueError(f"since_version {since_version} > until_version {until}")
-
-        def _mf(v: int) -> dict[str, Any]:
-            try:
-                return self.manifest(v)
-            except FileNotFoundError:
-                raise ValueError(
-                    f"snapshot v{v} has been expired by expire_snapshots (or never "
-                    f"existed): the change window ({since_version}, {until}] is not "
-                    "fully retained -- re-seed the consumer from a snapshot read"
-                ) from None
-
-        m_until = _mf(until)
-        schema = T.StructType.fromJson(m_until["schema"])
-        key = m_until["key"]
-        ks = _keylist(key)
-        out_cols = [f.name for f in schema.fields] + [self.CHANGE_COL]
-        if since_version == until:
-            df = spark.createDataFrame([], schema).withColumn(
-                self.CHANGE_COL, F.lit("upsert")
-            )
-            return df.drop(LSN_COL) if public else df
-
-        m_since = _mf(since_version)  # window start must be retained too
-
-        # window ops: mor merges and data no-ops (skip, tag/untag) keep
-        # the fast path; anything else (compact, append, cow or
-        # mode-override merge) diffs. Each commit's ACTUAL mode is
-        # checked from its audit row -- the table-level merge_mode
-        # property can be overridden per merge.
-        fast_ok = True
-        has_rollback = False
-        v: int | None = until
-        while v is not None and v > since_version:
-            m = _mf(v)
-            audit = m.get("audit") or {}
-            op = audit.get("operation") or m.get("summary", {}).get("operation")
-            if not (op in ("skip", "tag", "untag", "analyze",
-                           "add_constraint", "drop_constraint")
-                    or (op == "merge" and audit.get("mode") == "mor")):
-                fast_ok = False
-            if op == "rollback":
-                has_rollback = True
-            v = m["parent"]
-
-        if fast_ok:
-            old = {f for fl in m_since.get("deltas", {}).values() for f in fl}
-            new_files = [
-                self.fs.spark_path(os.path.join(self.root, f))
-                for fl in m_until.get("deltas", {}).values()
-                for f in fl
-                if f not in old
-            ]
-            if not new_files:
-                df = spark.createDataFrame([], schema).withColumn(
-                    self.CHANGE_COL, F.lit("upsert")
-                )
-                return df.drop(LSN_COL) if public else df
-            rs = T.StructType(
-                list(schema.fields) + [T.StructField(DELETED_COL, T.BooleanType())]
-            )
-            raw = spark.read.schema(rs).parquet(*new_files)
-            payload = [c for c in raw.columns if c not in ks]
-            # same (NULL-_lsn, content) ranking as _resolve -- ties must
-            # pick the same winner the snapshot read picks
-            ftypes = {f.name: f.dataType for f in schema.fields}
-            content = [c for c in payload
-                       if c not in (LSN_COL, DELETED_COL)
-                       and _hashable(ftypes.get(c, T.StringType()))]
-            winner = F.max_by(
-                F.struct(*payload),
-                _lsn_rank(content, F.coalesce(F.col(DELETED_COL), F.lit(False))),
-            )
-            net = raw.groupBy(*ks).agg(winner.alias("_w")).select(*ks, "_w.*")
-            is_del = F.coalesce(F.col(DELETED_COL), F.lit(False))
-            net = net.select(
-                *ks,
-                *[
-                    F.when(is_del & F.lit(c != LSN_COL), F.lit(None)).otherwise(
-                        F.col(c)
-                    ).alias(c)
-                    for c in payload
-                    if c != DELETED_COL
-                ],
-                is_del.alias("_is_del"),
-            )
-            df = net.withColumn(
-                self.CHANGE_COL,
-                F.when(F.col("_is_del"), "delete").otherwise("upsert"),
-            ).select(*out_cols)
-        else:
-            cur = self.read(spark, version=until)
-            prev = self.read(spark, version=since_version).select(
-                *[F.col(k).alias(f"_pk{i}") for i, k in enumerate(ks)],
-                F.col(LSN_COL).alias("_prev_lsn"),
-            )
-            jcond = cur[ks[0]] == prev["_pk0"]
-            for i, k in enumerate(ks[1:], 1):
-                jcond = jcond & (cur[k] == prev[f"_pk{i}"])
-            j = cur.join(prev, jcond, "full_outer")
-            upserts = (
-                j.filter(
-                    F.col(ks[0]).isNotNull()
-                    & (
-                        # new key (absent at since: join found no _pk) OR
-                        # changed LSN (advanced: a normal write; receded:
-                        # only a rollback revert can recede); seed rows
-                        # rank -1 on both sides, so unchanged seeds are
-                        # NOT re-emitted
-                        F.col("_pk0").isNull()
-                        | (
-                            F.coalesce(F.col(LSN_COL), F.lit(-1))
-                            != F.coalesce(F.col("_prev_lsn"), F.lit(-1))
-                        )
-                    )
-                )
-                .select(*[f.name for f in schema.fields])
-                .withColumn(self.CHANGE_COL, F.lit("upsert"))
-            )
-            if has_rollback:
-                # a rollback in the window makes physical LSNs unsafe
-                # downstream in BOTH directions: a reverted key's LSN
-                # went backwards, and a key the rollback RESURRECTED
-                # (deleted in (since..rollback), restored by it) looks
-                # brand-new here while the consumer may hold its
-                # higher-LSN tombstone from an earlier window. Emit the
-                # whole window with NULL _lsn (the diff-path delete
-                # contract) -- follow_changes stamps every row above
-                # the table's LSN watermark, which the rollback commit
-                # bumped, so the revert wins the monotonic apply and
-                # re-emitting the window stays idempotent (same stamp,
-                # same content).
-                ftype = next(f.dataType for f in schema.fields
-                             if f.name == LSN_COL)
-                upserts = upserts.withColumn(
-                    LSN_COL, F.lit(None).cast(ftype))
-            gone = j.filter(F.col(ks[0]).isNull()).select(
-                *[F.col(f"_pk{i}").alias(k) for i, k in enumerate(ks)])
-            for f in schema.fields:
-                if f.name not in ks:
-                    gone = gone.withColumn(f.name, F.lit(None).cast(f.dataType))
-            df = upserts.unionByName(
-                gone.select(*[f.name for f in schema.fields]).withColumn(
-                    self.CHANGE_COL, F.lit("delete")
-                )
-            )
-        return df.drop(LSN_COL) if public else df
-
-    # ------------------------------------------------------------------
-    # audit / lineage as DataFrames (engine metrics tables)
-    # ------------------------------------------------------------------
-    def lsn_high_watermark(self) -> int:
-        """Highest LSN this table has applied (merges) or stamped
-        (update_where) -- the value synthetic-LSN producers must exceed.
-        Carried in the manifest (``lsn_high``) so it SURVIVES
-        ``expire_snapshots`` truncating the audit chain; the retained
-        chain is folded in as a fallback for tables whose history
-        predates the field. Appended rows' ``_lsn`` values (if any) are
-        not tracked -- appends are the bulk-seed path, not the CDC
-        path."""
-        m = self.manifest()
-        if "lsn_high" in m:
-            # maintained since create: the head value is exact, no walk
-            return m["lsn_high"] or 0
-        # table created before the field existed: fold the retained
-        # audit chain (O(retained versions), the old behavior)
-        return max((a["max_lsn"] for a in self.audit_entries()
-                    if a.get("max_lsn") is not None), default=0)
-
-    def audit_entries(self) -> list[dict[str, Any]]:
-        """All audit rows across the RETAINED snapshot chain (newest
-        last; truncates where expire_snapshots dropped history)."""
-        out = []
-        v: int | None = self.current_version()
-        chain = []
-        while v is not None:
-            try:
-                m = self.manifest(v)
-            except FileNotFoundError:
-                break  # expired history
-            chain.append(m)
-            v = m["parent"]
-        for m in reversed(chain):
-            if m.get("audit"):
-                out.append(m["audit"])
-        return out
-
-    def lineage_entries(self) -> list[dict[str, Any]]:
-        out = []
-        v: int | None = self.current_version()
-        while v is not None:
-            try:
-                m = self.manifest(v)
-            except FileNotFoundError:
-                break  # expired history
-            for row in m.get("lineage", []):
-                out.append({"version": m["version"], **row})
-            v = m["parent"]
-        return out
-
-    def is_applied(self, batch_id: int) -> bool:
-        return str(batch_id) in self.manifest()["applied_batches"]
-
-    def audit_df(self, spark: SparkSession) -> DataFrame:
-        """The engine's metrics table as a DataFrame: one row per commit
-        (batch_id, operation, rows_in/applied/deleted, lsn range,
-        touched buckets, version). North-rule 'metrics tables';
-        reference analogue: reportPerformance rows
-        (/root/reference/src/YADAMU/common/yadamuWriter.js:749-841).
-
-        Counting contract: ``rows_in``/``rows_applied`` count the rows
-        the merge PERSISTED (mor: delta rows written; cow: resolved
-        source rows) -- under at-least-once delivery a redelivered
-        exact-duplicate winner is counted each time it is written; the
-        reader's resolution collapses it. Distinct-key counts are what
-        ``lineage_df`` + the final table state give you."""
-        rows = self.audit_entries()
-        schema = ("batch_id long, operation string, rows_in long, rows_applied long, "
-                  "rows_deleted long, min_lsn long, max_lsn long, touched_buckets long, "
-                  "version long, rows_batch_in long, rows_quarantined long")
-        return spark.createDataFrame(
-            [{k: r.get(k) for k in
-              ("batch_id", "operation", "rows_in", "rows_applied", "rows_deleted",
-               "min_lsn", "max_lsn", "touched_buckets", "version",
-               "rows_batch_in", "rows_quarantined")} for r in rows],
-            schema,
-        )
-
-    def lineage_df(self, spark: SparkSession) -> DataFrame:
-        """Per-partition lineage as a DataFrame: applied LSN ranges +
-        row counts per (version, batch, bucket) -- the north rule's
-        per-partition lineage table."""
-        return spark.createDataFrame(
-            self.lineage_entries() or [],
-            "version long, batch_id long, bucket int, row_count long, min_lsn long, max_lsn long",
-        )
-
-    def snapshot_entries(self) -> list[dict[str, Any]]:
-        """One row per RETAINED manifest, oldest first (truncates where
-        expire_snapshots dropped history). ``summary`` is the commit's
-        operation summary as a JSON string; ``data_files``/
-        ``delta_files`` count the snapshot's live file inventory."""
-        rows = []
-        v: int | None = self.current_version()
-        while v is not None:
-            try:
-                m = self.manifest(v)
-            except FileNotFoundError:
-                break  # expired history
-            rows.append({
-                "version": m["version"],
-                "parent": m["parent"],
-                "committed_at": m.get("committed_at"),
-                "operation": (m.get("summary") or {}).get("operation"),
-                "merge_mode": m.get("merge_mode"),
-                "data_files": sum(len(fl) for fl in m["buckets"].values()),
-                "delta_files": sum(len(fl)
-                                   for fl in m.get("deltas", {}).values()),
-                "summary": json.dumps(m.get("summary") or {}, sort_keys=True),
-            })
-            v = m["parent"]
-        return list(reversed(rows))
-
-    def snapshots_df(self, spark: SparkSession) -> DataFrame:
-        """Iceberg-style ``snapshots`` metadata table as a DataFrame,
-        like ``SELECT * FROM tbl.snapshots`` in Iceberg. Reference
-        analogue: the per-operation metrics rows YADAMU logs
-        (/root/reference/src/YADAMU/common/yadamuLogger.js) -- here
-        queryable. Driver cost: O(retained versions), the manifests
-        the audit walk already reads."""
-        return spark.createDataFrame(
-            self.snapshot_entries() or [],
-            "version long, parent long, committed_at string, operation string, "
-            "merge_mode string, data_files long, delta_files long, summary string",
-        )
-
-    def row_count(self, version: int | str | None = None) -> int | None:
-        """Exact ``count(*)`` from metadata alone -- Iceberg's count
-        pushdown analogue. For a snapshot with NO delta files the base
-        files hold exactly the live rows (compaction/cow materialize
-        resolution; winning tombstones physically disappear -- see
-        ``compact``), so the count is the sum of parquet footer row
-        counts over the referenced files: O(files) driver-side footer
-        reads through the FS seam, no Spark job. Returns ``None`` when
-        any bucket still carries deltas (read-side resolution could
-        drop or overwrite rows; fall back to ``read().count()``).
-
-        Scale note: Iceberg answers this without touching data files at
-        all by recording ``record_count`` per file in its manifests; the
-        port point here is stamping ``num_rows`` next to the zone maps
-        at harvest time (``_footer_stats`` already holds it) if footer
-        round-trips ever matter on an object store."""
-        import pyarrow.parquet as pq
-
-        m = self.manifest(version)
-        if any(fl for fl in m.get("deltas", {}).values()):
-            return None
-        n = 0
-        for files in m.get("buckets", {}).values():
-            for rel in files:
-                with self.fs.open_read(
-                        os.path.join(self.root, rel)) as fobj:
-                    n += pq.ParquetFile(fobj).metadata.num_rows
-        return n
-
-    def file_entries(self, version: int | str | None = None) -> list[dict[str, Any]]:
-        """One row per live file in a snapshot: bucket, kind (``data``
-        base file vs ``delta`` MoR change file), byte size, and the
-        file's zone-map bounds as a JSON string (empty object when the
-        harvest withheld stats, e.g. NaN-bearing float chunks).
-        Driver cost: O(files) stat calls through the FS seam -- the
-        same order as planning the scan."""
-        m = self.manifest(version)
-        stats = _inherit_stats(m)
-
-        def _size(rel: str) -> int | None:
-            try:
-                with self.fs.open_read(os.path.join(self.root, rel)) as f:
-                    return f.seek(0, 2)
-            except (OSError, FileNotFoundError):
-                return None  # vanished under a concurrent expire
-
-        return [
-            {"version": m["version"], "bucket": int(b), "kind": kind,
-             "path": rel, "size_bytes": _size(rel),
-             "stats": json.dumps(stats.get(rel, {}), sort_keys=True)}
-            for kind, which in (("data", "buckets"), ("delta", "deltas"))
-            for b, fl in m.get(which, {}).items()
-            for rel in fl
-        ]
-
-    def files_df(self, spark: SparkSession,
-                 version: int | str | None = None) -> DataFrame:
-        """Iceberg-style ``files`` metadata table for one snapshot --
-        the operational input to compaction targeting ('which buckets
-        are fragmented / skewed') and to explaining why a prune did or
-        did not skip a file."""
-        return spark.createDataFrame(
-            self.file_entries(version) or [],
-            "version long, bucket int, kind string, path string, "
-            "size_bytes long, stats string",
-        )
-
-    # ------------------------------------------------------------------
-    # write paths
-    # ------------------------------------------------------------------
-    def append(self, spark: SparkSession, df: DataFrame, batch_id: int | None = None,
-               sort_within: list[str] | None = None) -> int:
-        """Bulk snapshot path (initial seed): plain bucketed append, no
-        merge -- the analogue of the reference's staged-COPY fast path
-        (/root/reference/src/YADAMU/common/yadamu.js:872-884: choose
-        bulk load over row pipeline when possible).
-
-        ``sort_within`` clusters rows inside each bucket file (e.g. by
-        an event-time column) so the parquet row-group stats inside a
-        file stay tight -- the zone maps skip whole files; the sort
-        lets the pushed-down residual range predicate skip ROW GROUPS
-        inside the files that survive (Iceberg's write-order story).
-        A sortWithinPartitions, not a shuffle."""
-        m = self.manifest()
-        if batch_id is not None and str(batch_id) in m["applied_batches"]:
-            return -1
-        schema = T.StructType.fromJson(m["schema"])
-        df = _align(df, schema)
-        cons = m.get("constraints", {})
-        vobs = None
-        if cons:
-            # violation counts ride the bulk write's own materialization
-            # (second named Observation on the same plan): zero extra
-            # jobs; checked before the manifest commit so a bad load
-            # aborts whole with no trace
-            from pyspark.sql import Observation
-
-            vobs = Observation(f"append_checks_{m['version'] + 1}")
-            df = df.observe(vobs, *[
-                F.count(F.when(~F.coalesce(
-                    F.expr(c).cast("boolean"), F.lit(True)), 1)).alias(n)
-                for n, c in sorted(cons.items())
-            ])
-        new_files, n_rows, out_dir = self._write_bucketed(
-            spark, df, m, sort_within=sort_within)
-        if vobs is not None:
-            viol = {n: int(c) for n, c in vobs.get.items() if c}
-            if viol:
-                self.fs.rmtree(out_dir)  # unreferenced speculative files
-                raise ConstraintViolation(
-                    f"append aborted: constraint violations {viol} "
-                    f"(checks: { {n: cons[n] for n in viol} })")
-        _, zone = _footer_stats(self.fs, self.root, new_files, schema=schema)
-
-        def build(mp: dict[str, Any]) -> dict[str, Any]:
-            # rebase: appending base files composes with any intervening
-            # commit of the same schema (file lists only ever gain ours)
-            if mp is not m and mp["schema"] != m["schema"]:
-                raise RebaseError(
-                    "concurrent schema change during append; retry the batch"
-                )
-            v = mp["version"] + 1
-            buckets = {k: list(fl) for k, fl in mp["buckets"].items()}
-            for b, files in new_files.items():
-                buckets[b] = buckets.get(b, []) + files
-            applied = dict(mp["applied_batches"])
-            if batch_id is not None:
-                applied[str(batch_id)] = {"version": v, "op": "append"}
-            return {
-                **mp,
-                "version": v,
-                "parent": mp["version"],
-                "buckets": buckets,
-                "applied_batches": _cap(applied),
-                "audit": {
-                    "batch_id": batch_id,
-                    "operation": "append",
-                    "rows_in": n_rows,
-                    "rows_applied": n_rows,
-                    "rows_deleted": 0,
-                    "version": v,
-                },
-                "lineage": [],
-                "stats": {**_inherit_stats(mp), **zone},
-                "summary": {"operation": "append", "rows_written": n_rows},
-                "committed_at": _utc_now_iso(),
-            }
-
-        try:
-            committed = self._commit_with_rebase(m, build, batch_id=batch_id)
-        except (CommitConflict, RebaseError):
-            self.fs.rmtree(out_dir)  # nothing references the files yet
-            raise
-        if committed is None:  # another writer fenced this batch first
-            self.fs.rmtree(out_dir)
-            return -1
-        return committed["version"]
-
-    def merge(
-        self,
-        spark: SparkSession,
-        batch_df: DataFrame,
-        batch_id: int,
-        op_col: str = "op",
-        lsn_col: str = "lsn",
-        collect_lineage: bool = True,
-        extra_audit: dict[str, Any] | None = None,
-        pre_commit_hook: Any = None,
-        mode: str | None = None,
-    ) -> MergeResult:
-        """CDC MERGE -- the engine's core operator (W5 in SURVEY.md
-        §2.a; absent from the reference, which is insert-only).
-
-        ``batch_df`` should be pre-reduced to one winning lsn per key
-        (last LSN wins -- see operators.apply); byte-identical
-        redelivered duplicates of the winner may remain (resolution
-        collapses them via a benign max_by tie). It carries ``op``
-        ('I'/'U'/'D') and ``lsn``. Semantics == Iceberg::
-
-            MERGE INTO t USING s ON t.url = s.url AND s.lsn > t._lsn
-            WHEN MATCHED AND s.op = 'D' THEN DELETE
-            WHEN MATCHED THEN UPDATE SET *
-            WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *
-
-        LSN-monotonicity (only the max-``_lsn`` row per key survives
-        resolution) makes replay of a duplicated batch a no-op row-wise,
-        and the batch-id fence in the same manifest commit makes it a
-        no-op commit-wise: exactly-once from at-least-once delivery.
-
-        ``mode`` overrides the table's ``merge_mode`` property for this
-        commit (tests/benchmarks); normally leave None.
-
-        ``pre_commit_hook`` (if given) is a zero-arg callable invoked
-        after the batch has been materialized (so any Observation the
-        caller attached upstream has fired) and BEFORE the manifest
-        commit. If it raises, the merge aborts cleanly: any files this
-        merge wrote are removed, no manifest, no fence -- the
-        error-policy seam used by operators.apply (side effects the
-        hook itself performed, e.g. an idempotent quarantine write,
-        stand).
-        """
-        m = self.manifest()
-        # ---- fence: already-applied batch => exact no-op -------------
-        if str(batch_id) in m["applied_batches"]:
-            return MergeResult(batch_id, None, True, 0, 0, 0, None, None, 0, 0)
-        mode = mode or m.get("merge_mode", "cow")
-        if mode == "mor":
-            return self._merge_mor(
-                spark, m, batch_df, batch_id, op_col, lsn_col,
-                collect_lineage, extra_audit, pre_commit_hook,
-            )
-        return self._merge_cow(
-            spark, m, batch_df, batch_id, op_col, lsn_col,
-            collect_lineage, extra_audit, pre_commit_hook,
-        )
-
-    # ------------------------------------------------------------------
-    def _merge_mor(
-        self, spark, m, batch_df, batch_id, op_col, lsn_col,
-        collect_lineage, extra_audit, pre_commit_hook,
-    ) -> MergeResult:
-        """Merge-on-read: ONE Spark job writes the batch as per-bucket
-        delta files (upsert rows + ``_deleted`` tombstones); readers /
-        ``compact()`` resolve. Cost is O(batch) regardless of table
-        size -- no target read, no bucket rewrite; the only shuffle is
-        the O(batch) hash write-distribution (``_distribute_delta``),
-        which bounds the commit's file count at O(buckets).
-        Per-bucket lineage comes from the parquet footers of the files
-        just written (row counts + ``_lsn`` min/max): driver-side
-        O(files), no second job."""
-        from pyspark.sql import Observation
-
-        t0 = time.monotonic()
-        _dbg = os.environ.get("SPARK_GRAFT_DEBUG_TIMING")
-
-        def _tick(label, _last=[t0]):
-            if _dbg:
-                now = time.monotonic()
-                print(f"    merge.{label}: {now - _last[0]:.2f}s", flush=True)
-                _last[0] = now
-
-        table_schema = _evolved_schema(m, batch_df, op_col, lsn_col)
-        src = batch_df.withColumnRenamed(lsn_col, LSN_COL)
-        src = _align(src, table_schema, keep=[op_col])
-        delta = src.withColumn(DELETED_COL, F.col(op_col) == "D").drop(op_col)
-
-        key, nb = m["key"], m["bucket_count"]
-        obs = Observation(f"merge_mor_{batch_id}")
-        out_dir, rel_dir = self._new_commit_dir(m["version"] + 1)
-        with _ts_micros(spark):
-            (
-                _distribute_delta(
-                    delta.withColumn("_b", _bucket_expr(key, nb)),
-                    key, nb, spark,
-                )
-                .observe(
-                    obs,
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum(F.col(DELETED_COL).cast("long")).alias("dels"),
-                    F.min(LSN_COL).alias("mn"),
-                    F.max(LSN_COL).alias("mx"),
-                )
-                .write.partitionBy("_b")
-                .parquet(self.fs.spark_path(out_dir))
-            )
-        _tick("delta_write")
-        got = obs.get
-        try:
-            if pre_commit_hook is not None:
-                pre_commit_hook()  # may raise -> clean abort below
-        except Exception:
-            self.fs.rmtree(out_dir)  # nothing referenced it yet
-            raise
-        _tick("hook")
-
-        new_files = _list_bucket_files(self.fs, out_dir, rel_dir)
-        lineage: list[dict[str, Any]] = []
-        # zone maps are collected UNCONDITIONALLY (the footers are open
-        # anyway); collect_lineage gates only the lineage rows -- the
-        # two features are independent
-        per_bucket, zone = _footer_stats(
-            self.fs, self.root, new_files, schema=table_schema,
-        )
-        if collect_lineage:
-            for b, fstats in per_bucket.items():
-                lineage.append({"batch_id": batch_id, "bucket": int(b), **fstats})
-        _tick("footers")
-
-        n_in = got["n"] or 0
-        dels = got["dels"] or 0
-
-        def build(mp: dict[str, Any]) -> dict[str, Any]:
-            # rebase: a mor merge only APPENDS delta files + its fence
-            # entry, which composes with any intervening commit (another
-            # merge, an append, even a compact -- our files were not part
-            # of what it folded). Only a concurrent schema change aborts.
-            if mp is not m and mp["schema"] != m["schema"]:
-                raise RebaseError(
-                    "concurrent schema change during merge; retry the batch"
-                )
-            v = mp["version"] + 1
-            deltas = {k: list(fl) for k, fl in mp.get("deltas", {}).items()}
-            for b, files in new_files.items():
-                deltas[b] = deltas.get(b, []) + files
-            applied = dict(mp["applied_batches"])
-            applied[str(batch_id)] = {"version": v, "op": "merge"}
-            audit = {
-                "batch_id": batch_id,
-                "operation": "merge",
-                "mode": "mor",
-                "rows_in": n_in,
-                "rows_applied": n_in - dels,
-                "rows_deleted": dels,
-                "min_lsn": got["mn"],
-                "max_lsn": got["mx"],
-                "touched_buckets": len(new_files),
-                "version": v,
-                **(extra_audit or {}),
-            }
-            return {
-                **mp,
-                "version": v,
-                "parent": mp["version"],
-                "schema": table_schema.jsonValue(),
-                "deltas": deltas,
-                "applied_batches": _cap(applied),
-                "lsn_high": max(mp.get("lsn_high") or 0, got["mx"] or 0),
-                "audit": audit,
-                "lineage": lineage,
-                "stats": {**_inherit_stats(mp), **zone},
-                "summary": {"operation": "merge", "mode": "mor", "rows_written": n_in},
-                "committed_at": _utc_now_iso(),
-            }
-
-        try:
-            committed = self._commit_with_rebase(m, build, batch_id=batch_id)
-        except (CommitConflict, RebaseError):
-            self.fs.rmtree(out_dir)  # unreferenced; leave the table clean
-            raise
-        _tick("manifest")
-        dt = int((time.monotonic() - t0) * 1000)
-        if committed is None:  # a concurrent writer fenced this batch first
-            self.fs.rmtree(out_dir)
-            return MergeResult(batch_id, None, True, 0, 0, 0, None, None, 0, dt)
-        return MergeResult(
-            batch_id, committed["version"], False, n_in, n_in - dels, dels,
-            got["mn"], got["mx"], len(new_files), dt,
-        )
-
-    # ------------------------------------------------------------------
-    def _merge_cow(
-        self, spark, m, batch_df, batch_id, op_col, lsn_col,
-        collect_lineage, extra_audit, pre_commit_hook,
-    ) -> MergeResult:
-        """Copy-on-write: resolve the batch against the touched buckets
-        and rewrite them. One shuffle (union + groupBy key) over ONLY
-        the touched buckets' data + the batch -- the same I/O shape as
-        Iceberg copy-on-write MERGE."""
-        t0 = time.monotonic()
-        key = m["key"]
-        ks = _keylist(key)
-        nb = m["bucket_count"]
-        if any(m.get("deltas", {}).values()):
-            # a cow rewrite of a bucket must fold its deltas too; keep
-            # the two paths composable by compacting first
-            raise RuntimeError(
-                "cow merge on a table with outstanding mor deltas: "
-                "compact(spark, all_deltas=True) first"
-            )
-
-        table_schema = _evolved_schema(m, batch_df, op_col, lsn_col)
-        data_cols = [f.name for f in table_schema.fields if f.name != LSN_COL]
-
-        src = batch_df.withColumnRenamed(lsn_col, LSN_COL)
-        src = _align(src, table_schema, keep=[op_col]).persist()
-        try:
-            # ---- ONE job: touched buckets + audit numbers per bucket --
-            # (bucket discovery for pruning and the audit stats share a
-            # scan; the groupBy on ~nb groups collects a tiny result)
-            bstats = (
-                src.groupBy(_bucket_expr(key, nb).alias("_b"))
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.min(LSN_COL).alias("mn"),
-                    F.max(LSN_COL).alias("mx"),
-                    F.sum(F.when(F.col(op_col) == "D", 1).otherwise(0)).alias("dels"),
-                )
-                .collect()
-            )
-            touched = [r["_b"] for r in bstats]
-            if pre_commit_hook is not None:
-                pre_commit_hook()  # may raise -> clean abort, nothing committed
-            # read target files with the EVOLVED schema so new columns
-            # surface as typed NULLs on pre-evolution rows
-            tgt_files = self._files(m, touched)
-            if tgt_files:
-                tgt = spark.read.schema(table_schema).parquet(*tgt_files)
-            else:
-                tgt = spark.createDataFrame([], table_schema)
-            tgt = tgt.withColumn(op_col, F.lit("K"))
-
-            # ---- last-writer-wins resolution (one shuffle on key) ----
-            # union(target rows, batch rows) -> max_by(payload, _lsn).
-            # Replayed rows tie on _lsn with identical payloads, so ties
-            # are benign; tombstone replays have no target row to tie with.
-            all_cols = data_cols + [LSN_COL, op_col]
-            unioned = tgt.select(*all_cols).unionByName(src.select(*all_cols))
-            ttypes = {f.name: f.dataType for f in table_schema.fields}
-            winner = F.max_by(
-                F.struct(*[c for c in all_cols if c not in ks]),
-                # same logical-content tie rank as _resolve: deletes are
-                # content-free, target rows (op 'K') rank as live rows
-                _lsn_rank([c for c in data_cols if c not in ks
-                           and _hashable(ttypes.get(c, T.StringType()))],
-                          F.col(op_col) == "D"),
-            )
-            resolved = (
-                unioned.groupBy(*ks)
-                .agg(winner.alias("_w"))
-                .select(*ks, "_w.*")
-            )
-            result = resolved.filter(F.col(op_col) != "D").drop(op_col)
-
-            # ---- lineage: per-bucket applied-LSN ranges + row counts,
-            # from the SAME per-bucket stats job that found the touched
-            # buckets (no extra pass; "what this batch applied per
-            # partition" is the north-rule lineage semantics)
-            lineage: list[dict[str, Any]] = []
-            if collect_lineage:
-                lineage = [
-                    {
-                        "batch_id": batch_id,
-                        "bucket": r["_b"],
-                        "row_count": r["n"],
-                        "min_lsn": r["mn"],
-                        "max_lsn": r["mx"],
-                    }
-                    for r in bstats
-                ]
-
-            # ---- write touched buckets (the only job over the
-            # resolution; no persist needed). _write_bucketed clusters
-            # on _b so each rewritten bucket is exactly one file. Each
-            # commit REPLACES the touched buckets' file lists in the
-            # manifest, so counts never accumulate; compact() exists
-            # for pathological cases. ----------------
-            new_files, n_out, out_dir = self._write_bucketed(
-                spark, result, {**m, "schema": table_schema.jsonValue()}
-            )
-            _, zone = _footer_stats(
-                self.fs, self.root, new_files, schema=table_schema)
-        finally:
-            src.unpersist()
-
-        # ---- audit numbers (folded from the per-bucket stats job) -----
-        agg = {
-            "rows_in": sum(r["n"] for r in bstats),
-            "min_lsn": min((r["mn"] for r in bstats), default=None),
-            "max_lsn": max((r["mx"] for r in bstats), default=None),
-            "dels": sum(r["dels"] for r in bstats),
-        }
-        touched_strs = {str(b) for b in touched}
-
-        def build(mp: dict[str, Any]) -> dict[str, Any]:
-            if mp is not m:
-                # a cow rewrite REPLACES its buckets' file lists, so it
-                # can only rebase onto commits that left those buckets
-                # alone (disjoint-bucket writers); anything overlapping
-                # -- file-list change or new deltas in our buckets, or a
-                # schema change -- aborts cleanly.
-                if mp["schema"] != m["schema"]:
-                    raise RebaseError(
-                        "concurrent schema change during merge; retry the batch"
-                    )
-                inter = _buckets_changed_between(m, mp)
-                if inter & touched_strs:
-                    raise RebaseError(
-                        "concurrent commit touched the same buckets as this "
-                        f"copy-on-write merge ({sorted(inter & touched_strs)}); "
-                        "retry the batch"
-                    )
-                if any(mp.get("deltas", {}).get(b) for b in touched_strs):
-                    raise RebaseError(
-                        "concurrent mor deltas appeared in this merge's buckets; "
-                        "compact and retry the batch"
-                    )
-            v = mp["version"] + 1
-            buckets = dict(mp["buckets"])
-            for b in touched:
-                buckets[str(b)] = new_files.get(str(b), [])
-            applied = dict(mp["applied_batches"])
-            applied[str(batch_id)] = {"version": v, "op": "merge"}
-            audit = {
-                "batch_id": batch_id,
-                "operation": "merge",
-                "mode": "cow",
-                "rows_in": agg["rows_in"],
-                "rows_applied": agg["rows_in"] - agg["dels"],
-                "rows_deleted": agg["dels"],
-                "min_lsn": agg["min_lsn"],
-                "max_lsn": agg["max_lsn"],
-                "touched_buckets": len(touched),
-                "version": v,
-                **(extra_audit or {}),
-            }
-            return {
-                **mp,
-                "version": v,
-                "parent": mp["version"],
-                "schema": table_schema.jsonValue(),
-                "buckets": buckets,
-                "applied_batches": _cap(applied),
-                "lsn_high": max(mp.get("lsn_high") or 0, agg["max_lsn"] or 0),
-                "audit": audit,
-                "lineage": lineage,
-                "stats": {**_inherit_stats(mp), **zone},
-                "summary": {"operation": "merge", "mode": "cow", "rows_written": n_out},
-                "committed_at": _utc_now_iso(),
-            }
-
-        try:
-            committed = self._commit_with_rebase(m, build, batch_id=batch_id)
-        except (CommitConflict, RebaseError):
-            self.fs.rmtree(out_dir)
-            raise
-        dt = int((time.monotonic() - t0) * 1000)
-        if committed is None:  # a concurrent writer fenced this batch first
-            self.fs.rmtree(out_dir)
-            return MergeResult(batch_id, None, True, 0, 0, 0, None, None, 0, dt)
-        return MergeResult(
-            batch_id, committed["version"], False, agg["rows_in"],
-            agg["rows_in"] - agg["dels"], agg["dels"], agg["min_lsn"],
-            agg["max_lsn"], len(touched), dt,
-        )
-
-    # ------------------------------------------------------------------
-    # write-audit-publish (WAP) -- staged merges
-    # ------------------------------------------------------------------
-    def _staged_fragment_path(self, batch_id: int) -> str:
-        return os.path.join(
-            self.root, MANIFEST_DIR, f"staged-{int(batch_id)}.json")
-
-    def stage_merge(
-        self,
-        spark: SparkSession,
-        batch_df: DataFrame,
-        batch_id: int,
-        op_col: str = "op",
-        lsn_col: str = "lsn",
-        collect_lineage: bool = True,
-    ) -> dict[str, Any]:
-        """Write-audit-publish, the WRITE half (Iceberg analogue:
-        staging a snapshot under ``spark.wap.id`` / committing to a
-        branch before fast-forward). The batch's delta files are
-        written and summarized exactly as ``merge`` would, but NOTHING
-        is linked into the manifest chain: readers, time travel and
-        ``read_changes`` cannot see the batch until ``publish_staged``.
-        In between, ``read_staged`` exposes the staged rows for
-        validation queries -- the AUDIT half lives in user code.
-
-        Protocol (all through the FS seam, cluster-safe):
-        1. claim ``manifests/staged-{batch}.json`` with put_if_absent
-           (a placeholder, status="writing") -- double-staging a batch
-           is a clean conflict, and retention can never race the data
-           write because the fragment exists before any file does;
-        2. ONE Spark job writes the delta files under
-           ``data/staged-{batch}-{uuid}`` (hash write-distribution,
-           same shape as merge);
-        3. the fragment is finalized (status="staged") with the file
-           list, audit numbers, lineage and zone stats.
-
-        Restricted to merge-on-read tables: a staged copy-on-write
-        rewrite would capture base files as of stage time and could
-        not be rebased past intervening commits -- the same reason
-        Iceberg's WAP cherry-pick only fast-forwards append/delta
-        snapshots. Returns the fragment dict."""
-        from pyspark.sql import Observation
-
-        # staging fragments and their shielded data dirs are keyed by
-        # batch_id in MAIN's namespace; on a branch, just merge -- the
-        # branch IS the staging area (audit with read, publish with
-        # fast_forward)
-        self._require_main("stage_merge")
-        m = self.manifest()
-        if m.get("merge_mode", "cow") != "mor":
-            raise RuntimeError(
-                "stage_merge requires merge_mode='mor' (a staged cow "
-                "rewrite cannot be rebased past intervening commits)")
-        if str(batch_id) in m["applied_batches"]:
-            raise ValueError(f"batch {batch_id} is already applied")
-        frag_path = self._staged_fragment_path(batch_id)
-        rel_dir = os.path.join(
-            DATA_DIR, f"staged-{int(batch_id)}-{uuid.uuid4().hex[:8]}")
-        out_dir = os.path.join(self.root, rel_dir)
-        # claim FIRST: the fragment's existence shields the directory
-        # from retention's orphan sweep while the Spark job runs
-        self.fs.put_if_absent(frag_path, json.dumps({
-            "status": "writing", "batch_id": batch_id, "dir": rel_dir,
-            "staged_at": _utc_now_iso(),
-        }))
-        try:
-            table_schema = _evolved_schema(m, batch_df, op_col, lsn_col)
-            src = batch_df.withColumnRenamed(lsn_col, LSN_COL)
-            src = _align(src, table_schema, keep=[op_col])
-            delta = src.withColumn(
-                DELETED_COL, F.col(op_col) == "D").drop(op_col)
-            key, nb = m["key"], m["bucket_count"]
-            obs = Observation(f"stage_{batch_id}")
-            with _ts_micros(spark):
-                (
-                    _distribute_delta(
-                        delta.withColumn("_b", _bucket_expr(key, nb)),
-                        key, nb, spark,
-                    )
-                    .observe(
-                        obs,
-                        F.count(F.lit(1)).alias("n"),
-                        F.sum(F.col(DELETED_COL).cast("long")).alias("dels"),
-                        F.min(LSN_COL).alias("mn"),
-                        F.max(LSN_COL).alias("mx"),
-                    )
-                    .write.partitionBy("_b")
-                    .parquet(self.fs.spark_path(out_dir))
-                )
-            got = obs.get
-            new_files = _list_bucket_files(self.fs, out_dir, rel_dir)
-            per_bucket, zone = _footer_stats(
-                self.fs, self.root, new_files, schema=table_schema)
-            lineage = [
-                {"batch_id": batch_id, "bucket": int(b), **fstats}
-                for b, fstats in per_bucket.items()
-            ] if collect_lineage else []
-        except Exception:
-            if self.fs.exists(out_dir):
-                self.fs.rmtree(out_dir)
-            self.fs.remove(frag_path)
-            raise
-        frag = {
-            "status": "staged",
-            "batch_id": batch_id,
-            "dir": rel_dir,
-            "base_version": m["version"],
-            "base_schema": m["schema"],
-            "schema": table_schema.jsonValue(),
-            "files": new_files,
-            "rows_in": got["n"] or 0,
-            "rows_deleted": got["dels"] or 0,
-            "min_lsn": got["mn"],
-            "max_lsn": got["mx"],
-            "lineage": lineage,
-            "stats": zone,
-            "staged_at": _utc_now_iso(),
-        }
-        self.fs.put_atomic(frag_path, json.dumps(frag))
-        return frag
-
-    def list_staged(self) -> list[dict[str, Any]]:
-        """All staged fragments (status 'writing' means a stage is in
-        flight or crashed mid-write -- ``abort_staged`` clears it)."""
-        mdir = os.path.join(self.root, MANIFEST_DIR)
-        out = []
-        for name in sorted(self.fs.listdir(mdir)):
-            if name.startswith("staged-") and name.endswith(".json"):
-                out.append(json.loads(
-                    self.fs.read_text(os.path.join(mdir, name))))
-        return out
-
-    def _staged_fragment(self, batch_id: int) -> dict[str, Any]:
-        p = self._staged_fragment_path(batch_id)
-        if not self.fs.exists(p):
-            raise FileNotFoundError(
-                f"no staged batch {batch_id} (already published or "
-                f"aborted?)")
-        frag = json.loads(self.fs.read_text(p))
-        if frag.get("status") != "staged":
-            raise RuntimeError(
-                f"staged batch {batch_id} is incomplete (crashed "
-                f"mid-stage); abort_staged({batch_id}) and re-stage")
-        return frag
-
-    def read_staged(self, spark: SparkSession, batch_id: int) -> DataFrame:
-        """The staged batch's raw delta rows (payload + ``_lsn`` +
-        ``_deleted``) -- the surface audit queries run against before
-        ``publish_staged``. Reads only the staged files; no manifest
-        resolution (the batch is not part of any snapshot yet)."""
-        frag = self._staged_fragment(batch_id)
-        schema = T.StructType.fromJson(frag["schema"]).add(
-            DELETED_COL, T.BooleanType())
-        files = [
-            self.fs.spark_path(os.path.join(self.root, f))
-            for fl in frag["files"].values() for f in fl
-        ]
-        if not files:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*files)
-
-    def abort_staged(self, batch_id: int) -> None:
-        """Drop a staged batch: delete its data directory, then the
-        fragment. Idempotent and crash-safe in both orders -- a dir
-        that loses its fragment becomes sweepable by retention; a
-        fragment whose dir is gone is detected here and by publish."""
-        p = self._staged_fragment_path(batch_id)
-        if not self.fs.exists(p):
-            return
-        frag = json.loads(self.fs.read_text(p))
-        d = os.path.join(self.root, frag["dir"])
-        if self.fs.exists(d):
-            self.fs.rmtree(d)
-        self.fs.remove(p)
-
-    def publish_staged(
-        self, batch_id: int,
-        extra_audit: dict[str, Any] | None = None,
-    ) -> MergeResult | None:
-        """Write-audit-publish, the PUBLISH half: link the staged delta
-        files into the manifest chain as a fenced mor merge commit.
-        Composes with any commit that landed since the stage (another
-        merge, an append, a compact -- the staged files were not part
-        of what it folded) via the same optimistic rebase as live
-        merges; only a schema change since stage time aborts
-        (RebaseError). Exactly-once holds: if the batch was fenced by
-        another path meanwhile, returns None and cleans the staged
-        artifacts (keeping them only if that commit references these
-        very files -- the crashed-republish case).
-
-        The staged directory becomes a permanent data dir on publish
-        (the files are referenced in place; no rename/copy -- the
-        S3-safe property)."""
-        t0 = time.monotonic()
-        frag = self._staged_fragment(batch_id)
-        new_files: dict[str, list[str]] = frag["files"]
-        n_in, dels = frag["rows_in"], frag["rows_deleted"]
-        m = self.manifest()
-        already = str(batch_id) in m["applied_batches"]
-
-        def build(mp: dict[str, Any]) -> dict[str, Any]:
-            if mp["schema"] == frag["schema"]:
-                schema_json = frag["schema"]
-            elif mp["schema"] == frag["base_schema"]:
-                schema_json = frag["schema"]  # additive evolution applies
-            else:
-                raise RebaseError(
-                    "schema changed since the batch was staged; abort "
-                    "and re-stage")
-            v = mp["version"] + 1
-            deltas = {k: list(fl) for k, fl in mp.get("deltas", {}).items()}
-            for b, files in new_files.items():
-                deltas[b] = deltas.get(b, []) + files
-            applied = dict(mp["applied_batches"])
-            applied[str(batch_id)] = {"version": v, "op": "merge"}
-            audit = {
-                "batch_id": batch_id,
-                "operation": "merge",
-                "mode": "mor",
-                "staged": True,
-                "rows_in": n_in,
-                "rows_applied": n_in - dels,
-                "rows_deleted": dels,
-                "min_lsn": frag["min_lsn"],
-                "max_lsn": frag["max_lsn"],
-                "touched_buckets": len(new_files),
-                "version": v,
-                **(extra_audit or {}),
-            }
-            return {
-                **mp,
-                "version": v,
-                "parent": mp["version"],
-                "schema": schema_json,
-                "deltas": deltas,
-                "applied_batches": _cap(applied),
-                "lsn_high": max(mp.get("lsn_high") or 0,
-                                frag["max_lsn"] or 0),
-                "audit": audit,
-                "lineage": frag["lineage"],
-                "stats": {**_inherit_stats(mp), **frag["stats"]},
-                "summary": {"operation": "merge", "mode": "mor",
-                            "rows_written": n_in, "staged": True},
-                "committed_at": _utc_now_iso(),
-            }
-
-        committed = None if already else self._commit_with_rebase(
-            m, build, batch_id=batch_id)
-        dt = int((time.monotonic() - t0) * 1000)
-        if committed is None:
-            # fenced elsewhere. If that commit references OUR files
-            # (a publish that crashed between commit and fragment
-            # cleanup, then re-ran), the dir is live data -- drop only
-            # the fragment; otherwise drop both.
-            head = self.manifest()
-            ours = {f for fl in new_files.values() for f in fl}
-            referenced = ours & {
-                f for fl in head.get("deltas", {}).values() for f in fl}
-            if not referenced:
-                d = os.path.join(self.root, frag["dir"])
-                if self.fs.exists(d):
-                    self.fs.rmtree(d)
-            self.fs.remove(self._staged_fragment_path(batch_id))
-            return None if not referenced else MergeResult(
-                batch_id, head["applied_batches"][str(batch_id)]["version"],
-                True, n_in, n_in - dels, dels, frag["min_lsn"],
-                frag["max_lsn"], len(new_files), dt)
-        self.fs.remove(self._staged_fragment_path(batch_id))
-        return MergeResult(
-            batch_id, committed["version"], False, n_in, n_in - dels,
-            dels, frag["min_lsn"], frag["max_lsn"], len(new_files), dt)
-
-    def record_skip(
-        self, batch_id: int, extra_audit: dict[str, Any] | None = None
-    ) -> int | None:
-        """Fence a batch WITHOUT applying it (ON_ERROR=SKIP policy,
-        reference: /root/reference/src/YADAMU/common/yadamuWriter.js
-        :678-708 'skip remaining rows'). The skip is its own audited
-        snapshot commit, so a replay of the poisoned batch fences as a
-        no-op exactly like an applied batch."""
-        m = self.manifest()
-        if str(batch_id) in m["applied_batches"]:
-            return None
-
-        def build(mp: dict[str, Any]) -> dict[str, Any]:
-            # a skip writes no data and inherits everything from the
-            # parent it lands on, so it rebases onto any commit
-            v = mp["version"] + 1
-            applied = dict(mp["applied_batches"])
-            applied[str(batch_id)] = {"version": v, "op": "skip"}
-            return {
-                **mp,
-                "version": v,
-                "parent": mp["version"],
-                "applied_batches": _cap(applied),
-                "audit": {
-                    "batch_id": batch_id,
-                    "operation": "skip",
-                    "rows_in": 0,
-                    "rows_applied": 0,
-                    "rows_deleted": 0,
-                    "version": v,
-                    **(extra_audit or {}),
-                },
-                "lineage": [],
-                "summary": {"operation": "skip"},
-                "committed_at": _utc_now_iso(),
-            }
-
-        committed = self._commit_with_rebase(m, build, batch_id=batch_id)
-        return None if committed is None else committed["version"]
-
-    def compact(
-        self,
-        spark: SparkSession,
-        max_files_per_bucket: int = 4,
-        all_deltas: bool = False,
-        sort_within_buckets: list[str] | None = None,
-        buckets: list[int] | None = None,
-        zorder_by: list[str] | None = None,
-    ) -> int | None:
-        """Fold delta files into the base and rewrite buckets holding
-        too many files (Iceberg: rewrite_data_files; reference analogue:
-        Vertica mergeout every N inserts,
-        /root/reference/src/YADAMU/vertica/node/verticaWriter.js:467-484).
-
-        A bucket is rewritten when base+delta file count exceeds
-        ``max_files_per_bucket`` -- the streaming auto-compaction
-        cadence -- or, with ``all_deltas=True``, when it has ANY delta:
-        the full fold a cow merge on a mor table requires. Deltas are
-        always folded when a bucket is selected. Compaction materializes
-        the resolved state, so winning tombstones physically disappear.
-
-        ``sort_within_buckets``: cluster each rewritten bucket's rows by
-        these columns (Iceberg: rewrite_data_files sort strategy) --
-        tight parquet row-group min/max on the sort key turns point/range
-        lookups into row-group prunes instead of full-bucket scans. A
-        per-partition sort, no extra shuffle.
-
-        ``buckets``: explicit target list (e.g. from plan_maintenance)
-        -- overrides the count/delta heuristics; buckets with no live
-        files are ignored.
-
-        ``zorder_by``: cluster each rewritten bucket by a MORTON
-        (bit-interleaved) key over these columns instead of a
-        lexicographic sort (Delta OPTIMIZE ZORDER / Iceberg z-order
-        rewrite strategy). A lexicographic sort gives tight row-group
-        bounds only on its LEADING column; the z-key bounds every
-        listed dimension at once, so pushed-down range predicates on
-        ANY of them skip row groups. Costs one extra column-pruned agg
-        pass (per-axis min/max) over the selected buckets -- reading
-        2-4 thin columns, negligible next to the full-payload rewrite.
-        Mutually exclusive with ``sort_within_buckets``."""
-        if zorder_by and sort_within_buckets:
-            raise ValueError(
-                "pass either sort_within_buckets or zorder_by, not both")
-        m = self.manifest()
-        deltas = m.get("deltas", {})
-        all_buckets = set(m["buckets"]) | {b for b, fl in deltas.items() if fl}
-        if buckets is not None:
-            want = {int(b) for b in buckets}
-            fat = [
-                int(b) for b in all_buckets
-                if int(b) in want
-                and (m["buckets"].get(b) or deltas.get(b))
-            ]
-        else:
-            fat = [
-                int(b) for b in all_buckets
-                if len(m["buckets"].get(b, [])) + len(deltas.get(b, [])) > max_files_per_bucket
-                or (all_deltas and deltas.get(b))
-            ]
-        if not fat:
-            return None
-        # read() resolves deltas for the selected buckets already
-        sort_within = sort_within_buckets
-        if zorder_by:
-            sort_within = [_zorder_key(
-                self.read(spark, buckets=fat), list(zorder_by),
-                T.StructType.fromJson(m["schema"]))]
-        df = self.read(spark, buckets=fat).repartition(
-            len(fat), _bucket_expr(m["key"], m["bucket_count"])
-        )
-        new_files, _, out_dir = self._write_bucketed(
-            spark, df, m, sort_within=sort_within, distribute=False
-        )
-        _, zone = _footer_stats(
-            self.fs, self.root, new_files,
-            schema=T.StructType.fromJson(m["schema"]))
-        v = m["version"] + 1
-        buckets = dict(m["buckets"])
-        new_deltas = {k: list(fl) for k, fl in deltas.items()}
-        for b in fat:
-            buckets[str(b)] = new_files.get(str(b), [])
-            new_deltas[str(b)] = []
-        manifest = {
-            **m,
-            "version": v,
-            "parent": m["version"],
-            "buckets": buckets,
-            "deltas": new_deltas,
-            "audit": None,
-            "lineage": [],
-            "stats": {**_inherit_stats(m), **zone},
-            "summary": {"operation": "compact", "buckets_rewritten": len(fat)},
-            "committed_at": _utc_now_iso(),
-        }
-        try:
-            # maintenance folds a SNAPSHOT of the buckets it read, so it
-            # cannot rebase (an intervening commit may have changed that
-            # state) -- a conflict aborts cleanly and compaction re-runs
-            self._write_manifest(manifest, expected_parent=m["version"])
-        except CommitConflict:
-            self.fs.rmtree(out_dir)
-            raise
-        return v
-
-    def rebucket(self, spark: SparkSession, new_bucket_count: int) -> int | None:
-        """Change the hash-bucket layout (Iceberg: REPLACE PARTITION
-        FIELD + rewrite_data_files). ``bucket_count`` is the unit of
-        merge parallelism, fixed at create -- when a table outgrows it
-        (or was over-provisioned), this is the maintenance op: ONE job
-        reads the resolved current snapshot and rewrites every row under
-        the new layout; the commit carries the new ``bucket_count`` with
-        empty deltas. Older snapshots stay readable under THEIR layout
-        (each manifest is self-describing), and a ``read_changes``
-        window crossing the rebucket automatically takes the snapshot-
-        diff path (the commit is neither a mor merge nor a skip).
-
-        Scale: a full-table rewrite -- O(table), run it like any
-        rewrite_data_files maintenance. The shuffle is one
-        repartition on the new bucket expression; fencing, audit
-        history, schema and time travel are untouched."""
-        m = self.manifest()
-        nb = int(new_bucket_count)
-        if nb < 1:
-            raise ValueError(f"bucket_count must be >= 1, got {nb}")
-        if nb == m["bucket_count"]:
-            return None
-        df = self.read(spark).repartition(
-            min(nb, 2 * spark.sparkContext.defaultParallelism),
-            _bucket_expr(m["key"], nb),
-        )
-        m_new = {**m, "bucket_count": nb}
-        new_files, n_rows, out_dir = self._write_bucketed(
-            spark, df, m_new, distribute=False)
-        _, zone = _footer_stats(
-            self.fs, self.root, new_files,
-            schema=T.StructType.fromJson(m["schema"]))
-        v = m["version"] + 1
-        manifest = {
-            **m,
-            "version": v,
-            "parent": m["version"],
-            "bucket_count": nb,
-            "buckets": new_files,
-            "deltas": {},
-            "audit": None,
-            "lineage": [],
-            "stats": zone,
-            "summary": {
-                "operation": "rebucket",
-                "from_bucket_count": m["bucket_count"],
-                "to_bucket_count": nb,
-                "rows_written": n_rows,
-            },
-            "committed_at": _utc_now_iso(),
-        }
-        try:
-            # like compact: rewrites a snapshot, cannot rebase
-            self._write_manifest(manifest, expected_parent=m["version"])
-        except CommitConflict:
-            self.fs.rmtree(out_dir)
-            raise
-        return v
-
-    def delete_where(
-        self,
-        spark: SparkSession,
-        predicate: str | None = None,
-        ranges: dict[str, tuple] | None = None,
-    ) -> tuple[int | None, int]:
-        """Predicate DELETE (``DELETE FROM t WHERE ...``) as a
-        file-pruned copy-on-write rewrite -- the GDPR/right-to-erasure
-        day-2 operation (Iceberg: copy-on-write row-level delete; the
-        reference has no analogue, it is insert-only per job). Returns
-        ``(new_version | None, rows_deleted)``; no commit when nothing
-        matches.
-
-        The deletion condition is the AND of ``ranges`` (same inclusive
-        ``{col: (lo, hi)}`` dict ``read`` takes) and ``predicate`` (a
-        SQL boolean expression over the table's columns). NULL
-        evaluates to not-deleted, SQL DELETE semantics.
-
-        Scale: ``ranges`` drives the manifest zone maps through the one
-        shared ``_plan_scan`` planner, so only FILES that can contain a
-        match are read and rewritten -- every provably-disjoint file
-        carries over by reference, untouched. A delta-touched bucket
-        that may match is resolved whole (LWW must see the bucket
-        entire) and folded to a fresh base, deltas cleared -- an
-        implicit per-bucket compact. With only ``predicate`` given
-        there is nothing to prune on and the whole table rewrites:
-        pass the range bounds you know. Like compact, the rewrite
-        folds a pinned snapshot and cannot rebase: a concurrent commit
-        aborts it cleanly (re-run).
-
-        Downstream: the commit is neither a merge nor a skip, so a
-        ``read_changes`` window crossing it takes the snapshot-diff
-        path and emits the removed rows as ``delete`` changes --
-        ``mirror`` replicas converge without special handling. A later
-        CDC update for a deleted key re-inserts it (NOT MATCHED ->
-        INSERT), standard MERGE semantics."""
-        return self._rewrite_where(
-            spark, "delete_where", predicate, ranges, assignments=None)
-
-    def update_where(
-        self,
-        spark: SparkSession,
-        assignments: dict[str, str],
-        predicate: str | None = None,
-        ranges: dict[str, tuple] | None = None,
-    ) -> tuple[int | None, int]:
-        """Predicate UPDATE (``UPDATE t SET col = expr WHERE ...``) as
-        the same file-pruned copy-on-write rewrite ``delete_where``
-        performs (Iceberg: copy-on-write row-level update) -- the
-        out-of-band correction operation (backfill a mis-parsed field,
-        redact a value in place). ``assignments`` maps columns to SQL
-        expressions over the row (``{"lang": "'en'"``,
-        ``"value": "value * 2"}``); each result is cast back to the
-        column's type so the table schema never drifts. Returns
-        ``(new_version | None, rows_updated)``.
-
-        The merge KEY and engine columns cannot be assigned: rewriting
-        a key in place would move the row across buckets and could
-        collide with an existing key outside the rewrite's file set --
-        delete + re-ingest is the safe spelling of a key change.
-
-        CDC contract: updated rows are stamped with a fresh ``_lsn``
-        strictly above every LSN in the audit chain. Without that, a
-        downstream ``mirror`` would see the changed row under its OLD
-        lsn on the snapshot-diff path and the LSN-monotonic apply
-        could tie-lose it -- the same divergence ``follow_changes``
-        guards against for folded tombstones. A later CDC event for
-        the key (higher lsn still) overrides the manual update,
-        which is the right precedence for an out-of-band fix."""
-        if not assignments:
-            raise ValueError("update_where needs at least one assignment")
-        return self._rewrite_where(
-            spark, "update_where", predicate, ranges, assignments=assignments)
-
-    def overwrite_where(
-        self,
-        spark: SparkSession,
-        df: DataFrame,
-        predicate: str | None = None,
-        ranges: dict[str, tuple] | None = None,
-        batch_id: int | None = None,
-    ) -> tuple[int | None, int, int]:
-        """REPLACE WHERE -- the atomic backfill primitive ("re-ingest
-        day X"): delete every current row matching the predicate/ranges
-        AND insert ``df``'s rows, in ONE commit (Delta: INSERT ...
-        REPLACE WHERE; Iceberg: overwrite). Returns
-        ``(new_version | None, rows_deleted, rows_inserted)`` --
-        ``None`` when nothing matched and ``df`` is empty.
-
-        Contract (Delta REPLACE WHERE parity): every inserted row must
-        satisfy the predicate, validated in the same Spark pass --
-        otherwise the commit aborts cleanly. That makes the result
-        declarative: new state = old rows where NOT matched + ``df``.
-
-        Key safety: replacement rows carry a fresh ``_lsn`` above the
-        audit-chain watermark, so a key that also lives OUTSIDE the
-        slice (possible whenever the predicate is not a pure function
-        of the key) converges by the engine's normal LWW resolution --
-        the replacement wins -- instead of silently duplicating.
-        On a mor table the replacements land as DELTA rows (O(df), no
-        bucket fold); on a cow table -- which must stay delta-free for
-        its next merge -- every bucket the replacements touch joins
-        the rewrite whole and the result is LWW-resolved into plain
-        base files. Matching old rows are physically removed by the
-        same zone-map-pruned copy-on-write rewrite delete_where uses
-        (candidate files rewritten, disjoint files carried by
-        reference, delta-touched candidate buckets folded whole).
-
-        ``batch_id`` (optional) rides the fence ledger, making a
-        replayed backfill exactly-once like any merge batch.
-
-        Scale: cost is O(matching files) + O(df) -- the rewrite reads
-        only files the zone maps cannot prove disjoint, and the insert
-        is one partitionBy-bucket delta write; untouched data moves by
-        manifest reference. Downstream ``read_changes`` windows
-        crossing this commit take the exact snapshot-diff path (an
-        overwrite is not an append-only mor merge)."""
-        if predicate is None and not ranges:
-            raise ValueError(
-                "overwrite_where needs a predicate and/or ranges (an "
-                "unconditional replace of the whole table should be "
-                "explicit: pass predicate='true')")
-        from pyspark.sql import Observation
-
-        m = self.manifest()
-        if batch_id is not None and str(batch_id) in m["applied_batches"]:
-            return None, 0, 0
-        schema = T.StructType.fromJson(m["schema"])
-        tz = spark.conf.get("spark.sql.session.timeZone")
-        plain_rel, delta_buckets = self._plan_scan(m, None, ranges, tz=tz)
-
-        def _cond() -> F.Column:
-            return _where_cond(predicate, ranges)
-
-        key, nb = m["key"], m["bucket_count"]
-        stamp = self.lsn_high_watermark() + 1
-        mode = m.get("merge_mode", "cow")
-
-        ins = _align(df, schema)
-        ins = ins.withColumn(LSN_COL, F.lit(stamp).cast("long"))
-        ins = ins.withColumn(DELETED_COL, F.lit(False))
-        cons = m.get("constraints", {})
-
-        def _ck_aggs() -> list:
-            # one violation counter per declared CHECK, riding whatever
-            # pass already scans the replacement rows (probe / insert
-            # write) -- enforcement costs no extra job
-            return [
-                F.sum((~F.coalesce(F.expr(c).cast("boolean"),
-                                   F.lit(True))).cast("long")).alias(f"ck_{n}")
-                for n, c in sorted(cons.items())
-            ]
-
-        out_dirs: list[str] = []
-        new_base: dict[str, list[str]] = {}
-        new_delta: dict[str, list[str]] = {}
-        n_hit = n_ins = 0
-        zone: dict[str, Any] = {}
-        fold = sorted(delta_buckets)
-
-        if mode == "cow":
-            # a cow table must stay delta-free (the next cow merge
-            # refuses outstanding deltas), so replacement rows integrate
-            # through the base rewrite instead: every bucket they touch
-            # is rewritten WHOLE -- LWW resolution must see any existing
-            # row of an inserted key even when the slice predicate does
-            # not cover it. One tiny probe job (<= bucket_count rows)
-            # also validates the REPLACE WHERE contract BEFORE any write.
-            probe = (
-                ins.groupBy(_bucket_expr(key, nb).alias("b"))
-                .agg(F.count(F.lit(1)).alias("n"),
-                     F.sum((~_cond()).cast("long")).alias("bad"),
-                     *_ck_aggs())
-                .collect()
-            )
-            n_ins = sum(int(r["n"]) for r in probe)
-            n_bad = sum(int(r["bad"] or 0) for r in probe)
-            if n_bad:
-                raise ValueError(
-                    f"{n_bad} replacement row(s) do not satisfy the "
-                    "overwrite predicate (REPLACE WHERE contract: df must "
-                    "be a subset of the slice being replaced)")
-            viol = {n: s for n in sorted(cons)
-                    if (s := sum(int(r[f"ck_{n}"] or 0) for r in probe))}
-            if viol:
-                raise ConstraintViolation(
-                    f"overwrite_where aborted: constraint violations "
-                    f"{viol} (checks: { {n: cons[n] for n in viol} })")
-            fold = sorted(set(delta_buckets)
-                          | {int(r["b"]) for r in probe})
-            fold_files = {f for b in fold
-                          for f in m["buckets"].get(str(b), [])}
-            plain_rel = [f for f in plain_rel if f not in fold_files]
-
-        # ---- old rows: candidate files minus matched rows -------------
-        survivors = None
-        obs = None
-        if plain_rel or fold:
-            parts: list[DataFrame] = []
-            if plain_rel:
-                files = [self.fs.spark_path(os.path.join(self.root, f))
-                         for f in plain_rel]
-                parts.append(spark.read.schema(schema).parquet(*files))
-            if fold:
-                rs = T.StructType(list(schema.fields)
-                                  + [T.StructField(DELETED_COL, T.BooleanType())])
-                files = (self._files(m, fold)
-                         + self._files(m, fold, "deltas"))
-                if files:
-                    raw = spark.read.schema(rs).parquet(*files)
-                    parts.append(_resolve(raw, key, schema))
-            if parts:
-                cand = (parts[0] if len(parts) == 1
-                        else parts[0].unionByName(parts[1]))
-                obs = Observation(f"overwrite_{m['version'] + 1}")
-                survivors = cand.observe(
-                    obs, F.sum(_cond().cast("long")).alias("hits")
-                ).filter(~_cond())
-
-        if mode == "cow":
-            # rewrite = survivors + replacements, LWW-resolved (the
-            # fresh stamp wins any key collision), written as base files
-            branches = []
-            if survivors is not None:
-                branches.append(
-                    survivors.withColumn(DELETED_COL, F.lit(False)))
-            branches.append(ins)
-            combined = branches[0]
-            for b2 in branches[1:]:
-                combined = combined.unionByName(b2)
-            out = _resolve(combined, key, schema)
-            new_base, _, base_dir = self._write_bucketed(spark, out, m)
-            out_dirs.append(base_dir)
-            n_hit = int(obs.get["hits"] or 0) if obs is not None else 0
-            if n_hit == 0 and n_ins == 0:
-                self.fs.rmtree(base_dir)
-                return None, 0, 0
-            _, zz = _footer_stats(self.fs, self.root, new_base, schema=schema)
-            zone.update(zz)
-        else:
-            # mor: survivors rewrite as base; replacements land as delta
-            # rows (O(df), no bucket fold needed -- readers resolve)
-            if survivors is not None:
-                new_base, _, base_dir = self._write_bucketed(
-                    spark, survivors, m)
-                n_hit = int(obs.get["hits"] or 0)
-                if n_hit == 0:
-                    # zone maps over-approximate: the candidates held no
-                    # real match, so the speculative rewrite is identical
-                    # data -- drop it, carry every old file by reference
-                    self.fs.rmtree(base_dir)
-                    new_base, plain_rel, fold = {}, [], []
-                else:
-                    out_dirs.append(base_dir)
-                    _, zz = _footer_stats(
-                        self.fs, self.root, new_base, schema=schema)
-                    zone.update(zz)
-            iobs = Observation(f"overwrite_ins_{m['version'] + 1}")
-            ins_dir, ins_rel = self._new_commit_dir(m["version"] + 1)
-            with _ts_micros(spark):
-                (
-                    ins.withColumn("_b", _bucket_expr(key, nb))
-                    .observe(
-                        iobs,
-                        F.count(F.lit(1)).alias("n"),
-                        F.sum((~_cond()).cast("long")).alias("bad"),
-                        *_ck_aggs(),
-                    )
-                    .write.partitionBy("_b")
-                    .parquet(self.fs.spark_path(ins_dir))
-                )
-            out_dirs.append(ins_dir)
-            got = iobs.get
-            n_ins, n_bad = int(got["n"] or 0), int(got["bad"] or 0)
-            if n_bad:
-                for d in out_dirs:
-                    self.fs.rmtree(d)
-                raise ValueError(
-                    f"{n_bad} replacement row(s) do not satisfy the "
-                    "overwrite predicate (REPLACE WHERE contract: df must "
-                    "be a subset of the slice being replaced)")
-            viol = {n: int(got[f"ck_{n}"] or 0) for n in sorted(cons)
-                    if got.get(f"ck_{n}")}
-            if viol:
-                for d in out_dirs:
-                    self.fs.rmtree(d)
-                raise ConstraintViolation(
-                    f"overwrite_where aborted: constraint violations "
-                    f"{viol} (checks: { {n: cons[n] for n in viol} })")
-            if n_hit == 0 and n_ins == 0:
-                for d in out_dirs:
-                    self.fs.rmtree(d)
-                return None, 0, 0
-            new_delta = _list_bucket_files(self.fs, ins_dir, ins_rel)
-            _, zz = _footer_stats(self.fs, self.root, new_delta, schema=schema)
-            zone.update(zz)
-
-        plain_set = set(plain_rel)
-        buckets: dict[str, list[str]] = {}
-        for b, fl in m["buckets"].items():
-            carry = [] if int(b) in fold else \
-                [f for f in fl if f not in plain_set]
-            buckets[b] = carry + new_base.get(b, [])
-        for b, fl in new_base.items():
-            buckets.setdefault(b, fl)
-        deltas = {k: list(fl) for k, fl in m.get("deltas", {}).items()}
-        for b in fold:
-            deltas[str(b)] = []
-        for b, fl in new_delta.items():
-            deltas[b] = deltas.get(b, []) + fl
-        applied = dict(m["applied_batches"])
-        v = m["version"] + 1
-        if batch_id is not None:
-            applied[str(batch_id)] = {"version": v, "op": "overwrite"}
-        manifest = {
-            **m,
-            "version": v,
-            "parent": m["version"],
-            "buckets": buckets,
-            "deltas": deltas,
-            "applied_batches": _cap(applied),
-            "lsn_high": max(m.get("lsn_high") or 0, stamp),
-            "audit": {
-                "batch_id": batch_id,
-                "operation": "overwrite",
-                "rows_in": n_ins,
-                "rows_applied": n_ins,
-                "rows_deleted": n_hit,
-                "min_lsn": stamp,
-                "max_lsn": stamp,
-                "version": v,
-            },
-            "lineage": [],
-            "stats": {**_inherit_stats(m), **zone},
-            "summary": {
-                "operation": "overwrite",
-                "mode": mode,
-                "rows_deleted": n_hit,
-                "rows_inserted": n_ins,
-                "predicate": predicate,
-                "ranges": {c: [None if b is None else str(b) for b in bb]
-                           for c, bb in (ranges or {}).items()},
-                "files_rewritten": len(plain_rel),
-                "buckets_folded": len(fold),
-            },
-            "committed_at": _utc_now_iso(),
-        }
-        try:
-            # like compact/delete_where: rewrites a snapshot, no rebase
-            self._write_manifest(manifest, expected_parent=m["version"])
-        except CommitConflict:
-            for d in out_dirs:
-                self.fs.rmtree(d)
-            raise
-        return v, n_hit, n_ins
-
-    def merge_into(
-        self,
-        spark: SparkSession,
-        source: DataFrame,
-        source_key: str | None = None,
-        update_set: dict[str, str] | str | None = None,
-        update_condition: str | None = None,
-        delete: bool = False,
-        delete_condition: str | None = None,
-        insert_values: dict[str, str] | str | None = "all",
-        insert_condition: str | None = None,
-        by_source_delete: bool = False,
-        by_source_delete_condition: str | None = None,
-        by_source_update: dict[str, str] | None = None,
-        by_source_update_condition: str | None = None,
-        evolve: bool = False,
-        batch_id: int | None = None,
-    ) -> tuple[int | None, dict[str, int]]:
-        """General ``MERGE INTO`` -- the user-facing upsert surface
-        (Delta ``MERGE INTO`` / Iceberg ``MERGE``), distinct from the
-        CDC hot path ``merge()``: arbitrary SET/condition clauses instead of
-        fixed op/lsn semantics. The reference engine is insert-only per
-        job (no MERGE analogue); this is its natural extension once a
-        keyed table exists. Semantics, in fixed clause order::
-
-            MERGE INTO t USING s ON t.<key> = s.<source_key>
-            WHEN MATCHED [AND delete_condition] THEN DELETE      (delete=True)
-            WHEN MATCHED [AND update_condition] THEN UPDATE SET  (update_set)
-            WHEN NOT MATCHED [AND insert_condition] THEN INSERT  (insert_values)
-            WHEN NOT MATCHED BY SOURCE [AND ...] THEN DELETE     (by_source_delete)
-            WHEN NOT MATCHED BY SOURCE [AND ...] THEN UPDATE SET (by_source_update)
-
-        - ``update_set``: ``"all"`` (every source column by name) or
-          ``{column: sql_expr}`` with expressions over ``t.*`` / ``s.*``
-          (qualify names; each result is cast to the column's type).
-          The merge key and engine columns cannot be assigned.
-        - ``insert_values``: ``"all"`` or a dict; missing columns become
-          typed NULLs. The inserted key is ALWAYS ``s.<source_key>`` --
-          a computed key could route to a bucket this commit did not
-          rewrite and silently collide with an existing row there.
-        - Conditions are SQL booleans over ``t.*``/``s.*``; NULL means
-          the clause does not fire (SQL semantics).
-        - ``by_source_*`` (Delta 2.3's WHEN NOT MATCHED BY SOURCE):
-          fires for TARGET rows whose key has no source row; conditions
-          and SET expressions see ``t.*`` only. Delete wins over update
-          when both are given. SCALE CAVEAT: any by-source clause must
-          examine every target row, so the rewrite touches ALL
-          non-empty buckets -- O(table), the inherent cost of
-          snapshot-sync semantics -- where the source-only clause set
-          stays O(touched buckets). ``sync_from`` composes these into
-          the one-call "make the table equal this snapshot".
-        - ``evolve=True`` (Delta ``schema.autoMerge``): EVERY source
-          column absent from the table appends as a nullable column,
-          and legally-wider source types widen the table column --
-          same ``_evolved_schema`` rules as the CDC ``merge``. Old
-          files read the new columns as typed NULLs. Off by default:
-          with it on, helper columns in the source (action flags etc.)
-          would silently become table columns -- drop them first.
-
-        Keyed-table contract (Hudi record-key MERGE, not bag-semantics
-        ANSI): MATCHED means "a target row with this key exists", so an
-        insert can never duplicate a key, and duplicate SOURCE keys are
-        rejected up front (``ValueError``) -- pre-reduce the source
-        (``operators.apply.last_lsn_dedup``) exactly as Hudi requires a
-        precombine. NULL source keys are rejected the same way (a keyed
-        table cannot hold them; the CDC path quarantines such rows
-        instead).
-
-        CDC interop: updated and inserted rows are stamped with a fresh
-        ``_lsn`` above the table's high watermark (same rationale as
-        ``update_where``: the out-of-band edit must WIN downstream
-        LSN-monotonic appliers), and the commit is visible to
-        ``read_changes`` via the snapshot-diff path. ``batch_id``
-        (optional) rides the fence ledger -- a replayed merge_into is
-        an exact no-op, same exactly-once contract as ``merge``.
-
-        Scale shape: one tiny agg over the source finds the touched
-        buckets (and rejects dup/NULL keys in the same pass); only
-        those buckets' files are read (base + deltas, LWW-resolved --
-        an implicit per-bucket compact), the merge itself is ONE
-        key-equality full-outer join co-partitioned with the rewrite,
-        and every untouched bucket carries by manifest reference.
-        Cost is O(touched buckets + source), not O(table). Like
-        compact/delete_where it rewrites a pinned snapshot and cannot
-        rebase: a concurrent commit aborts it cleanly (re-run).
-
-        Returns ``(new_version | None, counts)`` -- ``None`` when the
-        source is empty, no clause fired, or the fence says applied.
-        ``counts`` holds rows_source / rows_updated / rows_deleted /
-        rows_inserted (all 0 plus ``fenced: 1`` on a fenced replay)."""
-        from pyspark.sql import Observation
-
-        zero = {"rows_source": 0, "rows_updated": 0,
-                "rows_deleted": 0, "rows_inserted": 0}
-        m = self.manifest()
-        if batch_id is not None and str(batch_id) in m["applied_batches"]:
-            return None, {**zero, "fenced": 1}
-        by_source = by_source_delete or by_source_update is not None
-        if (update_set is None and not delete and insert_values is None
-                and not by_source):
-            raise ValueError(
-                "merge_into needs at least one clause (update_set, "
-                "delete=True, insert_values, or a by_source_* clause)")
-        key, nb = m["key"], m["bucket_count"]
-        ks = _keylist(key)
-        # source_key mirrors the table key's shape: one name, or a list
-        # matching the composite key column-for-column in order
-        sk = _keylist(source_key) if source_key is not None else ks
-        if len(sk) != len(ks):
-            raise ValueError(
-                f"source_key must name {len(ks)} column(s) matching the "
-                f"table key {ks}; got {sk}")
-        missing_sk = [c for c in sk if c not in source.columns]
-        if missing_sk:
-            raise ValueError(f"source has no key column(s) {missing_sk}")
-        if evolve:
-            # RENAMED source key columns map onto the table key --
-            # exclude them from evolution; engine (_-prefix) columns
-            # never evolve in
-            drop_evo = [c for c in source.columns if c.startswith("_")]
-            drop_evo += [s for s, k in zip(sk, ks) if s != k]
-            src_for_evo = source.drop(*drop_evo)
-            schema = _evolved_schema(
-                m, src_for_evo, op_col="\x00none", lsn_col="\x00none2")
-        else:
-            schema = T.StructType.fromJson(m["schema"])
-        fields = {f.name: f.dataType for f in schema.fields}
-        if by_source_update is not None and not isinstance(
-                by_source_update, dict):
-            raise ValueError(
-                'by_source_update must be a dict (no "all": there is no '
-                "source row to copy from)")
-        for what, clause in (("update_set", update_set),
-                             ("insert_values", insert_values),
-                             ("by_source_update", by_source_update)):
-            if isinstance(clause, dict):
-                bad = [c for c in clause if c not in fields
-                       or c == LSN_COL or c.startswith("_")]
-                if bad:
-                    raise ValueError(
-                        f"unknown/engine columns in {what}: {bad}")
-                assigned_keys = [c for c in clause if c in ks]
-                if assigned_keys:
-                    raise ValueError(
-                        f"cannot assign merge key column(s) "
-                        f"{assigned_keys} in {what}: the key comes from "
-                        "the ON equality (update) or the source key "
-                        "columns (insert); delete + re-merge is the "
-                        "safe spelling of a key change")
-            elif clause is not None and clause != "all":
-                raise ValueError(f'{what} must be "all" or a dict')
-
-        # bucket placement is xxhash64(key-AS-ITS-TABLE-TYPE) (see
-        # _evolved_schema's key note): cast the source key up front so
-        # bucket discovery, the join, and the bucketed write all hash
-        # the same value -- a raw int source key against a long table
-        # key would otherwise compute the WRONG touched set and the
-        # rewrite would silently drop the real bucket's new file. A
-        # key that casts to NULL ('abc' -> int) is caught by the
-        # NULL-key check below (try_cast: ANSI mode would otherwise
-        # throw mid-job instead of reaching that clear error).
-        for s_c, k_c in zip(sk, ks):
-            source = source.withColumn(s_c,
-                                       F.col(s_c).try_cast(fields[k_c]))
-
-        # ---- ONE job over the source: touched buckets + dup/NULL-key
-        # rejection (count vs count_distinct per bucket) --------------
-        any_null = F.lit(False)
-        for s_c in sk:
-            any_null = any_null | F.col(s_c).isNull()
-        bstats = (
-            source.groupBy(
-                F.when(any_null, F.lit(-1))
-                .otherwise(_bucket_expr(sk, nb)).alias("_b"))
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.count_distinct(*[F.col(c) for c in sk]).alias("d"))
-            .collect()
-        )
-        if any(r["_b"] == -1 for r in bstats):
-            raise ValueError(
-                "merge_into source contains NULL keys (or keys that "
-                "cast to NULL as the table's key type); a keyed table "
-                "cannot hold them (the CDC path quarantines such rows)")
-        dups = sum(r["n"] - r["d"] for r in bstats)
-        if dups:
-            raise ValueError(
-                f"merge_into source has {dups} duplicate key row(s); "
-                "pre-reduce to one row per key "
-                "(operators.apply.last_lsn_dedup)")
-        touched = sorted(r["_b"] for r in bstats)
-        n_src = sum(r["n"] for r in bstats)
-        if by_source:
-            # a by-source clause examines EVERY target row, so every
-            # non-empty bucket joins the rewrite (inherent to
-            # snapshot-sync semantics); source-key buckets still join
-            # for the inserts
-            data_buckets = {int(b) for b, fl in m["buckets"].items() if fl}
-            data_buckets |= {int(b) for b, fl
-                             in m.get("deltas", {}).items() if fl}
-            touched = sorted(set(touched) | data_buckets)
-        if not touched:
-            return None, zero
-
-        # ---- target rows of the touched buckets, pinned to THIS
-        # manifest, LWW-resolved (base + deltas -> one row per key) ----
-        rs = T.StructType(list(schema.fields)
-                          + [T.StructField(DELETED_COL, T.BooleanType())])
-        tgt_files = (self._files(m, touched)
-                     + self._files(m, touched, "deltas"))
-        if tgt_files:
-            tgt = _resolve(spark.read.schema(rs).parquet(*tgt_files),
-                           key, schema)
-        else:
-            tgt = spark.createDataFrame([], schema)
-
-        t = tgt.withColumn("_t_ex", F.lit(True)).alias("t")
-        s = source.withColumn("_s_ex", F.lit(True)).alias("s")
-        on = F.col(f"t.`{ks[0]}`") == F.col(f"s.`{sk[0]}`")
-        for k_c, s_c in zip(ks[1:], sk[1:]):
-            on = on & (F.col(f"t.`{k_c}`") == F.col(f"s.`{s_c}`"))
-        j = t.join(s, on, "full_outer")
-
-        def _cond(expr: str | None):
-            if expr is None:
-                return F.lit(True)
-            return F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
-
-        t_ex = F.coalesce(F.col("_t_ex"), F.lit(False))
-        s_ex = F.coalesce(F.col("_s_ex"), F.lit(False))
-        del_fire = (t_ex & s_ex & _cond(delete_condition)) if delete \
-            else F.lit(False)
-        upd_fire = (t_ex & s_ex & ~del_fire & _cond(update_condition)) \
-            if update_set is not None else F.lit(False)
-        ins_fire = (~t_ex & s_ex & _cond(insert_condition)) \
-            if insert_values is not None else F.lit(False)
-        bs_del_fire = (t_ex & ~s_ex & _cond(by_source_delete_condition)) \
-            if by_source_delete else F.lit(False)
-        bs_upd_fire = (t_ex & ~s_ex & ~bs_del_fire
-                       & _cond(by_source_update_condition)) \
-            if by_source_update is not None else F.lit(False)
-
-        stamp = self.lsn_high_watermark() + 1
-
-        def _clause_val(clause, f: T.StructField, default):
-            if clause == "all":
-                if f.name in source.columns:
-                    return F.col(f"s.`{f.name}`").cast(f.dataType)
-                return default
-            if isinstance(clause, dict) and f.name in clause:
-                return F.expr(clause[f.name]).cast(f.dataType)
-            return default
-
-        cols = []
-        for f in schema.fields:
-            if f.name == LSN_COL:
-                val = F.when(upd_fire | ins_fire | bs_upd_fire,
-                             F.lit(stamp).cast("long")) \
-                    .otherwise(F.col(f"t.`{LSN_COL}`"))
-            elif f.name in ks:
-                s_c = sk[ks.index(f.name)]
-                val = F.when(ins_fire,
-                             F.col(f"s.`{s_c}`").cast(f.dataType)) \
-                    .otherwise(F.col(f"t.`{f.name}`"))
-            else:
-                keep = F.col(f"t.`{f.name}`")
-                val = (
-                    F.when(ins_fire, _clause_val(
-                        insert_values, f, F.lit(None).cast(f.dataType)))
-                    .when(upd_fire, _clause_val(update_set, f, keep))
-                    .when(bs_upd_fire,
-                          _clause_val(by_source_update, f, keep))
-                    .otherwise(keep)
-                )
-            cols.append(val.alias(f.name))
-
-        obs = Observation(f"merge_into_{m['version'] + 1}")
-        changed = upd_fire | ins_fire | bs_upd_fire
-        cons = m.get("constraints", {})
-        flagged = j.select(
-            *cols,
-            (del_fire | bs_del_fire).alias("_del"),
-            (upd_fire | bs_upd_fire).alias("_upd"),
-            ins_fire.alias("_ins"),
-            ((t_ex & ~del_fire & ~bs_del_fire) | ins_fire).alias("_keep"),
-            changed.alias("_chg"),
-        ).observe(
-            obs,
-            F.sum(F.col("_del").cast("long")).alias("dels"),
-            F.sum(F.col("_upd").cast("long")).alias("upds"),
-            F.sum(F.col("_ins").cast("long")).alias("inss"),
-            # constraint checks ride the same pass: only CHANGED rows
-            # can introduce a violation (kept rows already passed).
-            # ck_ prefix keeps user constraint names out of the count
-            # aliases' namespace
-            *[F.count(F.when(F.col("_chg") & ~F.coalesce(
-                F.expr(c).cast("boolean"), F.lit(True)), 1)).alias(f"ck_{n}")
-              for n, c in sorted(cons.items())],
-        )
-        out = flagged.filter(F.col("_keep")).select(
-            *[f.name for f in schema.fields])
-
-        new_files, _, out_dir = self._write_bucketed(spark, out, m)
-        got = obs.get
-        viol = {n: int(got[f"ck_{n}"]) for n in cons if got.get(f"ck_{n}")}
-        if viol:
-            self.fs.rmtree(out_dir)
-            raise ConstraintViolation(
-                f"merge_into aborted: constraint violations {viol} "
-                f"(checks: { {n: cons[n] for n in viol} })")
-        counts = {"rows_source": n_src,
-                  "rows_updated": int(got["upds"] or 0),
-                  "rows_deleted": int(got["dels"] or 0),
-                  "rows_inserted": int(got["inss"] or 0)}
-        if not (counts["rows_updated"] or counts["rows_deleted"]
-                or counts["rows_inserted"]):
-            # no clause fired anywhere: drop the rewrite, commit nothing
-            self.fs.rmtree(out_dir)
-            return None, counts
-
-        # a delete-only merge stamps no surviving row: like
-        # delete_where, it must NOT advance the watermark or claim an
-        # applied-LSN range no data carries
-        stamped = bool(counts["rows_updated"] or counts["rows_inserted"])
-        _, zone = _footer_stats(self.fs, self.root, new_files,
-                                schema=schema)
-        touched_set = set(touched)
-        buckets = {b: (new_files.get(b, []) if int(b) in touched_set
-                       else list(fl))
-                   for b, fl in m["buckets"].items()}
-        for b, fl in new_files.items():
-            buckets.setdefault(b, fl)
-        deltas = {k: list(fl) for k, fl in m.get("deltas", {}).items()}
-        for b in touched:
-            deltas[str(b)] = []
-        v = m["version"] + 1
-        applied = dict(m["applied_batches"])
-        if batch_id is not None:
-            applied[str(batch_id)] = {"version": v, "op": "merge_into"}
-        manifest = {
-            **m,
-            "version": v,
-            "parent": m["version"],
-            "schema": schema.jsonValue(),
-            "buckets": buckets,
-            "deltas": deltas,
-            "applied_batches": _cap(applied),
-            "lsn_high": max(m.get("lsn_high") or 0,
-                            stamp if stamped else 0),
-            "audit": {
-                "batch_id": batch_id,
-                "operation": "merge_into",
-                "rows_in": n_src,
-                "rows_applied": counts["rows_updated"]
-                + counts["rows_inserted"],
-                "rows_deleted": counts["rows_deleted"],
-                "min_lsn": stamp if stamped else None,
-                "max_lsn": stamp if stamped else None,
-                "touched_buckets": len(touched),
-                "version": v,
-            },
-            "lineage": [],
-            "stats": {**_inherit_stats(m), **zone},
-            "summary": {
-                "operation": "merge_into",
-                **counts,
-                "clauses": {
-                    "update": bool(update_set), "delete": bool(delete),
-                    "insert": insert_values is not None,
-                    "by_source": by_source,
-                },
-                "buckets_rewritten": len(touched),
-            },
-            "committed_at": _utc_now_iso(),
-        }
-        try:
-            # like compact/delete_where: rewrites a snapshot, no rebase
-            self._write_manifest(manifest, expected_parent=m["version"])
-        except CommitConflict:
-            self.fs.rmtree(out_dir)
-            raise
-        return v, counts
-
-    def sync_from(
-        self,
-        spark: SparkSession,
-        snapshot: DataFrame,
-        source_key: str | None = None,
-        evolve: bool = False,
-        allow_empty: bool = False,
-        batch_id: int | None = None,
-    ) -> tuple[int | None, dict[str, int]]:
-        """Make the table EQUAL the given snapshot in one commit -- the
-        recrawl-replaces-state operation (a webtext pipeline receives a
-        full new crawl snapshot and the serving table must converge to
-        it): update keys whose row differs, insert new keys, delete
-        keys absent from the snapshot. Composed entirely from
-        ``merge_into``'s clause algebra::
-
-            WHEN MATCHED AND <any shared column differs> THEN UPDATE SET *
-            WHEN NOT MATCHED THEN INSERT *
-            WHEN NOT MATCHED BY SOURCE THEN DELETE
-
-        The auto-generated update condition compares every shared
-        non-key column null-safely (``NOT (t.c <=> s.c AND ...)``), so
-        UNCHANGED rows keep their ``_lsn`` -- downstream
-        ``read_changes``/``mirror`` consumers see only the true diff,
-        not a full-table re-stamp. Rows that did change (and inserts)
-        carry the fresh watermark stamp and win downstream, the same
-        contract as ``update_where``.
-
-        Scale: the by-source delete makes this O(table) by necessity
-        (every key must be checked for absence); the join is one
-        key-equality shuffle co-partitioned with the bucket rewrite.
-        For CDC-shaped inputs (you know what changed) use ``merge``
-        or ``merge_into`` directly -- they stay O(touched).
-
-        ``batch_id`` fences the sync exactly-once like any merge.
-        Returns ``merge_into``'s ``(version, counts)``.
-
-        An EMPTY snapshot is refused unless ``allow_empty=True``: with
-        the by-source delete armed, syncing to 0 rows truncates the
-        whole table, and the classic failure mode here is a broken
-        upstream export producing a valid-but-empty file -- make the
-        intent explicit."""
-        if not allow_empty and snapshot.isEmpty():
-            raise ValueError(
-                "sync_from got an EMPTY snapshot, which would delete "
-                "every row; pass allow_empty=True if the table really "
-                "should converge to empty")
-        ks = _keylist(self.manifest()["key"])
-        sk = _keylist(source_key) if source_key is not None else ks
-        known = {f.name for f in self.schema().fields}
-        shared = [c for c in snapshot.columns
-                  if (c in known or evolve)
-                  and c not in set(ks) | set(sk) and not c.startswith("_")]
-        # with evolve=True a brand-new snapshot column participates in
-        # the differs check too: old rows read it as NULL, so any
-        # non-NULL value marks the row changed and the backfill lands
-        differs = " OR ".join(
-            f"NOT (t.`{c}` <=> s.`{c}`)" for c in shared) or "false"
-        return self.merge_into(
-            spark, snapshot,
-            source_key=sk,
-            update_set="all",
-            update_condition=differs,
-            insert_values="all",
-            by_source_delete=True,
-            evolve=evolve,
-            batch_id=batch_id,
-        )
-
-    def _rewrite_where(
-        self, spark, op, predicate, ranges, assignments,
-    ) -> tuple[int | None, int]:
-        """Shared engine of delete_where / update_where: plan candidate
-        files through the zone maps, rewrite them with matching rows
-        dropped (delete) or reassigned (update), carry every other file
-        by reference, fold delta-touched candidate buckets whole."""
-        if predicate is None and not ranges:
-            raise ValueError(
-                f"{op} needs a predicate and/or ranges (an unconditional "
-                "rewrite of the whole table should be explicit: pass "
-                "predicate='true')")
-        from pyspark.sql import Observation
-
-        m = self.manifest()
-        schema = T.StructType.fromJson(m["schema"])
-        if assignments:
-            fields = {f.name: f.dataType for f in schema.fields}
-            bad = [c for c in assignments if c not in fields]
-            if bad:
-                raise ValueError(f"unknown columns in assignments: {bad}")
-            locked = [c for c in assignments
-                      if c in _keylist(m["key"]) or c == LSN_COL
-                      or c.startswith("_")]
-            if locked:
-                raise ValueError(
-                    f"cannot assign merge key / engine columns: {locked}")
-        tz = spark.conf.get("spark.sql.session.timeZone")
-        plain_rel, delta_buckets = self._plan_scan(m, None, ranges, tz=tz)
-        if not plain_rel and not delta_buckets:
-            return None, 0
-
-        matched = _where_cond(predicate, ranges)
-
-        parts: list[DataFrame] = []
-        if plain_rel:
-            files = [self.fs.spark_path(os.path.join(self.root, f))
-                     for f in plain_rel]
-            parts.append(spark.read.schema(schema).parquet(*files))
-        if delta_buckets:
-            # pinned to THIS manifest (self.read would re-plan the head)
-            rs = T.StructType(list(schema.fields)
-                              + [T.StructField(DELETED_COL, T.BooleanType())])
-            files = (self._files(m, delta_buckets)
-                     + self._files(m, delta_buckets, "deltas"))
-            raw = spark.read.schema(rs).parquet(*files)
-            parts.append(_resolve(raw, m["key"], schema))
-        cand = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-
-        obs = Observation(f"{op}_{m['version'] + 1}")
-        out = cand.observe(obs, F.sum(matched.cast("long")).alias("hits"))
-        stamp = None
-        if assignments is None:
-            out = out.filter(~matched)
-        else:
-            # fresh LSN above the whole audit chain: the snapshot-diff
-            # change this rewrite produces must WIN the downstream
-            # monotonic apply (see update_where docstring). The stamp is
-            # recorded in THIS commit's audit row so the next rewrite
-            # (or follow_changes' synthetic delete stamp) computes a
-            # strictly higher one -- without that, two consecutive
-            # updates of the same key would tie downstream and the
-            # second would silently lose; the manifest lsn_high carries
-            # it past expire_snapshots' audit truncation.
-            stamp = self.lsn_high_watermark() + 1
-            # ONE select so every expression sees the OLD row (SQL
-            # UPDATE semantics) -- chained withColumn would leak one
-            # assignment's result into the next expression
-            cols = []
-            for f in schema.fields:
-                if f.name in assignments:
-                    cols.append(
-                        F.when(matched,
-                               F.expr(assignments[f.name]).cast(f.dataType))
-                        .otherwise(F.col(f.name)).alias(f.name))
-                elif f.name == LSN_COL:
-                    cols.append(
-                        F.when(matched, F.lit(stamp))
-                        .otherwise(F.col(LSN_COL)).alias(LSN_COL))
-                else:
-                    cols.append(F.col(f.name))
-            out = out.select(*cols)
-        cons = m.get("constraints", {}) if assignments is not None else {}
-        vobs = None
-        if cons:
-            # assigned values must satisfy the declared CHECKs; the
-            # counts ride the rewrite's own materialization (deletes
-            # can't violate -- they remove rows)
-            vobs = Observation(f"{op}_checks_{m['version'] + 1}")
-            out = out.observe(vobs, *[
-                F.count(F.when(~F.coalesce(
-                    F.expr(c).cast("boolean"), F.lit(True)), 1)).alias(n)
-                for n, c in sorted(cons.items())
-            ])
-        new_files, n_kept, out_dir = self._write_bucketed(spark, out, m)
-        if vobs is not None:
-            viol = {n: int(c) for n, c in vobs.get.items() if c}
-            if viol:
-                self.fs.rmtree(out_dir)
-                raise ConstraintViolation(
-                    f"{op} aborted: constraint violations {viol} "
-                    f"(checks: { {n: cons[n] for n in viol} })")
-        n_hit = int(obs.get["hits"] or 0)
-        if n_hit == 0:
-            # zone maps over-approximate: candidates held no real match.
-            # Drop the rewrite -- a no-op commit would pollute history.
-            self.fs.rmtree(out_dir)
-            return None, 0
-
-        _, zone = _footer_stats(self.fs, self.root, new_files, schema=schema)
-        plain_set = set(plain_rel)
-        buckets: dict[str, list[str]] = {}
-        for b, fl in m["buckets"].items():
-            carry = [] if int(b) in delta_buckets else \
-                [f for f in fl if f not in plain_set]
-            buckets[b] = carry + new_files.get(b, [])
-        for b, fl in new_files.items():  # delta-only buckets w/o a base
-            buckets.setdefault(b, fl)
-        deltas = {k: list(fl) for k, fl in m.get("deltas", {}).items()}
-        for b in delta_buckets:
-            deltas[str(b)] = []
-        v = m["version"] + 1
-        manifest = {
-            **m,
-            "version": v,
-            "parent": m["version"],
-            "buckets": buckets,
-            "deltas": deltas,
-            "lsn_high": max(m.get("lsn_high") or 0, stamp or 0),
-            # the audit row makes the rewrite visible in the metrics
-            # table AND (update path) carries the lsn stamp the next
-            # stamp computation must exceed; batch_id None = unfenced
-            # maintenance, exempt from the ledger check by design
-            "audit": {
-                "batch_id": None,
-                "operation": op,
-                "rows_in": n_hit,
-                "rows_applied": n_hit if assignments is not None else 0,
-                "rows_deleted": n_hit if assignments is None else 0,
-                "min_lsn": stamp,
-                "max_lsn": stamp,
-                "version": v,
-            },
-            "lineage": [],
-            "stats": {**_inherit_stats(m), **zone},
-            "summary": {
-                "operation": op,
-                ("rows_deleted" if assignments is None
-                 else "rows_updated"): n_hit,
-                "predicate": predicate,
-                "ranges": {c: [None if b is None else str(b) for b in bb]
-                           for c, bb in (ranges or {}).items()},
-                **({} if assignments is None
-                   else {"assignments": dict(assignments)}),
-                "files_rewritten": len(plain_rel),
-                "buckets_folded": len(delta_buckets),
-            },
-            "committed_at": _utc_now_iso(),
-        }
-        try:
-            # like compact: rewrites a snapshot, cannot rebase
-            self._write_manifest(manifest, expected_parent=m["version"])
-        except CommitConflict:
-            self.fs.rmtree(out_dir)
-            raise
-        return v, n_hit
-
-    def validate(self, spark: SparkSession | None = None,
-                 deep: bool = False) -> dict[str, Any]:
-        """Table fsck -- the day-2 health check after crashes, manual
-        surgery or a suspected engine bug (Iceberg analogue: the
-        various metadata validation procedures). Returns
-        ``{"ok": bool, "issues": [str, ...], "checked": {...}}``;
-        never raises for findings, only for an unreadable head.
-
-        Metadata plane (always, driver-side, no Spark):
-        - the manifest parent chain walks back intact over the
-          retained history with strictly decreasing versions;
-        - every referenced base/delta file exists, and no file is
-          claimed twice within one manifest;
-        - every audit batch_id appears in the head fence ledger
-          (a fenced-but-unaudited batch is fine -- skips -- but an
-          audited apply missing its fence would break exactly-once);
-        - zone-map hygiene: every head ``stats`` entry points at a
-          referenced file, names a schema column, and has min <= max.
-
-        Data plane (``deep=True``, needs ``spark``; O(table) scan):
-        - bucket placement: every row in bucket b satisfies
-          ``pmod(xxhash64(key), bucket_count) == b`` -- the invariant
-          merges prune by (a misplaced row silently escapes updates
-          and deletes: exactly the blast radius of a key-type change);
-        - per-bucket lineage row counts match the files;
-        - zone-map soundness: each stored per-file min/max CONTAINS the
-          file's actual footer min/max (a narrower zone would let
-          ``read(ranges=...)`` wrongly prune matching rows -- the one
-          corruption mode where pruning becomes a correctness bug)."""
-        issues: list[str] = []
-        head = self.manifest()
-        chain: list[dict[str, Any]] = []
-        v: int | None = head["version"]
-        while v is not None:
-            try:
-                m = self.manifest(v)
-            except FileNotFoundError:
-                break  # expired horizon
-            if m["version"] != v:
-                issues.append(f"manifest v{v} claims version {m['version']}")
-            if m.get("format_version") != FORMAT_VERSION:
-                issues.append(f"manifest v{v}: format_version "
-                              f"{m.get('format_version')} != {FORMAT_VERSION}")
-            chain.append(m)
-            parent = m["parent"]
-            if parent is not None and parent >= v:
-                issues.append(f"manifest v{v}: parent {parent} not older")
-                break
-            v = parent
-        n_files = 0
-        for m in chain:
-            seen: set[str] = set()
-            for which in ("buckets", "deltas"):
-                for b, fl in m.get(which, {}).items():
-                    for f in fl:
-                        n_files += 1
-                        if f in seen:
-                            issues.append(
-                                f"v{m['version']}: file {f} referenced twice")
-                        seen.add(f)
-                        if not self.fs.exists(os.path.join(self.root, f)):
-                            issues.append(f"v{m['version']}: missing file {f}")
-        # the ledger is CAPPED at 1000 recent ids (_cap) and appends may
-        # run unfenced (batch_id=None) -- only audited applies at or
-        # after the oldest version still in the ledger must have fences
-        fences = head["applied_batches"]
-        horizon = min((e["version"] for e in fences.values()), default=0)
-        # a rollback reverts the ledger with the state: audits inside a
-        # reverted range (target < version <= reverted_from) are
-        # LEGITIMATELY unfenced -- their batches were undone and may be
-        # replayed
-        reverted_ranges = [
-            (s["target"], s["reverted_from"])
-            for s in (m.get("summary") or {} for m in chain)
-            if s.get("operation") == "rollback"
-        ]
-        for a in self.audit_entries():
-            if (a.get("operation") in ("merge", "append")
-                    and a.get("batch_id") is not None
-                    and a["version"] >= horizon
-                    and str(a["batch_id"]) not in fences
-                    and not any(lo < a["version"] <= hi
-                                for lo, hi in reverted_ranges)):
-                issues.append(f"audited batch {a['batch_id']} missing from "
-                              "the head fence ledger")
-        zstats = head.get("stats", {})
-        head_files = {
-            f for which in ("buckets", "deltas")
-            for fl in head.get(which, {}).values() for f in fl
-        }
-        schema_cols = {
-            f.name for f in T.StructType.fromJson(head["schema"]).fields
-        }
-        for rel, fz in zstats.items():
-            if rel not in head_files:
-                issues.append(f"stats: entry for unreferenced file {rel}")
-                continue
-            for col, z in fz.items():
-                if col not in schema_cols and col != LSN_COL:
-                    issues.append(f"stats {rel}: unknown column {col!r}")
-                elif not (isinstance(z, list) and len(z) == 2):
-                    issues.append(f"stats {rel}.{col}: malformed zone {z!r}")
-                else:
-                    try:
-                        if z[0] > z[1]:
-                            issues.append(f"stats {rel}.{col}: min > max")
-                    except TypeError:
-                        issues.append(
-                            f"stats {rel}.{col}: incomparable bounds")
-        checked = {"manifests": len(chain), "files": n_files,
-                   "stats_files": len(zstats), "deep": bool(deep)}
-        if deep:
-            if spark is None:
-                raise ValueError("deep validation needs a SparkSession")
-            key, nb = head["key"], head["bucket_count"]
-            schema = T.StructType.fromJson(head["schema"])
-            for which in ("buckets", "deltas"):
-                for b, fl in head.get(which, {}).items():
-                    if not fl:
-                        continue
-                    paths = [self.fs.spark_path(os.path.join(self.root, f))
-                             for f in fl]
-                    rs = schema
-                    if which == "deltas":
-                        rs = T.StructType(list(schema.fields) +
-                                          [T.StructField(DELETED_COL, T.BooleanType())])
-                    df = spark.read.schema(rs).parquet(*paths)
-                    misplaced = df.filter(
-                        _bucket_expr(key, nb) != F.lit(int(b))).count()
-                    if misplaced:
-                        issues.append(
-                            f"head {which} bucket {b}: {misplaced} row(s) "
-                            f"hash to a different bucket")
-            checked["deep_buckets"] = (
-                len(head["buckets"]) + sum(1 for fl in head.get("deltas", {}).values() if fl))
-            # zone-map soundness: recompute each covered file's footer
-            # min/max and require the stored zone to CONTAIN it (wider
-            # is harmless slack; narrower silently drops matching rows
-            # from every range-pruned read). Driver-side O(files).
-            covered = [f for f in zstats if f in head_files]
-            if covered:
-                _, actual = _footer_stats(
-                    self.fs, self.root, {"_fsck": covered},
-                    schema=T.StructType.fromJson(head["schema"]),
-                )
-                for rel in covered:
-                    got = actual.get(rel, {})
-                    for col, z in zstats[rel].items():
-                        if not (isinstance(z, list) and len(z) == 2):
-                            continue  # already reported above
-                        a = got.get(col)
-                        if a is None:
-                            issues.append(
-                                f"stats {rel}.{col}: file footer carries no "
-                                "min/max for this column")
-                        else:
-                            try:
-                                if z[0] > a[0] or z[1] < a[1]:
-                                    issues.append(
-                                        f"stats {rel}.{col}: stored zone "
-                                        f"{z} narrower than footer {a} -- "
-                                        "range reads may wrongly prune")
-                            except TypeError:
-                                issues.append(
-                                    f"stats {rel}.{col}: stored zone type "
-                                    "mismatches footer stat")
-                checked["stats_verified"] = len(covered)
-        return {"ok": not issues, "issues": issues, "checked": checked}
-
-    def drop_column(self, spark: SparkSession, name: str) -> int:
-        """Drop a payload column (Iceberg: ALTER TABLE DROP COLUMN) as a
-        FULL-REWRITE commit. This format carries no Iceberg field IDs,
-        so a metadata-only drop would RESURRECT old physical values if
-        the name were ever re-added; the rewrite physically purges the
-        column from the current snapshot instead -- which is also the
-        column-erasure (GDPR) story. Older snapshots retain the column
-        (time travel unaffected; the data lives in THEIR files);
-        ``expire_snapshots`` completes the purge. A later batch
-        re-introducing the name is a fresh additive column -- exactly
-        Iceberg's drop-then-add semantics, with no ghost values because
-        the purge already ran. ``read_changes`` windows crossing the
-        drop take the snapshot-diff path (the commit is neither a mor
-        merge nor a skip).
-
-        The merge key and the ``_lsn`` ordering token cannot be
-        dropped. Scale: O(table) rewrite like rebucket/compact -- run
-        as maintenance."""
-        m = self.manifest()
-        schema = T.StructType.fromJson(m["schema"])
-        if name not in schema.fieldNames():
-            raise ValueError(f"no column {name!r} in table schema")
-        if name in _keylist(m["key"]):
-            raise ValueError(f"cannot drop the merge key column {name!r}")
-        if name == LSN_COL:
-            raise ValueError(f"cannot drop the ordering token {LSN_COL!r}")
-        refs = self._constraints_referencing(name)
-        if refs:
-            raise ValueError(
-                f"column {name!r} is referenced by constraint(s) {refs}; "
-                "drop them first")
-        new_schema = T.StructType([f for f in schema.fields if f.name != name])
-        df = self.read(spark).drop(name)
-        new_files, n_rows, out_dir = self._write_bucketed(spark, df, m)
-        _, zone = _footer_stats(self.fs, self.root, new_files, schema=new_schema)
-        manifest = {
-            **m,
-            "version": m["version"] + 1,
-            "parent": m["version"],
-            "schema": new_schema.jsonValue(),
-            "buckets": new_files,
-            "deltas": {},
-            "audit": None,
-            "lineage": [],
-            "stats": zone,
-            "summary": {
-                "operation": "drop_column",
-                "column": name,
-                "rows_written": n_rows,
-            },
-            "committed_at": _utc_now_iso(),
-        }
-        try:
-            # like compact/rebucket: rewrites a snapshot, cannot rebase
-            self._write_manifest(manifest, expected_parent=m["version"])
-        except CommitConflict:
-            self.fs.rmtree(out_dir)
-            raise
-        return manifest["version"]
-
-    def rename_column(self, spark: SparkSession, old: str, new: str) -> int:
-        """Rename a column (Iceberg: ALTER TABLE RENAME COLUMN) as a
-        FULL-REWRITE commit. This format carries no Iceberg field IDs,
-        so a metadata-only rename would detach the name from the
-        physical parquet columns -- every existing file would read NULL
-        under the new name; the rewrite re-materializes the snapshot
-        instead. Renaming the MERGE KEY is allowed: bucket placement
-        hashes the column's VALUES, not its name, so the layout is
-        unchanged and the manifest key follows the rename. Older
-        snapshots keep the old name (time travel reads THEIR files); a
-        later batch still producing the old name becomes a fresh
-        additive column -- update producers together with the rename
-        (the staged-source mapping layer, operators/mapping.py, is the
-        rename-at-the-edge alternative that avoids the rewrite).
-        Scale: O(table) rewrite like drop_column -- run as maintenance."""
-        m = self.manifest()
-        schema = T.StructType.fromJson(m["schema"])
-        if old not in schema.fieldNames():
-            raise ValueError(f"no column {old!r} in table schema")
-        if new in schema.fieldNames():
-            raise ValueError(f"column {new!r} already exists")
-        if old == LSN_COL or new.startswith("_"):
-            raise ValueError(
-                f"cannot rename engine columns or use a _-prefixed name")
-        refs = self._constraints_referencing(old)
-        if refs:
-            raise ValueError(
-                f"column {old!r} is referenced by constraint(s) {refs}; "
-                "drop them first and re-add against the new name")
-        new_schema = T.StructType([
-            T.StructField(new if f.name == old else f.name, f.dataType,
-                          f.nullable) for f in schema.fields
-        ])
-        old_ks = _keylist(m["key"])
-        new_ks = [new if k == old else k for k in old_ks]
-        new_key = new_ks[0] if len(new_ks) == 1 else new_ks
-        df = self.read(spark, version=m["version"]).withColumnRenamed(old, new)
-        # bucket under the RENAMED key: same values -> same placement
-        new_files, n_rows, out_dir = self._write_bucketed(
-            spark, df, {**m, "key": new_key})
-        _, zone = _footer_stats(self.fs, self.root, new_files,
-                                schema=new_schema)
-        manifest = {
-            **m,
-            "version": m["version"] + 1,
-            "parent": m["version"],
-            "schema": new_schema.jsonValue(),
-            "key": new_key,
-            "buckets": new_files,
-            "deltas": {},
-            "audit": None,
-            "lineage": [],
-            "stats": zone,
-            "summary": {
-                "operation": "rename_column",
-                "from": old,
-                "to": new,
-                "rows_written": n_rows,
-            },
-            "committed_at": _utc_now_iso(),
-        }
-        try:
-            # like compact/rebucket: rewrites a snapshot, cannot rebase
-            self._write_manifest(manifest, expected_parent=m["version"])
-        except CommitConflict:
-            self.fs.rmtree(out_dir)
-            raise
-        return manifest["version"]
-
-    def register(self, spark: SparkSession, name: str,
-                 version: int | str | None = None) -> None:
-        """Expose the resolved snapshot to Spark SQL as a temp view:
-        ``t.register(spark, "pages"); spark.sql("SELECT ... FROM
-        pages")``. The view captures THIS snapshot's plan (mor
-        resolution included) -- re-register after new commits to see
-        them, or register a pinned ``version=``/tag for reproducible
-        SQL sessions."""
-        self.read(spark, version=version, public=True) \
-            .createOrReplaceTempView(name)
-
-    def register_meta(self, spark: SparkSession, name: str) -> list[str]:
-        """Expose the table's METADATA as SQL temp views -- Iceberg's
-        metadata tables (``db.table.snapshots`` / ``.files`` /
-        ``.history`` / ``.refs``) re-expressed for this engine:
-
-        - ``{name}_snapshots``: one row per retained manifest (version,
-          parent, committed_at, operation, file counts, summary JSON);
-        - ``{name}_files``: one row per live file in the head snapshot
-          (bucket, data-vs-delta kind, byte size, zone-map bounds JSON);
-        - ``{name}_history``: the audit/metrics table -- one row per
-          commit with batch_id, rows in/applied/deleted, LSN range;
-        - ``{name}_lineage``: per-(version, batch, bucket) applied LSN
-          ranges + row counts (the north rule's per-partition lineage);
-        - ``{name}_refs``: named tags -> pinned versions.
-
-        All five are snapshots of the metadata AT REGISTRATION -- they
-        are built from the driver-held manifests (plus O(files) stat
-        calls for sizes), exactly the inputs scan planning already
-        reads, so the views stay proportional to metadata, not data.
-        Re-register after new commits to refresh. Returns the view
-        names."""
-        views = {
-            f"{name}_snapshots": self.snapshots_df(spark),
-            f"{name}_files": self.files_df(spark),
-            f"{name}_history": self.audit_df(spark),
-            f"{name}_lineage": self.lineage_df(spark),
-            f"{name}_refs": spark.createDataFrame(
-                [{"name": k, "version": v} for k, v in self.refs().items()],
-                "name string, version long",
-            ),
-        }
-        for vname, df in views.items():
-            df.createOrReplaceTempView(vname)
-        return sorted(views)
-
-    def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
-        """Retention maintenance (Iceberg ``expire_snapshots``): drop
-        manifests older than the newest ``keep_last`` versions and
-        delete data files no retained version references. Without this,
-        time travel accumulates every file ever written -- at 100 TB
-        retention is not optional. Named refs PIN history: nothing at
-        or newer than the oldest tagged version is expired (untag to
-        release it).
-
-        Exactly-once is unaffected: the fence ledger (applied_batches)
-        rides the CURRENT manifest, not the expired history. The audit
-        chain truncates at the oldest retained version
-        (``audit_entries`` tolerates the missing parents); reading an
-        expired version raises FileNotFoundError -- same contract as
-        Iceberg's expired-snapshot error.
-
-        Crash-safe + idempotent: data files are deleted only AFTER the
-        manifests that referenced them, and re-running simply finds
-        nothing left to remove. Safe next to in-flight writers: only
-        commit directories whose version prefix is STRICTLY OLDER than
-        the oldest retained manifest are swept. An in-flight (or
-        rebasing) merge writes to a dir named ``c{head+1}-{uuid}``,
-        which stays at or above that horizon until ``keep_last``
-        further commits land -- so with ``keep_last >= 2`` a writer's
-        uncommitted files (and Spark ``_temporary`` dirs) are never
-        touched mid-flight. Orphan dirs from a crashed commit age past
-        the horizon and are then swept here -- the GC half of the
-        crash-recovery story (the replay itself never blocks on them
-        because every attempt writes a fresh uuid dir).
-        Checksum sidecars and ``_SUCCESS`` markers follow their primary
-        file's fate; ``deleted_files`` counts primaries only.
-        Driver-side O(retained files + files on disk); no Spark job."""
-        if keep_last < 1:
-            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
-        self._require_main("expire_snapshots")
-        # tags pin history: retention never crosses the oldest tagged
-        # version (Iceberg: expire_snapshots keeps referenced snapshots).
-        # Live BRANCHES pin their fork point the same way: the fork
-        # manifest must stay readable (a fresh branch's head IS the fork
-        # manifest) and keeping main's horizon at or below every fork
-        # also keeps the commit-dir sweep below any branch data dir
-        # (branch commits write c{v>fork}-* dirs) -- so branch data and
-        # in-flight branch writers are structurally out of sweep range.
-        def _retained_protected() -> tuple[list[dict[str, Any]], set[str]]:
-            pins = list(self.manifest().get("refs", {}).values())
-            pins.extend(b["fork_version"] for b in self.branches().values())
-            floor = min(pins, default=None)
-            kept: list[dict[str, Any]] = []
-            v: int | None = self.current_version()
-            while v is not None and (
-                len(kept) < keep_last
-                or (floor is not None and v >= floor)
-            ):
-                try:
-                    m = self.manifest(v)
-                except FileNotFoundError:
-                    break  # older history already expired
-                kept.append(m)
-                v = m["parent"]
-            prot: set[str] = set()
-            for m in kept:
-                for which in ("buckets", "deltas"):
-                    for fl in m.get(which, {}).values():
-                        prot.update(fl)
-            return kept, prot
-
-        retained, protected = _retained_protected()
-        oldest_kept = retained[-1]["version"]
-
-        # 1) drop expired manifests (newest-first walk already proved
-        #    the retained ones readable)
-        mdir = os.path.join(self.root, MANIFEST_DIR)
-        n_manifests = 0
-        for name in self.fs.listdir(mdir):
-            if not (name.startswith("v") and name.endswith(".json")):
-                continue
-            try:
-                mv = int(name[1:-5])
-            except ValueError:
-                continue
-            if mv < oldest_kept:
-                self.fs.remove(os.path.join(mdir, name))
-                n_manifests += 1
-
-        # 1b) bloom sidecars (harvest_blooms): keep any referenced by a
-        #     retained manifest; the rest are swept under the same age
-        #     gate as commit dirs -- names encode the harvest-time head
-        #     version (b{v}-{uuid}), so an in-flight harvest's sidecar
-        #     is normally out of sweep range (its head >= oldest_kept).
-        #     The residual race (>= keep_last commits land between the
-        #     harvest's read and its rebased commit) is self-healed:
-        #     harvest_blooms re-puts the sidecar after committing if
-        #     the sweep got it, and re-harvest treats dead refs as
-        #     uncovered, so the hole is repairable either way
-        bdir = os.path.join(mdir, "blooms")
-        n_sidecars = 0
-        if self.fs.isdir(bdir):
-            ref_sc: set[str] = set()
-            for mm in retained:
-                ref_sc.update(mm.get("bloom_files") or {})
-            for name in self.fs.listdir(bdir):
-                rel = os.path.join(MANIFEST_DIR, "blooms", name)
-                if rel in ref_sc or not name.startswith("b"):
-                    continue
-                try:
-                    bv = int(name[1:].split("-", 1)[0])
-                except ValueError:
-                    continue
-                if bv < oldest_kept:
-                    self.fs.remove(os.path.join(bdir, name))
-                    n_sidecars += 1
-
-        # 2) delete data files no retained manifest references --
-        #    restricted to commit dirs older than every retained
-        #    manifest (see docstring for the in-flight-writer argument)
-        ddir = os.path.join(self.root, DATA_DIR)
-        n_files = 0
-        commit_dirs = []
-        swept_staged = False
-        if self.fs.isdir(ddir):
-            for name in sorted(self.fs.listdir(ddir)):
-                if name.startswith("staged-"):
-                    # WAP dirs: shielded while their fragment exists
-                    # (stage in flight or awaiting audit). Once the
-                    # fragment is gone the dir is either published
-                    # data (files protected below) or abort/crash
-                    # debris (swept here).
-                    try:
-                        bid = int(name.split("-")[1])
-                    except (IndexError, ValueError):
-                        continue
-                    if not self.fs.exists(self._staged_fragment_path(bid)):
-                        commit_dirs.append(os.path.join(ddir, name))
-                        swept_staged = True
-                elif name.startswith("c"):
-                    try:
-                        dv = int(name[1:].split("-", 1)[0])
-                    except ValueError:
-                        continue
-                    if dv < oldest_kept:
-                        commit_dirs.append(os.path.join(ddir, name))
-        if swept_staged:
-            # TOCTOU shield for a publish racing this expire: a staged
-            # dir whose fragment is gone was either aborted (debris) or
-            # PUBLISHED -- and publish removes the fragment only AFTER
-            # its commit, so if the fragment was already absent at
-            # listing time the publishing commit is visible to a head
-            # walk taken NOW. Re-derive the protected set so a
-            # just-published batch's files (which live in the staged
-            # dir, referenced in place) are never swept out from under
-            # the new head. c{v} dirs don't need this: their age gate
-            # (dv < oldest_kept) keeps concurrent writers out of range.
-            protected |= _retained_protected()[1]
-        for cdir in commit_dirs:
-            for dirpath, _dirs, files in self.fs.walk_bottom_up(cdir):
-                primaries = [
-                    n for n in files
-                    if not (n.startswith(".") and n.endswith(".crc"))
-                    and n != "_SUCCESS"
-                ]
-                for name in primaries:
-                    p = os.path.join(dirpath, name)
-                    if os.path.relpath(p, self.root) in protected:
-                        continue
-                    self.fs.remove(p)
-                    crc = os.path.join(dirpath, f".{name}.crc")
-                    if self.fs.exists(crc):
-                        self.fs.remove(crc)
-                    n_files += 1
-                residue = set(self.fs.listdir(dirpath))
-                if residue and residue <= {"_SUCCESS", "._SUCCESS.crc"}:
-                    for name in residue:  # only markers left -> dir is dead
-                        self.fs.remove(os.path.join(dirpath, name))
-                self.fs.rmdir_if_empty(dirpath)
-        return {
-            "expired_manifests": n_manifests,
-            "deleted_files": n_files,
-            "deleted_bloom_sidecars": n_sidecars,
-            "oldest_kept_version": oldest_kept,
-        }
-
-    # ------------------------------------------------------------------
-    def plan_maintenance(
-        self,
-        *,
-        max_files_per_bucket: int = 4,
-        small_file_bytes: int = 32 << 20,
-        keep_last: int = 10,
-        delta_bytes_ratio: float = 0.25,
-        skew_ratio: float = 4.0,
-    ) -> dict[str, Any]:
-        """Inspect the current snapshot and recommend maintenance --
-        the advisor half of an auto-compaction/retention daemon
-        (Iceberg analogue: the metrics feeding rewrite_data_files /
-        expire_snapshots scheduling; Delta: OPTIMIZE triggers). Pure
-        metadata: manifest + file sizes through the FS seam, no Spark
-        job -- cheap enough to run after every commit at any scale.
-
-        Four findings, each an actionable dict in ``actions``:
-
-        - ``compact`` (fragmentation): buckets whose live file count
-          exceeds ``max_files_per_bucket`` -- every extra file is an
-          extra scan task + LWW resolution input.
-        - ``compact`` (delta backlog): buckets whose MoR delta bytes
-          exceed ``delta_bytes_ratio`` of their base bytes -- read
-          amplification grows with every merge until a fold.
-        - ``compact`` (small files): buckets averaging under
-          ``small_file_bytes`` per base file with >1 file -- the
-          classic small-file problem; row-group-sized files waste
-          scan tasks and footer overhead.
-        - ``expire``: more than ``keep_last`` manifests on disk --
-          time travel is accumulating history (and orphaned commit
-          dirs are only swept by retention).
-
-        Plus one advisory (never auto-applied): ``rebucket`` when the
-        largest bucket holds more than ``skew_ratio`` x the median
-        bucket's bytes -- hash-bucket skew that compaction cannot fix;
-        at ingest time the salting path (operators.apply dedup=salted)
-        is the non-rewrite alternative."""
-        m = self.manifest()
-        entries = self.file_entries()
-        per: dict[int, dict[str, int]] = {}
-        for ent in entries:
-            st = per.setdefault(
-                ent["bucket"],
-                {"n_data": 0, "n_delta": 0, "bytes_data": 0, "bytes_delta": 0},
-            )
-            k = "data" if ent["kind"] == "data" else "delta"
-            st[f"n_{k}"] += 1
-            st[f"bytes_{k}"] += ent["size_bytes"] or 0
-
-        actions: list[dict[str, Any]] = []
-        frag = sorted(
-            b for b, st in per.items()
-            if st["n_data"] + st["n_delta"] > max_files_per_bucket
-        )
-        if frag:
-            actions.append({
-                "action": "compact",
-                "reason": "fragmentation",
-                "buckets": frag,
-                "detail": f"live file count > {max_files_per_bucket}",
-            })
-        backlog = sorted(
-            b for b, st in per.items()
-            if b not in set(frag) and st["n_delta"] > 0
-            and st["bytes_delta"] > delta_bytes_ratio * max(st["bytes_data"], 1)
-        )
-        if backlog:
-            actions.append({
-                "action": "compact",
-                "reason": "delta_backlog",
-                "buckets": backlog,
-                "detail": f"delta bytes > {delta_bytes_ratio:g} x base bytes",
-            })
-        small = sorted(
-            b for b, st in per.items()
-            if b not in set(frag) and b not in set(backlog)
-            and st["n_data"] > 1
-            and st["bytes_data"] / st["n_data"] < small_file_bytes
-        )
-        if small:
-            actions.append({
-                "action": "compact",
-                "reason": "small_files",
-                "buckets": small,
-                "detail": f"mean base file < {small_file_bytes} bytes",
-            })
-
-        mdir = os.path.join(self.root, MANIFEST_DIR)
-        manifest_versions = []
-        for name in self.fs.listdir(mdir):
-            if name.startswith("v") and name.endswith(".json"):
-                try:
-                    manifest_versions.append(int(name[1:-5]))
-                except ValueError:
-                    pass
-        n_manifests = len(manifest_versions)
-        # mirror expire_snapshots' actual horizon: keep_last newest,
-        # extended down to the oldest tagged version -- otherwise a
-        # pinned tag makes the finding a permanent no-op action and
-        # maintain --apply never converges
-        horizon = m["version"] - keep_last + 1
-        pins = list(m.get("refs", {}).values())
-        pins.extend(b["fork_version"] for b in self.branches().values())
-        floor = min(pins, default=None)
-        if floor is not None:
-            horizon = min(horizon, floor)
-        n_expirable = sum(1 for v in manifest_versions if v < horizon)
-        if n_expirable > 0:
-            actions.append({
-                "action": "expire",
-                "reason": "retention",
-                "keep_last": keep_last,
-                "detail": (
-                    f"{n_expirable} of {n_manifests} snapshots below the "
-                    f"retention horizon (keep_last={keep_last}"
-                    + (f", tag-pinned floor v{floor}" if floor is not None
-                       else "") + ")"
-                ),
-            })
-
-        sizes = sorted(
-            st["bytes_data"] + st["bytes_delta"] for st in per.values()
-        )
-        # LOWER median: with 2 buckets the upper-middle IS the max, which
-        # could never exceed skew_ratio x itself
-        if len(sizes) >= 2 and sizes[-1] > skew_ratio * max(
-            sizes[(len(sizes) - 1) // 2], 1
-        ):
-            actions.append({
-                "action": "rebucket",
-                "reason": "skew",
-                "advisory": True,
-                "detail": (
-                    f"largest bucket {sizes[-1]}B > {skew_ratio:g}x median "
-                    f"{sizes[len(sizes) // 2]}B; rebucket() or salted ingest"
-                ),
-            })
-
-        return {
-            "table": self.root,
-            "version": m["version"],
-            "n_buckets_live": len(per),
-            "n_files": len(entries),
-            "n_manifests": n_manifests,
-            "actions": actions,
-        }
-
-    def maintain(
-        self, spark: SparkSession, apply: bool = False, **thresholds: Any
-    ) -> dict[str, Any]:
-        """Run ``plan_maintenance`` and (with ``apply=True``) execute
-        the non-advisory actions: one targeted ``compact`` over the
-        union of flagged buckets, then ``expire_snapshots``. Rebucket
-        stays advisory -- it rewrites the whole table and changes its
-        layout, a decision for the operator. Each executed action
-        records its outcome in the returned plan; maintenance is
-        semantics-preserving (compact materializes the resolved state,
-        expire only drops unreferenced history), which the tests assert
-        by diffing the resolved read across the run."""
-        plan = self.plan_maintenance(**thresholds)
-        if not apply:
-            return plan
-        compact_buckets = sorted({
-            b for a in plan["actions"]
-            if a["action"] == "compact" for b in a["buckets"]
-        })
-        if compact_buckets:
-            v = self.compact(spark, buckets=compact_buckets)
-            for a in plan["actions"]:
-                if a["action"] == "compact":
-                    a["applied_version"] = v
-        for a in plan["actions"]:
-            if a["action"] == "expire":
-                a["result"] = self.expire_snapshots(keep_last=a["keep_last"])
-        return plan
-
-    # ------------------------------------------------------------------
-    def analyze(
-        self, spark: SparkSession, columns: list[str] | None = None,
-    ) -> dict[str, Any]:
-        """ANALYZE TABLE: per-column null counts and an NDV
-        (number-of-distinct-values) estimate over the RESOLVED current
-        snapshot, recorded in the manifest as a metadata-only commit
-        and surfaced by ``describe`` / ``table_stats``. Iceberg
-        analogue: ``compute_table_stats`` persisting per-column theta
-        sketches in puffin files; the estimator here is a deterministic
-        md5 HyperLogLog (m=64 registers per column, ~13% relative
-        error) with the standard linear-counting small-range correction
-        -- applied driver-side, where using ln() is safe (no DuckDB
-        oracle has to reproduce it).
-
-        Cost: ONE Spark job regardless of table width or height. The
-        scan stacks the requested columns into (column, value) pairs;
-        the register aggregation is algebraic, so partial agg collapses
-        every partition to <= 64 small integers per column before the
-        shuffle -- O(columns x 64) bytes on the wire for a 10^10-row
-        table. The stats commit carries no data files: readers,
-        ``read_changes`` and ``mirror`` treat it as a no-op (same
-        contract as tag/untag), and it rebases freely onto concurrent
-        commits.
-
-        NDV feeds the optimizer-adjacent decisions this engine makes
-        by hand at 100 TB: whether a dimension side is broadcastable,
-        whether a merge key is skewed enough to salt
-        (``plan_maintenance``'s rebucket advisory is bytes-based; NDV
-        per key column is the row-based complement), and how many
-        buckets a rebucket should target."""
-        from ..functions.sketchlib import (
-            hll_denom_term, hll_estimate, hll_rho, md5_long,
-        )
-
-        m = self.manifest()
-        schema = T.StructType.fromJson(m["schema"])
-        engine_cols = {LSN_COL, DELETED_COL}
-        names = [f.name for f in schema.fields if f.name not in engine_cols]
-        if columns is not None:
-            unknown = set(columns) - set(names)
-            if unknown:
-                raise ValueError(f"unknown columns: {sorted(unknown)}")
-            names = [n for n in names if n in set(columns)]
-        if not names:
-            raise ValueError("no columns to analyze")
-
-        hll_m, rest_bits = 64, 54  # 60-bit md5 hash: 6 bucket bits + 54
-        pairs = []
-        for n in names:
-            dt = schema[n].dataType
-            sval = (F.base64(F.col(n)) if isinstance(dt, T.BinaryType)
-                    else F.col(n).cast("string"))
-            pairs.append(F.struct(F.lit(n).alias("c"), sval.alias("s")))
-        ex = (
-            # pinned to THIS manifest: self.read(spark) would re-plan the
-            # head, and a concurrent commit between manifest() and the
-            # scan would make analyzed_version lie about what was counted
-            self.read(spark, version=m["version"])
-            .select(F.explode(F.array(*pairs)).alias("p"))
-            .select("p.c", "p.s")
-        )
-        hv = md5_long(F.col("s"))
-        tagged = ex.select(
-            "c", "s", hv.alias("hv")
-        ).select(
-            "c", "s",
-            (F.col("hv") % hll_m).alias("b"),
-            F.expr(f"hv DIV {hll_m}").alias("rest"),
-        )
-        rho = F.when(F.col("s").isNull(), None).otherwise(
-            hll_rho(F.col("rest"), rest_bits)
-        )
-        g1 = tagged.groupBy(
-            "c", F.when(F.col("s").isNull(), None).otherwise(F.col("b")).alias("b")
-        ).agg(
-            F.max(rho).alias("mreg"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        per_col = g1.groupBy("c").agg(
-            F.sum("n").alias("n_rows"),
-            F.sum(F.when(F.col("b").isNull(), F.col("n")).otherwise(0)).alias(
-                "n_nulls"
-            ),
-            F.count(F.when(F.col("b").isNotNull(), 1)).alias("nonzero"),
-            F.sum(
-                F.when(F.col("b").isNotNull(),
-                       hll_denom_term("mreg", rest_bits))
-            ).alias("denom"),
-        ).collect()
-
-        n_rows = 0
-        colstats: dict[str, dict[str, int]] = {}
-        for r in per_col:
-            n_rows = max(n_rows, r["n_rows"])
-            est = hll_estimate(r["nonzero"], r["denom"], hll_m, rest_bits)
-            colstats[r["c"]] = {
-                "ndv": int(round(est)),
-                "n_nulls": int(r["n_nulls"] or 0),
-            }
-        table_stats = {
-            "analyzed_version": m["version"],
-            "n_rows": int(n_rows),
-            "columns": colstats,
-        }
-
-        def build(mp: dict[str, Any]) -> dict[str, Any]:
-            v = mp["version"] + 1
-            return {
-                **mp,
-                "version": v,
-                "parent": mp["version"],
-                "table_stats": table_stats,
-                "audit": None,
-                "lineage": [],
-                "summary": {"operation": "analyze", "columns": names},
-                "committed_at": _utc_now_iso(),
-            }
-
-        committed = self._commit_with_rebase(m, build)
-        return {"version": committed["version"], **table_stats}
-
-    def harvest_blooms(
-        self,
-        spark: SparkSession,
-        bits_per_key: int = 10,
-        k: int = 5,
-        max_m_bits: int = 1 << 22,
-    ) -> dict[str, Any]:
-        """Build the MERGE-KEY Bloom index for every live data/delta
-        file not yet covered (INCREMENTAL: re-run after appends/merges
-        to extend coverage; already-indexed files are skipped). One
-        puffin-style sidecar per harvest (sources/bloomindex.py has the
-        format and the soundness argument), referenced by a metadata-
-        only commit that versions, time-travels and rebases like
-        analyze/tag. Consumed by ``lookup`` / ``read(keys=...)`` /
-        ``plan_files(keys=...)`` for file skipping inside hashed
-        buckets.
-
-        Cost: O(files) driver-side footer reads (row counts size the
-        filter: m = next pow2 of bits_per_key x largest file's rows,
-        capped at ``max_m_bits`` -- an over-full filter just skips
-        less, never wrongly) + ONE Spark job over just the key column
-        of the uncovered files, folding bit positions into 64-bit
-        words JVM-side (bit_or partial agg: the driver receives
-        O(m/64) longs per file, never rows). Delta files are indexed
-        too -- a tombstone's key must keep its bucket visible or
-        lookup could resurrect an older row.
-
-        Iceberg analogue: puffin blob files + the manifest's
-        referenced-blob list. Reference capability it extends: the
-        loader's control-file manifest has no file-skipping metadata
-        at all (/root/reference/src/YADAMU/loader/node/loaderDBI.js:321)."""
-        from .bloomindex import (
-            BLOOM_FORMAT, BLOOM_SALT, KEY_SEP, MAX_K, bloom_supported,
-        )
-        from ..functions.sketchlib import md5_long
-
-        if not 1 <= k <= MAX_K:
-            raise ValueError(
-                f"k must be in [1, {MAX_K}]: the Spark-side position "
-                f"expression h1 + i*h2 overflows int64 beyond k={MAX_K} "
-                f"(bloomindex.MAX_K), silently diverging from the "
-                f"driver-side big-int hash")
-        if bits_per_key < 1:
-            raise ValueError("bits_per_key must be >= 1")
-        m = self.manifest()
-        key = m["key"]
-        ks = _keylist(key)
-        schema = T.StructType.fromJson(m["schema"])
-        bad = [kc for kc in ks if not bloom_supported(schema[kc].dataType)]
-        if bad:
-            raise ValueError(
-                f"bloom index needs string/integral merge key columns; "
-                f"{bad[0]} is {schema[bad[0]].dataType.simpleString()}")
-        live = self._files(m, None, strip=True) + self._files(
-            m, None, "deltas", strip=True)
-        # a file counts as covered only if its sidecar is actually
-        # READABLE: a lost/corrupt sidecar (corruption, or the expire
-        # race below) leaves a dead manifest ref -- re-harvesting must
-        # repair the coverage hole, not no-op on the dead ref forever
-        covered: set[str] = set()
-        if m.get("blooms_format") == BLOOM_FORMAT:
-            for sc_rel, cov in (m.get("bloom_files") or {}).items():
-                if self._bloom_sidecar(sc_rel) is not None:
-                    covered.update(cov)
-        todo = sorted(f for f in live if f not in covered)
-        if not todo:
-            return {"version": m["version"], "files_indexed": 0,
-                    "sidecar": None}
-
-        import pyarrow.parquet as pq
-        n_max = 1
-        for rel in todo:
-            with self.fs.open_read(os.path.join(self.root, rel)) as fobj:
-                n_max = max(n_max, pq.ParquetFile(fobj).metadata.num_rows)
-        m_bits = 1024
-        while m_bits < bits_per_key * n_max and m_bits < max_m_bits:
-            m_bits *= 2
-
-        # match files back by their last two path components: commit
-        # dirs are uuid-unique, so the suffix is globally unique and
-        # survives whatever URI prefix input_file_name renders
-        suffix_of = {"/".join(rel.split("/")[-2:]): rel for rel in todo}
-        paths = [self.fs.spark_path(os.path.join(self.root, rel))
-                 for rel in todo]
-        kschema = T.StructType(
-            [T.StructField(kc, schema[kc].dataType) for kc in ks])
-        # composite keys hash ONE canonical joined string -- the same
-        # value bloomindex.canonical_probe computes driver-side (the
-        # cast-to-string / str() agreement holds per component)
-        if len(ks) == 1:
-            s = F.col(ks[0]).cast("string")
-        else:
-            s = F.concat_ws(
-                KEY_SEP, *[F.col(kc).cast("string") for kc in ks])
-        nn = F.col(ks[0]).isNotNull()
-        for kc in ks[1:]:
-            nn = nn & F.col(kc).isNotNull()
-        h1, h2 = md5_long(s), md5_long(F.concat(s, F.lit(BLOOM_SALT)))
-        pos = F.explode(F.array(
-            *[(h1 + F.lit(i) * h2) % F.lit(m_bits) for i in range(k)]
-        )).alias("p")
-        rows = (
-            spark.read.schema(kschema).parquet(*paths)
-            .select(F.regexp_extract(F.input_file_name(),
-                                     r"([^/]+/[^/]+)$", 1).alias("f"),
-                    *[F.col(kc) for kc in ks])
-            .where(nn)
-            .select("f", pos)
-            .select(
-                "f",
-                F.expr("p DIV 64").alias("w"),
-                F.expr("shiftleft(CAST(1 AS BIGINT), "
-                       "CAST(p % 64 AS INT))").alias("mask"),
-            )
-            .groupBy("f", "w")
-            .agg(F.expr("bit_or(mask)").alias("word"))
-            .collect()
-        )
-        words: dict[str, dict[int, int]] = {}
-        for r in rows:
-            rel = suffix_of.get(r["f"])
-            if rel is not None:
-                words.setdefault(rel, {})[int(r["w"])] = int(r["word"])
-        # files absent from `words` held only NULL keys: an all-zero
-        # bloom is exactly right (no probe can match a NULL key)
-        payload = {
-            rel: _bloom.encode_bitset(words.get(rel, {}), m_bits)
-            for rel in todo
-        }
-        sc_rel = os.path.join(
-            MANIFEST_DIR, "blooms",
-            f"b{m['version']:012d}-{uuid.uuid4().hex[:8]}.json")
-        sc_path = os.path.join(self.root, sc_rel)
-        sc_text = _bloom.encode_sidecar(key, m_bits, k, payload)
-        self.fs.makedirs(os.path.dirname(sc_path))
-        self.fs.put_atomic(sc_path, sc_text)
-
-        def build(mp: dict[str, Any]) -> dict[str, Any]:
-            v = mp["version"] + 1
-            bf = (dict(mp.get("bloom_files") or {})
-                  if mp.get("blooms_format") == BLOOM_FORMAT else {})
-            bf[sc_rel] = todo
-            return {
-                **mp,
-                "version": v,
-                "parent": mp["version"],
-                "bloom_files": bf,
-                "blooms_format": BLOOM_FORMAT,
-                "audit": None,
-                "lineage": [],
-                "summary": {"operation": "harvest_blooms",
-                            "files": len(todo), "m_bits": m_bits, "k": k},
-                "committed_at": _utc_now_iso(),
-            }
-
-        committed = self._commit_with_rebase(m, build)
-        if not self.fs.exists(sc_path):
-            # expire race: if >= keep_last commits landed between our
-            # manifest read (the sidecar's b{v} name) and the rebased
-            # commit, a concurrent expire_snapshots may have swept the
-            # then-unreferenced sidecar. Now that the commit references
-            # it, re-put the identical content (idempotent) -- readers
-            # in the gap degraded to scans, which is always sound.
-            self.fs.put_atomic(sc_path, sc_text)
-        return {"version": committed["version"], "files_indexed": len(todo),
-                "m_bits": m_bits, "k": k, "sidecar": sc_rel}
-
-    # ------------------------------------------------------------------
-    def _new_commit_dir(self, version_hint: int) -> tuple[str, str]:
-        """A UNIQUE prospective commit directory ``c{v}-{uuid}``. The
-        version prefix orders it for retention (expire_snapshots sweeps
-        strictly-older-than-retained dirs); the uuid suffix guarantees
-        no two write attempts -- concurrent writers racing on the same
-        version, or a crashed batch's replay -- ever collide on a path.
-        That uniqueness is what makes crash recovery hands-off: a dir
-        orphaned between data write and manifest publish is simply
-        never referenced, and the replay writes a fresh one."""
-        rel = os.path.join(DATA_DIR, f"c{version_hint:012d}-{uuid.uuid4().hex[:8]}")
-        return os.path.join(self.root, rel), rel
-
-    def _write_bucketed(
-        self, spark: SparkSession, df: DataFrame, m: dict[str, Any],
-        sort_within: list | None = None,  # column names or Columns
-        distribute: bool = True,
-    ) -> tuple[dict[str, list[str]], int, str]:
-        """Write df partitioned by bucket under a fresh commit dir;
-        return ({bucket: [relative file paths]}, row count (via
-        observe, no extra job), absolute out_dir for abort cleanup).
-
-        ``distribute``: hash-cluster on ``_b`` first (one partition per
-        bucket, task count capped at 2x cores) so every rewritten
-        bucket lands in exactly ONE file instead of one per upstream
-        task -- base files stay compacted by construction. Callers
-        that already shaped the input (compact, rebucket) opt out.
-
-        ``sort_within``: per-partition sort by (_b, *sort_within) --
-        the _b prefix satisfies the partitioned writer's required
-        ordering, so Spark skips its own partition-column sort and the
-        within-bucket clustering survives into the files."""
-        key, nb = m["key"], m["bucket_count"]
-        from pyspark.sql import Observation
-
-        out_dir, rel = self._new_commit_dir(m["version"] + 1)
-        obs = Observation(f"write_{os.path.basename(rel)}")
-        out = df.withColumn("_b", _bucket_expr(key, nb))
-        if distribute:
-            dp = spark.sparkContext.defaultParallelism
-            out = out.repartition(min(nb, 2 * dp), "_b")
-        if sort_within:
-            out = out.sortWithinPartitions("_b", *sort_within)
-        with _ts_micros(spark):
-            (
-                out.observe(obs, F.count(F.lit(1)).alias("rows"))
-                .write.partitionBy("_b")
-                .parquet(self.fs.spark_path(out_dir))
-            )
-        n_rows = obs.get["rows"]
-        return _list_bucket_files(self.fs, out_dir, rel), n_rows, out_dir
-
-
-
-def _keys_residual(ks: list[str], keys: list) -> "F.Column":
-    """Exact membership predicate for ``read(keys=...)``. Single key:
-    one ``isin`` (Catalyst pushes it into the parquet scans). Composite
-    key: an OR of per-tuple conjunctions -- probe lists are point-
-    lookup sized, so the predicate stays small; NULL-bearing probes
-    match nothing (SQL equality)."""
-    if len(ks) == 1:
-        kvals = [v for v in keys if v is not None]
-        return F.col(ks[0]).isin(kvals) if kvals else F.lit(False)
-    tuples = [t for t in keys
-              if t is not None and not any(v is None for v in t)]
-    if not tuples:
-        return F.lit(False)
-    cond = F.lit(False)
-    for t in tuples:
-        c = F.lit(True)
-        for k, v in zip(ks, t):
-            c = c & (F.col(k) == F.lit(v))
-        cond = cond | c
-    return cond
-
-
-def _hashable(dt: T.DataType) -> bool:
-    """xxhash64 rejects MapType (and anything containing one); such
-    columns are left out of the tie rank -- ties then fall back to
-    arbitrary only when rows differ SOLELY in an unhashable column."""
-    if isinstance(dt, T.MapType):
-        return False
-    if isinstance(dt, T.ArrayType):
-        return _hashable(dt.elementType)
-    if isinstance(dt, T.StructType):
-        return all(_hashable(f.dataType) for f in dt.fields)
-    return True
-
-
-# ----------------------------------------------------------------------
-def _lsn_rank(content_cols: list[str], is_del) -> "F.Column":
-    """Total last-writer-wins order: (coalesced ``_lsn``, content
-    rank). The secondary rank makes LSN TIES resolve deterministically
-    and IDENTICALLY in every resolver -- the source read, the cow
-    merge, the change-stream fast path, and any mirror replica -- so a
-    collision between a synthetic stamp (update_where / a folded
-    tombstone's follow_changes stamp) and an upstream WAL lsn yields
-    the SAME winner everywhere: arbitrary, but convergent. Deletes rank
-    as a constant (their logical content is "no row" -- a mor tombstone
-    still carries its arrival payload while a replica's applied delete
-    has NULL payload, and those must compare equal); live rows rank by
-    a hash of the sorted data columns, so byte-identical redeliveries
-    tie benignly exactly as before."""
-    # the live flag puts deletes in their own stratum BELOW every live
-    # row's hash domain (a constant sharing the hash range would make a
-    # 2^-64 live-row hash collision nondeterministic again); xxhash64
-    # needs >= 1 argument, and a constant keeps the rank total when a
-    # key+lsn-only table has no content columns (such live ties are
-    # genuinely identical rows anyway)
-    ordered = [F.col(c) for c in sorted(content_cols)] or [F.lit(0)]
-    return F.struct(
-        F.coalesce(F.col(LSN_COL), F.lit(-1)).alias("l"),
-        (~is_del).cast("int").alias("live"),
-        F.when(is_del, F.lit(0)).otherwise(F.xxhash64(*ordered)).alias("h"),
-    )
-
-
-def _resolve(df: DataFrame, key, schema: T.StructType) -> DataFrame:
-    """Last-writer-wins resolution over (base ∪ delta) rows: keep the
-    max-``_lsn`` row per key (seed rows with NULL ``_lsn`` rank lowest,
-    ties broken by ``_lsn_rank``'s deterministic content rank), drop
-    keys whose winner is a tombstone. One hash-aggregate shuffle on
-    the key (the full column tuple for composite keys) -- max_by has a
-    partial aggregate, so hot keys map-side combine (the skew defense
-    for this reduction)."""
-    ks = _keylist(key)
-    payload = [c for c in df.columns if c not in ks]
-    types = {f.name: f.dataType for f in schema.fields}
-    content = [c for c in payload
-               if c not in (LSN_COL, DELETED_COL)
-               and _hashable(types.get(c, T.StringType()))]
-    winner = F.max_by(
-        F.struct(*payload),
-        _lsn_rank(content, F.coalesce(F.col(DELETED_COL), F.lit(False))),
-    )
-    out = df.groupBy(*ks).agg(winner.alias("_w")).select(*ks, "_w.*")
-    return out.filter(
-        ~F.coalesce(F.col(DELETED_COL), F.lit(False))
-    ).select(*[f.name for f in schema.fields])
-
-
-#: integral promotion ladder for type widening (Iceberg UpdateSchema)
-_WIDEN_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
-
-
-def _widens(old: T.DataType, new: T.DataType) -> bool:
-    """True iff ``new`` is a legal type WIDENING of ``old`` -- Iceberg's
-    promotion set: the integral ladder up to long, float -> double, and
-    decimal precision growth at fixed scale. Safe because every old
-    value is exactly representable in the new type, and Spark's parquet
-    readers (vectorized included) upcast old narrow files to the wider
-    read schema natively -- no data rewrite."""
-    if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
-        return new.scale == old.scale and new.precision > old.precision
-    ro = _WIDEN_RANK.get(old.typeName())
-    rn = _WIDEN_RANK.get(new.typeName())
-    if ro is not None and rn is not None:
-        return rn > ro
-    return old.typeName() == "float" and new.typeName() == "double"
-
-
-def _evolved_schema(m: dict[str, Any], batch_df: DataFrame, op_col: str,
-                    lsn_col: str) -> T.StructType:
-    """Schema evolution (Iceberg: UpdateSchema): new payload columns in
-    the batch are appended (nullable) to the table schema, and an
-    existing column arriving with a legally WIDER type (``_widens``)
-    widens the table column -- old data files are read upcast, new
-    files are written wide. Any other type drift keeps the table type
-    (the batch column is cast by ``_align``, the pre-evolution
-    behavior)."""
-    table_schema = T.StructType.fromJson(m["schema"])
-    payload_cols = [c for c in batch_df.columns if c not in (op_col, lsn_col)]
-    batch_fields = {f.name: f for f in batch_df.schema.fields
-                    if f.name in payload_cols}
-    fields = [
-        # the MERGE KEY never widens: bucket placement is
-        # xxhash64(key-as-its-type), so changing the key's type would
-        # re-bucket new rows away from their old versions and resurrect
-        # duplicates (a wider batch key is cast down by _align instead)
-        T.StructField(f.name, batch_fields[f.name].dataType, f.nullable,
-                      f.metadata)
-        if f.name not in _keylist(m["key"]) and f.name in batch_fields
-        and _widens(f.dataType, batch_fields[f.name].dataType)
-        else f
-        for f in table_schema.fields
-    ]
-    known = set(table_schema.fieldNames())
-    fields += [
-        T.StructField(f.name, f.dataType, True)
-        for f in batch_df.schema.fields
-        if f.name in payload_cols and f.name not in known
-    ]
-    return T.StructType(fields)
-
-
-def _buckets_changed_between(old: dict[str, Any], new: dict[str, Any]) -> set[str]:
-    """Bucket ids whose base or delta file lists differ between two
-    manifests -- the exact footprint of the commits between them (used
-    by the copy-on-write rebase disjointness check)."""
-    out: set[str] = set()
-    for which in ("buckets", "deltas"):
-        o, n = old.get(which, {}), new.get(which, {})
-        out |= {b for b in set(o) | set(n) if o.get(b, []) != n.get(b, [])}
-    return out
-
-
-def _list_bucket_files(fs: LocalFS, out_dir: str, rel: str) -> dict[str, list[str]]:
-    files: dict[str, list[str]] = {}
-    if fs.exists(out_dir):
-        for d in fs.listdir(out_dir):
-            if d.startswith("_b="):
-                b = d.split("=", 1)[1]
-                files[b] = [
-                    os.path.join(rel, d, f)
-                    for f in fs.listdir(os.path.join(out_dir, d))
-                    if f.endswith(".parquet")
-                ]
-    return files
-
-
-#: Spark types whose parquet footer min/max are collected as file-level
-#: ZONE MAPS (manifest "stats"). Strings are included: the parquet spec
-#: REQUIRES stored min_value/max_value to be valid envelopes (a writer
-#: that truncates must round the max up), python/Java/parquet all
-#: compare UTF-8 strings in the same order (UTF-8 byte order ==
-#: codepoint order), and this engine only harvests footers of files its
-#: own pinned session wrote (Spark 4 writes string stats untruncated --
-#: verified empirically with >64-byte values). Oversized string bounds
-#: (> _ZONE_STR_CAP chars) are dropped per file to keep manifests
-#: small. Decimals/binary/complex are out of scope. Missing stats
-#: always mean "keep the file" -- pruning is an optimization, never a
-#: correctness dependency.
-_ZONE_TYPES = (
-    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-    T.FloatType, T.DoubleType, T.BooleanType,
-    T.TimestampType, T.TimestampNTZType, T.DateType,
-    T.StringType,
-)
-
-#: longest string bound kept in a zone map (urls/keys are well under
-#: this; a document-body column would bloat every manifest)
-_ZONE_STR_CAP = 256
-
-
-_TS_KEY = "spark.sql.parquet.outputTimestampType"
-_TSW_LOCK = __import__("threading").Lock()
-_TSW_STATE: dict[int, list] = {}  # id(spark) -> [depth, saved_value]
-
-
-@contextlib.contextmanager
-def _ts_micros(spark: SparkSession):
-    """Spark's legacy INT96 parquet timestamps carry NO footer min/max
-    stats, which would blind the zone maps; write TIMESTAMP_MICROS (the
-    modern int64 encoding Iceberg/Delta require) for the duration of a
-    synchronous table write. The conf is SESSION-global and Spark has
-    no per-write override (verified: the DataFrameWriter option is
-    ignored), so the guard is REFCOUNTED per session: concurrent
-    LakeTable writers in one SparkSession nest safely -- the saved
-    value is restored only when the last writer exits."""
-    sid = id(spark)
-    with _TSW_LOCK:
-        st = _TSW_STATE.get(sid)
-        if st is None:
-            st = _TSW_STATE[sid] = [0, spark.conf.get(_TS_KEY)]
-            spark.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
-        st[0] += 1
-    try:
-        yield
-    finally:
-        with _TSW_LOCK:
-            st = _TSW_STATE[sid]
-            st[0] -= 1
-            if st[0] == 0:
-                spark.conf.set(_TS_KEY, st[1])
-                del _TSW_STATE[sid]
-
-
-def _enc_stat(v: Any) -> Any:
-    """JSON-safe, ORDER-PRESERVING encoding of a footer stat: datetimes
-    as fixed-width zero-padded 'YYYY-MM-DDTHH:MM:SS.ffffff' strings
-    (lexicographic == chronological -- strftime's %Y would NOT pad a
-    year-999 mistyped date, which would sort after 2024 and poison the
-    zone), dates as ISO (isoformat pads), numbers/bools as themselves.
-    Timestamp stats arrive from pyarrow as UTC wall-clock."""
-    import datetime as _dt
-
-    if isinstance(v, _dt.datetime):
-        return (f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
-                f"T{v.hour:02d}:{v.minute:02d}:{v.second:02d}"
-                f".{v.microsecond:06d}")
-    if isinstance(v, _dt.date):
-        return v.isoformat()
-    return v
-
-
-def _inherit_stats(mp: dict[str, Any]) -> dict[str, Any]:
-    """Parent zone maps survive into a child commit only when their
-    stamped format is current (STATS_FORMAT) -- stale-format entries
-    must not be laundered into a freshly stamped manifest, or an
-    unsound pre-fix zone would regain the planner's trust."""
-    return mp.get("stats", {}) if mp.get("stats_format") == STATS_FORMAT else {}
-
-
-def _zone_kind(dt: T.DataType) -> str | None:
-    """Coarse type class a range bound must match for PRUNING to be
-    allowed on the column (the residual filter handles everything else
-    exactly): 'num', 'float' (num that can hold NaN), 'ts' (session-tz
-    timestamps), 'ntz', 'date', 'bool', 'str'."""
-    if isinstance(dt, (T.FloatType, T.DoubleType)):
-        return "float"
-    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        return "num"
-    if isinstance(dt, T.TimestampType):
-        return "ts"
-    if isinstance(dt, T.TimestampNTZType):
-        return "ntz"
-    if isinstance(dt, T.DateType):
-        return "date"
-    if isinstance(dt, T.BooleanType):
-        return "bool"
-    if isinstance(dt, T.StringType):
-        return "str"
-    return None
-
-
-def _session_tz() -> str:
-    try:
-        s = SparkSession.getActiveSession()
-        if s is not None:
-            return s.conf.get("spark.sql.session.timeZone")
-    except Exception:
-        pass
-    return "UTC"
-
-
-def _enc_bound(v: Any, kind: str | None, tz: str | None = None) -> Any:
-    """Encode a predicate bound for comparison against stored zone
-    strings/numbers -- or None when the bound is absent OR its Python
-    type does not match the column's ``kind`` (then the file is never
-    pruned on it; the residual filter still applies the bound exactly).
-    Type matching is strict because cross-type string comparison is
-    ordered but WRONG (a datetime bound vs a date zone prunes boundary
-    days; Spark's own cast semantics differ from lexicographic).
-    Naive 'ts' bounds are interpreted in ``tz`` -- the READING session's
-    timeZone, passed down by ``read`` so prune and residual filter
-    always agree -- and converted to UTC, the clock the footer stats
-    are stored in."""
-    import datetime as _dt
-
-    if v is None or kind is None:
-        return None
-    if kind == "ts":
-        if not isinstance(v, _dt.datetime):
-            return None
-        if v.tzinfo is None:
-            try:
-                from zoneinfo import ZoneInfo
-
-                v = v.replace(tzinfo=ZoneInfo(tz or _session_tz()))
-            except Exception:
-                # Spark accepts offset-style timeZone values ('+08:00',
-                # 'GMT+8') that ZoneInfo does not: never let pruning
-                # crash a read -- just don't prune on this bound
-                return None
-        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        return _enc_stat(v)
-    if kind == "ntz":
-        if not isinstance(v, _dt.datetime) or v.tzinfo is not None:
-            return None
-        return _enc_stat(v)
-    if kind == "date":
-        if isinstance(v, _dt.datetime) or not isinstance(v, _dt.date):
-            return None
-        return v.isoformat()
-    if kind in ("num", "float"):
-        if isinstance(v, bool) or not isinstance(v, (int, float)):
-            return None
-        return v
-    if kind == "bool":
-        return v if isinstance(v, bool) else None
-    if kind == "str":
-        # python str comparison (codepoint order) == Spark UTF8String /
-        # parquet unsigned-byte order: UTF-8 preserves codepoint order
-        return v if isinstance(v, str) else None
-    return None
-
-
-def _disjoint(fz: dict | None, enc: dict[str, tuple]) -> bool:
-    """True iff a file with zone maps ``fz`` PROVABLY contains no row
-    satisfying the pre-encoded range conjunction. Missing stats /
-    missing column / type-mismatched bound => False (keep the file) --
-    pruning is never a correctness dependency.
-
-    NaN guard: parquet min/max EXCLUDE NaN, and Spark orders NaN above
-    every double, so a float file pruned by ``max < lo`` could still
-    hold NaN rows that satisfy ``col >= lo``. That prune is therefore
-    allowed only when an upper bound also exists (NaN fails
-    ``col <= hi`` for every real hi); the ``min > hi`` prune is always
-    sound for the same reason."""
-    if not fz:
-        return False
-    for col, (lo, hi, kind, has_hi) in enc.items():
-        z = fz.get(col)
-        if z is None:
-            continue
-        zlo, zhi = z
-        try:
-            if lo is not None and zhi < lo and (kind != "float" or has_hi):
-                return True
-            if hi is not None and zlo > hi:
-                return True
-        except TypeError:  # stored stat shape unexpected: never prune
-            continue
-    return False
-
-
-def _footer_stats(
-    fs: LocalFS, root: str, new_files: dict[str, list[str]],
-    schema: T.StructType | None = None,
-) -> tuple[dict[str, dict[str, Any]], dict[str, dict[str, list]]]:
-    """Per-bucket (row_count, min_lsn, max_lsn) lineage AND per-file
-    column zone maps from parquet footers of just-written files --
-    WITHOUT a Spark job. Footers carry per-row-group column statistics;
-    driver-side cost is O(files), and the files are page-cache hot.
-    Zone maps cover ``schema``'s :data:`_ZONE_TYPES` columns (pass None
-    to skip); a column with no usable stats (e.g. all-NULL tombstone
-    payloads) is simply absent from that file's entry."""
-    import pyarrow.parquet as pq
-
-    zone_cols = {
-        f.name for f in (schema.fields if schema is not None else [])
-        if isinstance(f.dataType, _ZONE_TYPES)
-    }
-    out: dict[str, dict[str, Any]] = {}
-    zones: dict[str, dict[str, list]] = {}
-    for b, files in new_files.items():
-        n = 0
-        mn: int | None = None
-        mx: int | None = None
-        for rel in files:
-            with fs.open_read(os.path.join(root, rel)) as fobj:
-                md = pq.ParquetFile(fobj).metadata
-            n += md.num_rows
-            fz: dict[str, list] = {}
-            for i in range(md.num_columns):
-                name = md.schema.column(i).name
-                if name != LSN_COL and name not in zone_cols:
-                    continue
-                lo = hi = None
-                complete = True
-                for rg in range(md.num_row_groups):
-                    cc = md.row_group(rg).column(i)
-                    st = cc.statistics
-                    if st is not None and st.has_min_max:
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-                    elif not (st is not None and st.has_null_count
-                              and st.null_count == cc.num_values):
-                        # this row group holds (or may hold) non-null
-                        # values the writer left un-summarized -- e.g.
-                        # parquet suppresses float min/max when a chunk
-                        # contains NaN. A zone built from the OTHER row
-                        # groups would be narrower than the data and
-                        # pruning would silently drop rows: withhold
-                        # the column's zone for this file entirely.
-                        complete = False
-                if name == LSN_COL:
-                    mn = lo if mn is None else (lo if lo is not None and lo < mn else mn)
-                    mx = hi if mx is None else (hi if hi is not None and hi > mx else mx)
-                if name in zone_cols and lo is not None and complete:
-                    if isinstance(lo, str) and (
-                            len(lo) > _ZONE_STR_CAP or len(hi) > _ZONE_STR_CAP):
-                        continue  # bound too big for the manifest: no zone
-                    fz[name] = [_enc_stat(lo), _enc_stat(hi)]
-            if fz:
-                zones[rel] = fz
-        out[b] = {"row_count": n, "min_lsn": mn, "max_lsn": mx}
-    return out, zones
-
-
-def _align(df: DataFrame, schema: T.StructType, keep: list[str] | None = None) -> DataFrame:
-    """Project df onto schema column order, adding missing columns as
-    typed NULLs and casting to the table types (the engine's analogue of
-    the reference's canonical type conversion layer,
-    /root/reference/src/YADAMU/common/yadamuLibrary.js:10-67)."""
-    cols = []
-    for f in schema.fields:
-        if f.name in df.columns:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-        else:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-    for k in keep or []:
-        if k in df.columns:
-            cols.append(F.col(k))
-    return df.select(*cols)
-
-
-def _cap(applied: dict[str, Any], keep: int = 1000) -> dict[str, Any]:
-    """Bound the fencing ledger. Streaming batch ids are monotonic, so
-    only recent ids can ever be replayed; 1000 is far beyond any
-    realistic replay window."""
-    if len(applied) <= keep:
-        return applied
-    items = sorted(applied.items(), key=lambda kv: kv[1]["version"])
-    return dict(items[-keep:])
-
-
-def _utc_now_iso() -> str:
-    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
