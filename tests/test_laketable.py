@@ -1451,3 +1451,28 @@ def test_row_count_metadata_fast_path(spark, tmp_table_root, mode):
 
     # time travel: the pinned append-only snapshot still counts exactly
     assert t.row_count(version=2) == 25
+
+
+def test_row_count_is_metadata_only_after_commit(spark, tmp_table_root):
+    """file_rows (per-file record_count recorded at commit time) must
+    answer row_count() with ZERO data-file I/O -- the Iceberg manifest
+    count pushdown. Pre-file_rows manifests fall back to footer reads."""
+    t = mk(spark, tmp_table_root, merge_mode="cow")
+    t.merge(spark, batch(spark, [("a", "1", "I", 1), ("b", "2", "I", 2),
+                                 ("c", "3", "I", 3)]), batch_id=0)
+    m = t.manifest()
+    assert m.get("file_rows"), "commit must stamp per-file row counts"
+    assert sum(m["file_rows"].values()) == 3
+    opened = []
+    orig = t.fs.open_read
+    t.fs.open_read = lambda p: (opened.append(p), orig(p))[1]
+    try:
+        assert t.row_count() == 3
+        assert opened == [], "fast path must not touch data files"
+    finally:
+        t.fs.open_read = orig
+    # the map follows rewrites and prunes to live files
+    t.merge(spark, batch(spark, [("b", None, "D", 4)]), batch_id=1)
+    assert t.row_count() == 2
+    live = {f for fl in t.manifest()["buckets"].values() for f in fl}
+    assert set(t.manifest()["file_rows"]) <= live

@@ -601,9 +601,13 @@ def _disjoint(fz: dict | None, enc: dict[str, tuple]) -> bool:
 def _footer_stats(
     fs: LocalFS, root: str, new_files: dict[str, list[str]],
     schema: T.StructType | None = None,
-) -> tuple[dict[str, dict[str, Any]], dict[str, dict[str, list]]]:
-    """Per-bucket (row_count, min_lsn, max_lsn) lineage AND per-file
-    column zone maps from parquet footers of just-written files --
+) -> tuple[dict[str, dict[str, Any]], dict[str, dict[str, list]],
+           dict[str, int]]:
+    """Per-bucket (row_count, min_lsn, max_lsn) lineage, per-file
+    column zone maps, AND per-file exact row counts (the manifest
+    ``file_rows`` map -- Iceberg's per-file ``record_count``, letting
+    ``row_count()`` answer count(*) from the manifest alone, no footer
+    round-trips) from parquet footers of just-written files --
     WITHOUT a Spark job. Footers carry per-row-group column statistics;
     driver-side cost is O(files), and the files are page-cache hot.
     Zone maps cover ``schema``'s :data:`_ZONE_TYPES` columns (pass None
@@ -617,6 +621,7 @@ def _footer_stats(
     }
     out: dict[str, dict[str, Any]] = {}
     zones: dict[str, dict[str, list]] = {}
+    file_rows: dict[str, int] = {}
     for b, files in new_files.items():
         n = 0
         mn: int | None = None
@@ -625,6 +630,7 @@ def _footer_stats(
             with fs.open_read(os.path.join(root, rel)) as fobj:
                 md = pq.ParquetFile(fobj).metadata
             n += md.num_rows
+            file_rows[rel] = md.num_rows
             fz: dict[str, list] = {}
             for i in range(md.num_columns):
                 name = md.schema.column(i).name
@@ -659,7 +665,7 @@ def _footer_stats(
             if fz:
                 zones[rel] = fz
         out[b] = {"row_count": n, "min_lsn": mn, "max_lsn": mx}
-    return out, zones
+    return out, zones, file_rows
 
 
 def _align(df: DataFrame, schema: T.StructType, keep: list[str] | None = None) -> DataFrame:

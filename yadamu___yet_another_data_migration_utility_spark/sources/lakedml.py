@@ -194,6 +194,7 @@ class DmlMixin:
         new_delta: dict[str, list[str]] = {}
         n_hit = n_ins = 0
         zone: dict[str, Any] = {}
+        rows_map: dict[str, int] = {}
         fold = sorted(delta_buckets)
 
         if mode == "cow":
@@ -273,8 +274,9 @@ class DmlMixin:
             if n_hit == 0 and n_ins == 0:
                 self.fs.rmtree(base_dir)
                 return None, 0, 0
-            _, zz = _footer_stats(self.fs, self.root, new_base, schema=schema)
+            _, zz, fr = _footer_stats(self.fs, self.root, new_base, schema=schema)
             zone.update(zz)
+            rows_map.update(fr)
         else:
             # mor: survivors rewrite as base; replacements land as delta
             # rows (O(df), no bucket fold needed -- readers resolve)
@@ -290,9 +292,10 @@ class DmlMixin:
                     new_base, plain_rel, fold = {}, [], []
                 else:
                     out_dirs.append(base_dir)
-                    _, zz = _footer_stats(
+                    _, zz, fr = _footer_stats(
                         self.fs, self.root, new_base, schema=schema)
                     zone.update(zz)
+            rows_map.update(fr)
             iobs = Observation(f"overwrite_ins_{m['version'] + 1}")
             ins_dir, ins_rel = self._new_commit_dir(m["version"] + 1)
             with _ts_micros(spark):
@@ -330,8 +333,9 @@ class DmlMixin:
                     self.fs.rmtree(d)
                 return None, 0, 0
             new_delta = _list_bucket_files(self.fs, ins_dir, ins_rel)
-            _, zz = _footer_stats(self.fs, self.root, new_delta, schema=schema)
+            _, zz, fr = _footer_stats(self.fs, self.root, new_delta, schema=schema)
             zone.update(zz)
+            rows_map.update(fr)
 
         plain_set = set(plain_rel)
         buckets: dict[str, list[str]] = {}
@@ -370,6 +374,7 @@ class DmlMixin:
             },
             "lineage": [],
             "stats": {**_inherit_stats(m), **zone},
+            "file_rows": {**m.get("file_rows", {}), **rows_map},
             "summary": {
                 "operation": "overwrite",
                 "mode": mode,
@@ -715,7 +720,7 @@ class DmlMixin:
         # delete_where, it must NOT advance the watermark or claim an
         # applied-LSN range no data carries
         stamped = bool(counts["rows_updated"] or counts["rows_inserted"])
-        _, zone = _footer_stats(self.fs, self.root, new_files,
+        _, zone, frows = _footer_stats(self.fs, self.root, new_files,
                                 schema=schema)
         touched_set = set(touched)
         buckets = {b: (new_files.get(b, []) if int(b) in touched_set
@@ -754,6 +759,7 @@ class DmlMixin:
             },
             "lineage": [],
             "stats": {**_inherit_stats(m), **zone},
+            "file_rows": {**m.get("file_rows", {}), **frows},
             "summary": {
                 "operation": "merge_into",
                 **counts,
@@ -952,7 +958,7 @@ class DmlMixin:
             self.fs.rmtree(out_dir)
             return None, 0
 
-        _, zone = _footer_stats(self.fs, self.root, new_files, schema=schema)
+        _, zone, frows = _footer_stats(self.fs, self.root, new_files, schema=schema)
         plain_set = set(plain_rel)
         buckets: dict[str, list[str]] = {}
         for b, fl in m["buckets"].items():
@@ -988,6 +994,7 @@ class DmlMixin:
             },
             "lineage": [],
             "stats": {**_inherit_stats(m), **zone},
+            "file_rows": {**m.get("file_rows", {}), **frows},
             "summary": {
                 "operation": op,
                 ("rows_deleted" if assignments is None

@@ -110,7 +110,7 @@ class MaintenanceMixin:
         new_files, _, out_dir = self._write_bucketed(
             spark, df, m, sort_within=sort_within, distribute=False
         )
-        _, zone = _footer_stats(
+        _, zone, frows = _footer_stats(
             self.fs, self.root, new_files,
             schema=T.StructType.fromJson(m["schema"]))
         v = m["version"] + 1
@@ -128,6 +128,7 @@ class MaintenanceMixin:
             "audit": None,
             "lineage": [],
             "stats": {**_inherit_stats(m), **zone},
+            "file_rows": {**m.get("file_rows", {}), **frows},
             "summary": {"operation": "compact", "buckets_rewritten": len(fat)},
             "committed_at": _utc_now_iso(),
         }
@@ -170,7 +171,7 @@ class MaintenanceMixin:
         m_new = {**m, "bucket_count": nb}
         new_files, n_rows, out_dir = self._write_bucketed(
             spark, df, m_new, distribute=False)
-        _, zone = _footer_stats(
+        _, zone, frows = _footer_stats(
             self.fs, self.root, new_files,
             schema=T.StructType.fromJson(m["schema"]))
         v = m["version"] + 1
@@ -184,6 +185,7 @@ class MaintenanceMixin:
             "audit": None,
             "lineage": [],
             "stats": zone,
+            "file_rows": frows,
             "summary": {
                 "operation": "rebucket",
                 "from_bucket_count": m["bucket_count"],
@@ -341,7 +343,7 @@ class MaintenanceMixin:
             # from every range-pruned read). Driver-side O(files).
             covered = [f for f in zstats if f in head_files]
             if covered:
-                _, actual = _footer_stats(
+                _, actual, _fr = _footer_stats(
                     self.fs, self.root, {"_fsck": covered},
                     schema=T.StructType.fromJson(head["schema"]),
                 )
@@ -403,7 +405,7 @@ class MaintenanceMixin:
         new_schema = T.StructType([f for f in schema.fields if f.name != name])
         df = self.read(spark).drop(name)
         new_files, n_rows, out_dir = self._write_bucketed(spark, df, m)
-        _, zone = _footer_stats(self.fs, self.root, new_files, schema=new_schema)
+        _, zone, frows = _footer_stats(self.fs, self.root, new_files, schema=new_schema)
         manifest = {
             **m,
             "version": m["version"] + 1,
@@ -414,6 +416,7 @@ class MaintenanceMixin:
             "audit": None,
             "lineage": [],
             "stats": zone,
+            "file_rows": frows,
             "summary": {
                 "operation": "drop_column",
                 "column": name,
@@ -469,7 +472,7 @@ class MaintenanceMixin:
         # bucket under the RENAMED key: same values -> same placement
         new_files, n_rows, out_dir = self._write_bucketed(
             spark, df, {**m, "key": new_key})
-        _, zone = _footer_stats(self.fs, self.root, new_files,
+        _, zone, frows = _footer_stats(self.fs, self.root, new_files,
                                 schema=new_schema)
         manifest = {
             **m,
@@ -482,6 +485,7 @@ class MaintenanceMixin:
             "audit": None,
             "lineage": [],
             "stats": zone,
+            "file_rows": frows,
             "summary": {
                 "operation": "rename_column",
                 "from": old,

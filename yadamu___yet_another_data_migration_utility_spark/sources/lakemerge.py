@@ -81,7 +81,7 @@ class MergeMixin:
                 raise ConstraintViolation(
                     f"append aborted: constraint violations {viol} "
                     f"(checks: { {n: cons[n] for n in viol} })")
-        _, zone = _footer_stats(self.fs, self.root, new_files, schema=schema)
+        _, zone, frows = _footer_stats(self.fs, self.root, new_files, schema=schema)
 
         def build(mp: dict[str, Any]) -> dict[str, Any]:
             # rebase: appending base files composes with any intervening
@@ -113,6 +113,7 @@ class MergeMixin:
                 },
                 "lineage": [],
                 "stats": {**_inherit_stats(mp), **zone},
+                "file_rows": {**mp.get("file_rows", {}), **frows},
                 "summary": {"operation": "append", "rows_written": n_rows},
                 "committed_at": _utc_now_iso(),
             }
@@ -249,7 +250,7 @@ class MergeMixin:
         # zone maps are collected UNCONDITIONALLY (the footers are open
         # anyway); collect_lineage gates only the lineage rows -- the
         # two features are independent
-        per_bucket, zone = _footer_stats(
+        per_bucket, zone, frows = _footer_stats(
             self.fs, self.root, new_files, schema=table_schema,
         )
         if collect_lineage:
@@ -299,6 +300,7 @@ class MergeMixin:
                 "audit": audit,
                 "lineage": lineage,
                 "stats": {**_inherit_stats(mp), **zone},
+                "file_rows": {**mp.get("file_rows", {}), **frows},
                 "summary": {"operation": "merge", "mode": "mor", "rows_written": n_in},
                 "committed_at": _utc_now_iso(),
             }
@@ -418,7 +420,7 @@ class MergeMixin:
             new_files, n_out, out_dir = self._write_bucketed(
                 spark, result, {**m, "schema": table_schema.jsonValue()}
             )
-            _, zone = _footer_stats(
+            _, zone, frows = _footer_stats(
                 self.fs, self.root, new_files, schema=table_schema)
         finally:
             src.unpersist()
@@ -485,6 +487,7 @@ class MergeMixin:
                 "audit": audit,
                 "lineage": lineage,
                 "stats": {**_inherit_stats(mp), **zone},
+                "file_rows": {**mp.get("file_rows", {}), **frows},
                 "summary": {"operation": "merge", "mode": "cow", "rows_written": n_out},
                 "committed_at": _utc_now_iso(),
             }
@@ -595,7 +598,7 @@ class MergeMixin:
                 )
             got = obs.get
             new_files = _list_bucket_files(self.fs, out_dir, rel_dir)
-            per_bucket, zone = _footer_stats(
+            per_bucket, zone, frows = _footer_stats(
                 self.fs, self.root, new_files, schema=table_schema)
             lineage = [
                 {"batch_id": batch_id, "bucket": int(b), **fstats}
@@ -620,6 +623,7 @@ class MergeMixin:
             "max_lsn": got["mx"],
             "lineage": lineage,
             "stats": zone,
+            "file_rows": frows,
             "staged_at": _utc_now_iso(),
         }
         self.fs.put_atomic(frag_path, json.dumps(frag))
@@ -745,6 +749,7 @@ class MergeMixin:
                 "audit": audit,
                 "lineage": frag["lineage"],
                 "stats": {**_inherit_stats(mp), **frag["stats"]},
+                "file_rows": {**mp.get("file_rows", {}), **frag.get("file_rows", {})},
                 "summary": {"operation": "merge", "mode": "mor",
                             "rows_written": n_in, "staged": True},
                 "committed_at": _utc_now_iso(),

@@ -420,6 +420,7 @@ class RefsMixin:
                 "lsn_high": max(mp.get("lsn_high") or 0,
                                 tgt.get("lsn_high") or 0) + 1,
                 "stats": stats,
+                "file_rows": tgt.get("file_rows", {}),
                 "audit": None,
                 "lineage": [],
                 "summary": {"operation": "rollback", "target": target,

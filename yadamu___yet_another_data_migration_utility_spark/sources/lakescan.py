@@ -769,19 +769,25 @@ class ScanMixin:
         any bucket still carries deltas (read-side resolution could
         drop or overwrite rows; fall back to ``read().count()``).
 
-        Scale note: Iceberg answers this without touching data files at
-        all by recording ``record_count`` per file in its manifests; the
-        port point here is stamping ``num_rows`` next to the zone maps
-        at harvest time (``_footer_stats`` already holds it) if footer
-        round-trips ever matter on an object store."""
+        Scale: the manifest's ``file_rows`` map (per-file exact row
+        counts recorded at commit time from the footers every write
+        already reads -- Iceberg's per-file ``record_count``) answers
+        this WITHOUT touching data files: O(referenced files) dict
+        lookups, zero I/O. Files a pre-``file_rows`` commit wrote fall
+        back to one footer read each; any commit that rewrites them
+        (compact, cow) stamps them."""
         import pyarrow.parquet as pq
 
         m = self.manifest(version)
         if any(fl for fl in m.get("deltas", {}).values()):
             return None
+        fr = m.get("file_rows", {})
         n = 0
         for files in m.get("buckets", {}).values():
             for rel in files:
+                if rel in fr:
+                    n += int(fr[rel])
+                    continue
                 with self.fs.open_read(
                         os.path.join(self.root, rel)) as fobj:
                     n += pq.ParquetFile(fobj).metadata.num_rows

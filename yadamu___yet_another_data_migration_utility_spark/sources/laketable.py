@@ -346,7 +346,8 @@ class LakeTable(RefsMixin, ScanMixin, MergeMixin, DmlMixin,
         ``expected_parent`` is redundant under the name-CAS (version
         N's uniqueness implies the parent chain) but kept for error
         clarity."""
-        if manifest.get("stats") or manifest.get("bloom_files"):
+        if (manifest.get("stats") or manifest.get("bloom_files")
+                or manifest.get("file_rows")):
             # bound the zone-map and bloom-index sections: drop entries
             # for files no commit references anymore (cow/compact/
             # rebucket rewrote them) -- one dict filter per commit,
@@ -359,6 +360,10 @@ class LakeTable(RefsMixin, ScanMixin, MergeMixin, DmlMixin,
             if manifest.get("stats"):
                 manifest["stats"] = {
                     k: s for k, s in manifest["stats"].items() if k in ref
+                }
+            if manifest.get("file_rows"):
+                manifest["file_rows"] = {
+                    k: n for k, n in manifest["file_rows"].items() if k in ref
                 }
             if manifest.get("bloom_files"):
                 # keep a sidecar ref while ANY covered file is live;
