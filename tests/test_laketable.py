@@ -1476,3 +1476,26 @@ def test_row_count_is_metadata_only_after_commit(spark, tmp_table_root):
     assert t.row_count() == 2
     live = {f for fl in t.manifest()["buckets"].values() for f in fl}
     assert set(t.manifest()["file_rows"]) <= live
+
+
+def test_validate_deep_catches_wrong_file_rows(spark, tmp_table_root):
+    """A corrupted per-file record count must be reported by the deep
+    fsck: unlike zone maps (prune-only, over-approximation is safe),
+    file_rows feeds row_count() directly -- a wrong entry is a wrong
+    COUNT(*) answer."""
+    t = mk(spark, tmp_table_root, merge_mode="cow")
+    t.merge(spark, batch(spark, [("a", "1", "I", 1), ("b", "2", "I", 2)]),
+            batch_id=0)
+    assert t.validate(spark, deep=True)["ok"]
+    # corrupt one recorded count in a NEW manifest (manifests are
+    # immutable -- forge the corruption the way an engine bug would
+    # surface it: a bad value in the head)
+    m = t.manifest()
+    rel = next(iter(m["file_rows"]))
+    m["file_rows"][rel] = int(m["file_rows"][rel]) + 5
+    m["version"] += 1
+    m["parent"] = m["version"] - 1
+    t.fs.put_if_absent(t._manifest_path(m["version"]), json.dumps(m))
+    res = t.validate(spark, deep=True)
+    assert not res["ok"]
+    assert any("file_rows" in i and "footer" in i for i in res["issues"])

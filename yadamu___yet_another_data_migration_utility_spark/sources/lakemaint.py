@@ -369,6 +369,24 @@ class MaintenanceMixin:
                                     f"stats {rel}.{col}: stored zone type "
                                     "mismatches footer stat")
                 checked["stats_verified"] = len(covered)
+            # file_rows exactness: a wrong per-file record count makes
+            # row_count() lie silently (the one place the fast path is
+            # a correctness dependency, unlike zone maps which only
+            # over-approximate). Recompute each covered file's footer
+            # count; the fsck's own _footer_stats pass above cannot be
+            # reused (it only scanned zone-covered files).
+            frmap = {f: n for f, n in (head.get("file_rows") or {}).items()
+                     if f in head_files}
+            if frmap:
+                _, _, actual_rows = _footer_stats(
+                    self.fs, self.root, {"_fsck_rows": sorted(frmap)})
+                for rel, n in sorted(frmap.items()):
+                    real = actual_rows.get(rel)
+                    if real is not None and int(n) != int(real):
+                        issues.append(
+                            f"file_rows {rel}: recorded {n} != footer "
+                            f"{real} -- metadata count(*) would be wrong")
+                checked["file_rows_verified"] = len(frmap)
         return {"ok": not issues, "issues": issues, "checked": checked}
 
     def drop_column(self, spark: SparkSession, name: str) -> int:
