@@ -310,3 +310,45 @@ def test_null_probe_matches_nothing():
     # and None never aliases the literal string "None"
     p_str = bloomindex.positions("None", 1024, 5)
     assert p_str and all(0 <= p < 1024 for p in p_str)
+
+
+def test_maintain_restores_bloom_coverage_after_compact(spark, tmp_path):
+    """Compaction rewrites indexed files, orphaning their bloom entries;
+    the maintenance advisor must flag the coverage hole and
+    maintain(apply=True) must re-harvest AFTER the compact so the
+    rewritten files are covered too -- the auto-compaction daemon's
+    bloom half."""
+    from yadamu___yet_another_data_migration_utility_spark.sources.laketable import (
+        LakeTable,
+    )
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("url", T.StringType()),
+                           T.StructField("val", T.StringType())])
+    t = LakeTable.create(str(tmp_path / "b"), schema, key="url",
+                         bucket_count=2, merge_mode="mor")
+    t.merge(spark, spark.createDataFrame(
+        [(f"u{i}", f"v{i}", "I", i + 1) for i in range(12)],
+        "url string, val string, op string, lsn long"), batch_id=0)
+    t.compact(spark, all_deltas=True)
+    t.harvest_blooms(spark)
+    # no hole right after a harvest
+    acts = {a["action"] for a in t.plan_maintenance()["actions"]}
+    assert "harvest_blooms" not in acts
+    # a merge + compact rewrites every bucket: coverage hole appears
+    t.merge(spark, spark.createDataFrame(
+        [("u3", "patched", "U", 99)],
+        "url string, val string, op string, lsn long"), batch_id=1)
+    t.compact(spark, all_deltas=True)
+    plan = t.plan_maintenance()
+    hole = [a for a in plan["actions"] if a["action"] == "harvest_blooms"]
+    assert hole and hole[0]["uncovered_files"] > 0
+    done = t.maintain(spark, apply=True)
+    res = [a for a in done["actions"] if a["action"] == "harvest_blooms"]
+    assert res and res[0]["result"]["files_indexed"] > 0
+    # full coverage restored: every live file rejects an absent key
+    assert t.plan_files(keys=["absent-key"]) == {
+        "plain": [], "delta_resolved": []}
+    # and the advisor is quiet again
+    acts2 = {a["action"] for a in t.plan_maintenance()["actions"]}
+    assert "harvest_blooms" not in acts2

@@ -777,7 +777,8 @@ def cmd_merge_into(args) -> int:
     src = _read_source(spark, args.source, args.format)
     v, counts = t.merge_into(
         spark, src,
-        source_key=args.source_key,
+        source_key=(_key_arg(args.source_key)
+                    if args.source_key else None),
         update_set=update_set,
         update_condition=args.update_condition,
         delete=args.delete,
@@ -813,7 +814,9 @@ def cmd_sync(args) -> int:
     t = _table(args)
     spark = _spark(args.cpus)
     snap = _read_source(spark, args.source, args.format)
-    v, counts = t.sync_from(spark, snap, source_key=args.source_key,
+    v, counts = t.sync_from(spark, snap,
+                             source_key=(_key_arg(args.source_key)
+                                         if args.source_key else None),
                             evolve=args.evolve,
                             allow_empty=args.allow_empty,
                             batch_id=args.batch_id)
@@ -1686,7 +1689,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="source file/dir (parquet by default)")
     sp.add_argument("--format", choices=["parquet", "csv", "json"],
                     default="parquet")
-    sp.add_argument("--source-key", default=None,
+    sp.add_argument("--source-key", default=None,  # comma list = composite
                     help="source column equal to the table key "
                          "(default: the key's own name)")
     sp.add_argument("--set", action="append", default=[],

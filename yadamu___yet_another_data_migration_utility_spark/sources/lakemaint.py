@@ -840,6 +840,34 @@ class MaintenanceMixin:
                 ),
             })
 
+        # bloom-coverage hole: a table that OPTED INTO the bloom index
+        # (blooms_format present) loses coverage every time compact/cow
+        # rewrites indexed files -- the rewrite's fresh files have no
+        # sidecar entry until the next harvest, so point lookups degrade
+        # to bucket scans. The re-harvest is the daemon's job, and it is
+        # incremental (covered files skip), so the action is cheap to
+        # apply whenever the hole is non-empty.
+        from . import bloomindex as _bloomidx
+
+        if m.get("blooms_format") == _bloomidx.BLOOM_FORMAT:
+            live_rels = {e["path"] for e in entries}
+            covered: set[str] = set()
+            for sc_rel, cov in (m.get("bloom_files") or {}).items():
+                if self._bloom_sidecar(sc_rel) is not None:
+                    covered.update(cov)
+            holes = len(live_rels - covered)
+            if holes:
+                actions.append({
+                    "action": "harvest_blooms",
+                    "reason": "bloom_coverage",
+                    "uncovered_files": holes,
+                    "detail": (
+                        f"{holes} of {len(live_rels)} live files lack a "
+                        "readable bloom entry (rewrites orphan their "
+                        "sidecars); incremental re-harvest restores "
+                        "point-lookup file skipping"),
+                })
+
         return {
             "table": self.root,
             "version": m["version"],
@@ -876,6 +904,12 @@ class MaintenanceMixin:
         for a in plan["actions"]:
             if a["action"] == "expire":
                 a["result"] = self.expire_snapshots(keep_last=a["keep_last"])
+        # AFTER compact: the rewrite just produced fresh uncovered files;
+        # the harvest is incremental over the CURRENT head, so one pass
+        # here covers both the plan's holes and the compact's output
+        for a in plan["actions"]:
+            if a["action"] == "harvest_blooms":
+                a["result"] = self.harvest_blooms(spark)
         return plan
 
     # ------------------------------------------------------------------
