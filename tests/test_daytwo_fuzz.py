@@ -85,11 +85,21 @@ def _model_state(m: Model):
             for k, row in m.rows.items()}
 
 
-@pytest.mark.parametrize("seed", [11, 23])
-def test_day2_composition_fuzz(spark, tmp_path, seed):
+@pytest.mark.parametrize("seed,backend", [(11, "local"), (23, "local"),
+                                          (37, "objectfs")])
+def test_day2_composition_fuzz(spark, tmp_path, seed, backend):
     rng = random.Random(seed)
+    fs = None
+    if backend == "objectfs":
+        # the deployable pyarrow backend must survive the same random
+        # compositions the POSIX backend does
+        from yadamu___yet_another_data_migration_utility_spark.sources.fsio import (
+            ObjectFS,
+        )
+
+        fs = ObjectFS()
     t = LakeTable.create(str(tmp_path / "lake"), BASE, key="url",
-                         bucket_count=4, merge_mode="mor")
+                         bucket_count=4, merge_mode="mor", fs=fs)
     model = Model()
     lsn = [0]
     bid = [0]
