@@ -234,3 +234,54 @@ def test_composite_debezium_key_envelope(spark):
     wire = encode_debezium(df, key=["site", "path"], ts_col=None).collect()
     k = json.loads(wire[0]["key"])
     assert k == {"site": "a", "path": "/1"}
+
+
+def test_streaming_replay_composite_key_resume(spark, tmp_path):
+    """End-to-end Structured Streaming replay into a COMPOSITE-key
+    table with a mid-replay restart: the checkpoint + per-batch fence
+    must give exactly-once on the tuple path, and the final state must
+    equal the declarative LWW oracle keyed on (site, path)."""
+    import time as _time
+
+    from yadamu___yet_another_data_migration_utility_spark.fixtures.changelog import (
+        write_wal_segments,
+    )
+    from yadamu___yet_another_data_migration_utility_spark.streaming.stream import (
+        start_replay,
+    )
+
+    rows = [
+        (f"s{i % 3}", f"/p{i % 7}",
+         None if i % 11 == 0 else f"v{i}",
+         "D" if i % 11 == 0 else ("I" if i % 2 else "U"), i + 1)
+        for i in range(120)
+    ]
+    chg = spark.createDataFrame(rows, CHG)
+    wal = str(tmp_path / "wal")
+    write_wal_segments(chg, wal, 4)
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, key=["site", "path"],
+                         bucket_count=4, merge_mode="mor")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.createDataFrame([], CHG).schema
+
+    # first run: stop after at least one batch commits
+    q = start_replay(spark, t, wal, ckpt, schema=schema,
+                     available_now=False)
+    deadline = _time.time() + 60
+    while t.current_version() < 2 and _time.time() < deadline:
+        _time.sleep(0.3)
+    q.stop()
+    assert t.current_version() >= 2, "no batch committed before the kill"
+    # restart: drain the rest; fenced batches replay as no-ops
+    q2 = start_replay(spark, t, wal, ckpt, schema=schema,
+                      available_now=True)
+    q2.awaitTermination(120)
+
+    # oracle: LWW per (site, path) tuple, tombstones win at their lsn
+    state: dict = {}
+    for site, path, val, op, lsn in rows:
+        state[(site, path)] = (val, lsn, op == "D")
+    want = {(k[0], k[1], v[0], v[1]) for k, v in state.items() if not v[2]}
+    got = {(r["site"], r["path"], r["val"], r["_lsn"])
+           for r in t.read(spark).collect()}
+    assert got == want
