@@ -285,3 +285,56 @@ def test_streaming_replay_composite_key_resume(spark, tmp_path):
     got = {(r["site"], r["path"], r["val"], r["_lsn"])
            for r in t.read(spark).collect()}
     assert got == want
+
+
+def test_merge_into_evolve_on_composite_key(tmp_path, spark):
+    """evolve=True on a composite-key table: a renamed source key must
+    NOT evolve in as a payload column, while a genuinely new source
+    column must."""
+    t = _mk(tmp_path, spark)
+    _apply(spark, t, ROWS0, 0)
+    src = spark.createDataFrame(
+        [("a", "/1", "UPD", "extra1")],
+        "s_site string, s_path string, val string, note string")
+    _, counts = t.merge_into(
+        spark, src, source_key=["s_site", "s_path"],
+        update_set="all", evolve=True)
+    assert counts["rows_updated"] == 1
+    names = [f.name for f in t.schema().fields]
+    assert "note" in names
+    assert "s_site" not in names and "s_path" not in names
+    got = {(r["site"], r["path"]): (r["val"], r["note"])
+           for r in t.read(spark, public=True).collect()}
+    assert got[("a", "/1")] == ("UPD", "extra1")
+    assert got[("b", "/2")] == ("v5", None)  # old rows read typed NULL
+
+
+def test_incremental_rollup_over_composite_base(tmp_path, spark):
+    """IncrementalRollup keyed-change discovery must work when the base
+    table's merge key is a column TUPLE (the changed-key semi-join and
+    bucket pruning run over all key columns)."""
+    from yadamu___yet_another_data_migration_utility_spark.streaming.rollup import (
+        IncrementalRollup,
+    )
+
+    schema = T.StructType(list(SCHEMA.fields) +
+                          [T.StructField("n", T.LongType())])
+    t = LakeTable.create(str(tmp_path / "base"), schema,
+                         key=["site", "path"], bucket_count=4,
+                         merge_mode="mor")
+    ddl = "site string, path string, val string, n long, op string, lsn long"
+    t.merge(spark, spark.createDataFrame(
+        [("a", "/1", "x", 10, "I", 1), ("a", "/2", "y", 20, "I", 2),
+         ("b", "/1", "z", 30, "I", 3)], ddl), batch_id=0)
+    ru = IncrementalRollup.create(
+        spark, str(tmp_path / "ru"), t, dims=["site"], sums=["n"])
+    # change one tuple, delete another, insert a new one -> refresh
+    t.merge(spark, spark.createDataFrame(
+        [("a", "/1", "x2", 15, "U", 4), ("b", "/1", None, None, "D", 5),
+         ("b", "/9", "w", 7, "I", 6)], ddl), batch_id=1)
+    ru.refresh(spark)
+    got = {(r["site"]): (r["n_rows"], r["sum_n"])
+           for r in ru.table.read(spark, public=True).collect()
+           if r["n_rows"]}
+    assert got == {"a": (2, 35), "b": (1, 7)}
+    assert ru.verify(spark)["ok"]
