@@ -1499,3 +1499,22 @@ def test_validate_deep_catches_wrong_file_rows(spark, tmp_table_root):
     res = t.validate(spark, deep=True)
     assert not res["ok"]
     assert any("file_rows" in i and "footer" in i for i in res["issues"])
+
+
+def test_overwrite_where_mor_no_real_match_with_inserts(spark, tmp_table_root):
+    """REPLACE WHERE on a mor table where the zone-map candidates hold
+    NO actually-matching row (the speculative survivor rewrite is
+    dropped) while replacements still insert -- regression for the
+    round-4 file_rows wiring, which crashed on this branch
+    (UnboundLocalError) because the dropped rewrite has no footer
+    stats to record."""
+    t = mk(spark, tmp_table_root, merge_mode="mor")
+    t.merge(spark, batch(spark, [("a", "1", "I", 1), ("b", "2", "I", 2)]),
+            batch_id=0)
+    ins = spark.createDataFrame([("z", "9")], "url string, val string")
+    # predicate selects no existing row but accepts the replacement
+    v, n_del, n_ins = t.overwrite_where(
+        spark, ins, predicate="url = 'z'")
+    assert n_del == 0 and n_ins == 1
+    got = {(r["url"], r["val"]) for r in t.read(spark, public=True).collect()}
+    assert got == {("a", "1"), ("b", "2"), ("z", "9")}

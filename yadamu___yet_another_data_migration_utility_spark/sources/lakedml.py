@@ -295,7 +295,7 @@ class DmlMixin:
                     _, zz, fr = _footer_stats(
                         self.fs, self.root, new_base, schema=schema)
                     zone.update(zz)
-            rows_map.update(fr)
+                    rows_map.update(fr)
             iobs = Observation(f"overwrite_ins_{m['version'] + 1}")
             ins_dir, ins_rel = self._new_commit_dir(m["version"] + 1)
             with _ts_micros(spark):
