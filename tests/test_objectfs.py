@@ -128,3 +128,167 @@ def test_injected_cas_put_is_used(tmp_path):
     with pytest.raises(CommitConflict):
         fs.put_if_absent(str(tmp_path / "v1.json"), "{}")
     assert calls
+
+
+# ======================================================================
+# Contested-CAS property fuzz (VERDICT r4 ask #4): a racing writer wins
+# the conditional PUT ahead of the caller for every scheduled attempt
+# sequence. Each loss is a REAL competing commit (a second LakeTable
+# handle lands the contested manifest version first), so the caller's
+# optimistic loop must REBASE onto genuine intervening state -- or, when
+# every retry is lost, abort cleanly with no orphan state. Reference
+# analogue: the multi-writer reconnect accounting
+# (/root/reference/src/YADAMU/common/yadamuDBI.js:704-813).
+# ======================================================================
+
+import os as _os
+import re as _re
+
+
+class _RacingFS(ObjectFS):
+    """ObjectFS whose manifest CAS loses to a real phantom writer on the
+    next ``lose_next`` attempts -- the S3 ``If-None-Match`` 412 path
+    driven end-to-end (the phantom publishes the contested version, THEN
+    the caller's exclusive create runs and fails honestly)."""
+
+    def __init__(self, phantom):
+        super().__init__()
+        self.phantom = phantom  # zero-arg: performs one real competing commit
+        self.lose_next = 0
+        self.losses = 0
+
+    def put_if_absent(self, path, data):
+        if (_re.fullmatch(r"v\d+\.json", _os.path.basename(path))
+                and self.lose_next > 0):
+            self.lose_next -= 1
+            self.losses += 1
+            self.phantom()  # racing writer lands this version first
+        super().put_if_absent(path, data)
+
+
+def _mk_contested(spark, tmp_path):
+    """Table under a racing FS + a phantom writer handle over the SAME
+    store; returns (table, racing_fs, model, next_lsn_box)."""
+    root = str(tmp_path / "lake")
+    model: dict[str, tuple[str, int]] = {}  # url -> (val, lsn), LWW
+    lsn_box = [100]
+    phantom_state = {"n": 0}
+
+    def phantom():
+        phantom_state["n"] += 1
+        t2 = LakeTable.load(root, fs=ObjectFS())
+        url = f"k{phantom_state['n'] % 6}"
+        lsn_box[0] += 1
+        lsn = lsn_box[0]
+        val = f"phantom{phantom_state['n']}"
+        t2.merge(spark, _b(spark, [(url, val, "U", lsn)]),
+                 batch_id=1000 + phantom_state["n"])
+        if model.get(url, ("", -1))[1] < lsn:
+            model[url] = (val, lsn)
+
+    fs = _RacingFS(phantom)
+    t = LakeTable.create(root, SCHEMA, key="url", bucket_count=4,
+                         merge_mode="mor", fs=fs)
+    return t, fs, model, lsn_box
+
+
+def _assert_matches_model(spark, t, model):
+    got = {r["url"]: r["val"] for r in t.read(spark, public=True).collect()}
+    assert got == {u: v for u, (v, _) in model.items()}
+    assert t.validate()["ok"]
+
+
+@pytest.mark.parametrize("losses", [1, 2, 3, 4])
+def test_contested_cas_rebase_wins_after_k_losses(spark, tmp_path, losses):
+    t, fs, model, lsn_box = _mk_contested(spark, tmp_path)
+    lsn_box[0] += 1
+    lsn = lsn_box[0]
+    batch = [("k0", "caller", "U", lsn), ("caller_only", "x", "I", lsn)]
+    fs.lose_next = losses
+    res = t.merge(spark, _b(spark, batch), batch_id=1)
+    assert fs.losses == losses and fs.lose_next == 0
+    assert not res.fenced and res.version is not None
+    # every phantom commit + the caller's own rebased commit are all live
+    for url, val, l in [(u, v, l) for (u, v, op, l) in batch]:
+        if model.get(url, ("", -1))[1] < l:
+            model[url] = (val, l)
+    _assert_matches_model(spark, t, model)
+    # version chain: create + losses phantom commits + 1 caller commit
+    assert t.current_version() == losses + 2
+
+
+def test_contested_cas_exhaustion_aborts_cleanly(spark, tmp_path):
+    t, fs, model, lsn_box = _mk_contested(spark, tmp_path)
+    fs.lose_next = 5  # == max_retries: every attempt loses
+    with pytest.raises(CommitConflict):
+        t.merge(spark, _b(spark, [("caller_only", "x", "I", 999)]), batch_id=1)
+    # clean abort: caller's rows absent, phantom commits intact, no
+    # orphan commit dir left behind (merge rmtree'd it), fsck green
+    _assert_matches_model(spark, t, model)
+    assert "caller_only" not in {
+        r["url"] for r in t.read(spark, public=True).collect()}
+    data_dir = _os.path.join(t.root, "data")
+    on_disk = set()
+    for d in _os.listdir(data_dir):
+        for base, _, files in _os.walk(_os.path.join(data_dir, d)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    rel = _os.path.relpath(_os.path.join(base, f), t.root)
+                    on_disk.add(rel)
+    # every data file still on disk is referenced by SOME live manifest
+    live = set()
+    for v in range(1, t.current_version() + 1):
+        mv = t.manifest(v)
+        for which in ("buckets", "deltas"):
+            live |= {f for fl in mv.get(which, {}).values() for f in fl}
+    assert on_disk <= live, on_disk - live
+
+
+def test_contested_cas_fence_drops_duplicate_batch(spark, tmp_path):
+    # the phantom commits the CALLER'S batch id first -> the caller's
+    # loop must return fenced, applying NOTHING (exactly-once across
+    # racing writers)
+    root = str(tmp_path / "lake")
+
+    def phantom():
+        t2 = LakeTable.load(root, fs=ObjectFS())
+        t2.merge(spark, _b(spark, [("a", "winner", "U", 50)]), batch_id=7)
+
+    fs = _RacingFS(phantom)
+    t = LakeTable.create(root, SCHEMA, key="url", bucket_count=4,
+                         merge_mode="mor", fs=fs)
+    t.merge(spark, _b(spark, [("a", "seed", "I", 1)]), batch_id=0)
+    fs.lose_next = 1
+    res = t.merge(spark, _b(spark, [("a", "loser", "U", 60)]), batch_id=7)
+    assert res.fenced and res.version is None
+    got = {r["url"]: r["val"] for r in t.read(spark, public=True).collect()}
+    assert got == {"a": "winner"}  # the loser's rows never landed
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_contested_cas_random_schedule_fuzz(spark, tmp_path, seed):
+    """Seeded sequence of caller merges, each contested 0-2 times, with
+    day-2 surfaces (compact, metadata count) interleaved -- the model
+    must hold at every step."""
+    import random
+
+    rng = random.Random(seed)
+    t, fs, model, lsn_box = _mk_contested(spark, tmp_path)
+    for i in range(8):
+        lsn_box[0] += 1
+        lsn = lsn_box[0]
+        url = f"k{rng.randrange(6)}"
+        val = f"caller{i}"
+        fs.lose_next = rng.randrange(3)
+        res = t.merge(spark, _b(spark, [(url, val, "U", lsn)]), batch_id=i + 1)
+        assert not res.fenced
+        if model.get(url, ("", -1))[1] < lsn:
+            model[url] = (val, lsn)
+        if i == 4:
+            t.compact(spark, all_deltas=True)
+    assert fs.losses > 0  # the schedule actually contested something
+    _assert_matches_model(spark, t, model)
+    # day-2 after contested history: compact to a delta-free snapshot,
+    # then the metadata-only count must agree with the model
+    t.compact(spark, all_deltas=True)
+    assert t.row_count() == len(model)
