@@ -338,3 +338,66 @@ def test_incremental_rollup_over_composite_base(tmp_path, spark):
            if r["n_rows"]}
     assert got == {"a": (2, 35), "b": (1, 7)}
     assert ru.verify(spark)["ok"]
+
+
+def test_apply_batch_multi_routes_composite_and_scalar_tables(tmp_path, spark):
+    """One interleaved WAL micro-batch routed to a composite-keyed table
+    AND a scalar-keyed one under the SAME batch_id: per-table fences
+    compose, the tuple key survives the routing filter + projection
+    untouched, and a full replay fences BOTH (VERDICT r4 ask #5 -- pins
+    that apply_batch_multi is key-generic with no engine change)."""
+    from yadamu___yet_another_data_migration_utility_spark.operators.apply import (
+        apply_batch_multi,
+    )
+
+    pages = _mk(tmp_path, spark, name="pages")  # key=["site","path"]
+    users = LakeTable.create(
+        str(tmp_path / "users"),
+        T.StructType([T.StructField("url", T.StringType()),
+                      T.StructField("val", T.StringType())]),
+        key="url", bucket_count=4, merge_mode="mor")
+    wal_schema = ("_table string, site string, path string, url string, "
+                  "val string, op string, lsn long")
+    wal = spark.createDataFrame([
+        ("pages", "a", "/1", None, "p1", "I", 1),
+        ("users", None, None, "u1", "x1", "I", 2),
+        ("pages", "a", "/2", None, "p2", "I", 3),
+        ("pages", "a", "/1", None, "p3", "U", 4),   # LWW on the tuple
+        ("users", None, None, "u1", "x2", "U", 5),
+        ("pages", "b", "/1", None, "p4", "I", 6),   # same path, other site
+    ], wal_schema)
+    out = apply_batch_multi({"pages": pages, "users": users}, wal, 0,
+                            project_to_table=True)
+    # the pre-write last-LSN reduction collapses ("a","/1") I@1+U@4 to
+    # one winner PER TUPLE -- 4 rows in, 1 deduped, 3 merged
+    assert out["pages"].rows_in == 4 and out["pages"].rows_deduped == 1
+    assert out["pages"].rows_merged_in == 3 and not out["pages"].fenced
+    assert out["users"].rows_in == 2 and out["users"].rows_merged_in == 1
+    assert not out["users"].fenced
+    got = {(r["site"], r["path"]): r["val"]
+           for r in pages.read(spark, public=True).collect()}
+    assert got == {("a", "/1"): "p3", ("a", "/2"): "p2", ("b", "/1"): "p4"}
+    assert [(r["url"], r["val"])
+            for r in users.read(spark, public=True).collect()] == [("u1", "x2")]
+    # replay of the whole interleaved batch: both tables fence, zero drift
+    vp, vu = pages.current_version(), users.current_version()
+    out2 = apply_batch_multi({"pages": pages, "users": users}, wal, 0,
+                             project_to_table=True)
+    assert out2["pages"].fenced and out2["users"].fenced
+    assert pages.current_version() == vp and users.current_version() == vu
+    # partial-crash composition: batch 1 already fenced on `users` only
+    # (simulating a crash between the two per-table commits) -> replay
+    # applies ONLY the pages slice
+    wal1 = spark.createDataFrame(
+        [("users", None, None, "u9", "y", "I", 7),
+         ("pages", "b", "/2", None, "p5", "I", 8)], wal_schema)
+    from yadamu___yet_another_data_migration_utility_spark.operators.apply import (
+        apply_batch,
+    )
+    apply_batch(users, wal1.filter(F.col("_table") == "users")
+                .select("url", "val", "op", "lsn"), 1)
+    out3 = apply_batch_multi({"pages": pages, "users": users}, wal1, 1,
+                             project_to_table=True)
+    assert out3["users"].fenced and not out3["pages"].fenced
+    assert pages.read(spark).count() == 4
+    assert users.read(spark).count() == 2

@@ -139,3 +139,46 @@ def test_dedup_ingest_restart_is_exactly_once(spark, tmp_path):
     # would falsely report n_kept=0
     assert metrics[-1] == {"batch_id": 0, "n_in": 2, "n_kept": 2,
                            "n_dups": 0}
+
+
+def test_dedup_ingest_on_composite_key_tables(spark, tmp_path):
+    """The dedup-ingest pipeline with BOTH backing LakeTables keyed by
+    column tuples -- docs by (url, warc_ts), the band index by
+    (doc_id, band) instead of the concatenated sig_key string. The dup
+    decision, both appends, the per-batch fences, and a fresh-checkpoint
+    replay must behave byte-identically to the scalar-key setup
+    (VERDICT r4 ask #5 -- pins that the surfaces are key-generic)."""
+    docs = LakeTable.create(
+        str(tmp_path / "docs"), DOC_SCHEMA, key=["url", "warc_ts"],
+        bucket_count=4)
+    index = LakeTable.create(
+        str(tmp_path / "index"), INDEX_SCHEMA, key=["doc_id", "band"],
+        bucket_count=4)
+    wal = str(tmp_path / "wal")
+    metrics: list[dict] = []
+
+    _segment(spark, wal, [(1, "u1", TS, TEXT_A), (2, "u2", TS, TEXT_B)])
+    _run(spark, docs, index, wal, str(tmp_path / "ck1"), metrics)
+    assert metrics[-1] == {"batch_id": 0, "n_in": 2, "n_kept": 2, "n_dups": 0}
+
+    # corpus dup + in-batch dup, exactly as the scalar-key test
+    _segment(spark, wal, [
+        (3, "u3", TS, TEXT_A), (4, "u4", TS, TEXT_C), (5, "u5", TS, TEXT_C),
+    ])
+    _run(spark, docs, index, wal, str(tmp_path / "ck1"), metrics)
+    assert metrics[-1] == {"batch_id": 1, "n_in": 3, "n_kept": 1, "n_dups": 2}
+    assert {r["doc_id"] for r in docs.read(spark).collect()} == {1, 2, 4}
+    assert index.read(spark).count() == 9
+    # tuple-keyed point lookup works against the ingested docs table
+    got = docs.lookup(spark, [("u4", TS)], public=True).collect()
+    assert [(r["doc_id"], r["url"]) for r in got] == [(4, "u4")]
+
+    # fresh checkpoint redelivers BOTH batches: per-table fences absorb
+    # them on the tuple-keyed tables, decision + metrics reproduce
+    v_docs, v_idx = docs.current_version(), index.current_version()
+    _run(spark, docs, index, wal, str(tmp_path / "ck2"), metrics)
+    assert docs.current_version() == v_docs
+    assert index.current_version() == v_idx
+    assert docs.read(spark).count() == 3
+    assert index.read(spark).count() == 9
+    assert metrics[-1] == {"batch_id": 1, "n_in": 3, "n_kept": 1, "n_dups": 2}
