@@ -764,7 +764,12 @@ def cdc_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scratch_dir
     from ..sources.laketable import LakeTable
 
-    chg = cdc_changelog(spark, sf_dir)
+    # persist the derived changelog for the replay loop: each of the 5
+    # batches consumes it twice (winner subtree + probe side) plus the
+    # bounds agg -- 11 recomputations of the synthetic derivation
+    # otherwise. This is also the at-scale-honest shape: a real WAL
+    # slice is read once from storage per batch, not re-derived.
+    chg = cdc_changelog(spark, sf_dir).persist()
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -790,6 +795,7 @@ def cdc_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lsn") >= lo + b * per) & (F.col("lsn") < lo + (b + 1) * per)
         )
         apply_batch(table, batch, batch_id=b, run_extract=False)
+    chg.unpersist(blocking=False)  # merges are committed; read is table-only
     return (
         table.read(spark)
         .withColumnRenamed("_lsn", "last_lsn")

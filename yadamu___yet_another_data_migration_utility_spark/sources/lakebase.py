@@ -428,7 +428,7 @@ _ZONE_STR_CAP = 256
 
 _TS_KEY = "spark.sql.parquet.outputTimestampType"
 _TSW_LOCK = __import__("threading").Lock()
-_TSW_STATE: dict[int, list] = {}  # id(spark) -> [depth, saved_value]
+_TSW_STATE: dict[tuple, list] = {}  # (id(spark), key) -> [depth, saved]
 
 
 @contextlib.contextmanager
@@ -441,22 +441,57 @@ def _ts_micros(spark: SparkSession):
     ignored), so the guard is REFCOUNTED per session: concurrent
     LakeTable writers in one SparkSession nest safely -- the saved
     value is restored only when the last writer exits."""
-    sid = id(spark)
-    with _TSW_LOCK:
-        st = _TSW_STATE.get(sid)
+    with _conf_guard(spark, _TS_KEY, "TIMESTAMP_MICROS", _TSW_STATE):
+        yield
+
+
+_AQE_KEY = "spark.sql.adaptive.enabled"
+_AQE_STATE: dict[tuple, list] = {}
+
+
+@contextlib.contextmanager
+def _aqe_off(spark: SparkSession):
+    """Disable adaptive query execution for the duration of a MoR
+    delta-write action. Every decision AQE could make in that plan is
+    already made statically -- the winner semi-join is explicitly
+    broadcast-hinted, the write distribution is an explicit
+    ``repartition(n, ...)`` AQE may not coalesce, and skew is handled
+    by the key-derived salt split -- so AQE contributes only its
+    per-exchange materialization barriers (the broadcast build becomes
+    its own scheduled job, each shuffle a staged checkpoint), measured
+    ~0.1-0.2 s of pure scheduling per commit at suite batch sizes and
+    nothing at 3M-event batches. CoW merges and compactions keep AQE:
+    their resolve joins are where runtime re-planning (skew-join
+    splitting) genuinely pays. Refcounted like ``_ts_micros``; the
+    saved value is restored when the last writer exits."""
+    with _conf_guard(spark, _AQE_KEY, "false", _AQE_STATE):
+        yield
+
+
+@contextlib.contextmanager
+def _conf_guard(spark: SparkSession, key: str, value: str,
+                state: dict, lock=_TSW_LOCK):
+    """Set a SESSION-global SQL conf for the duration of a synchronous
+    write, refcounted per (session, key): concurrent LakeTable writers
+    in one SparkSession nest safely -- the saved value is restored only
+    when the last writer exits. (Spark has no per-write override for
+    these confs; the refcount is what makes the global mutation safe.)"""
+    sid = (id(spark), key)
+    with lock:
+        st = state.get(sid)
         if st is None:
-            st = _TSW_STATE[sid] = [0, spark.conf.get(_TS_KEY)]
-            spark.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+            st = state[sid] = [0, spark.conf.get(key)]
+            spark.conf.set(key, value)
         st[0] += 1
     try:
         yield
     finally:
-        with _TSW_LOCK:
-            st = _TSW_STATE[sid]
+        with lock:
+            st = state[sid]
             st[0] -= 1
             if st[0] == 0:
-                spark.conf.set(_TS_KEY, st[1])
-                del _TSW_STATE[sid]
+                spark.conf.set(key, st[1])
+                del state[sid]
 
 
 def _enc_stat(v: Any) -> Any:

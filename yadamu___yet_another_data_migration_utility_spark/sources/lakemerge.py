@@ -27,7 +27,7 @@ from .lakebase import (  # noqa: F401
     _keylist, _bucket_expr, _distribute_delta, _znorm_expr, _zorder_expr,
     _zorder_key, _where_cond, _keys_residual, _hashable, _lsn_rank,
     _resolve, _widens, _evolved_schema, _buckets_changed_between,
-    _list_bucket_files, _ts_micros, _enc_stat, _inherit_stats,
+    _list_bucket_files, _ts_micros, _aqe_off, _enc_stat, _inherit_stats,
     _zone_kind, _session_tz, _enc_bound, _disjoint, _footer_stats,
     _align, _cap, _utc_now_iso, _ZONE_TYPES, _ZONE_STR_CAP, _WIDEN_RANK,
 )
@@ -219,7 +219,7 @@ class MergeMixin:
         key, nb = m["key"], m["bucket_count"]
         obs = Observation(f"merge_mor_{batch_id}")
         out_dir, rel_dir = self._new_commit_dir(m["version"] + 1)
-        with _ts_micros(spark):
+        with _ts_micros(spark), _aqe_off(spark):
             (
                 _distribute_delta(
                     delta.withColumn("_b", _bucket_expr(key, nb)),
