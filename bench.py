@@ -256,9 +256,26 @@ def run_queries(sf_dir: str, cpus: int, only: list[str] | None = None) -> dict:
             "sf": sf,
             "cpus": cpus,
             "n_queries": len(timings),
+            # rotation contract as data (VERDICT r4 ask #8): which
+            # last-green rounds the external gate's next head-50 sample
+            # will draw from, per the committed gate_history.json --
+            # {round: query_count}, round 0 = never driver-checked
+            "gate_head50_rounds": _gate_head50_rounds(),
         }
     finally:
         spark.stop()
+
+
+def _gate_head50_rounds() -> dict[str, int]:
+    from yadamu___yet_another_data_migration_utility_spark.plans import (
+        GATE_HISTORY, QUERIES,
+    )
+
+    counts: dict[str, int] = {}
+    for q in list(QUERIES)[:50]:
+        r = str(GATE_HISTORY.get(q, 0))
+        counts[r] = counts.get(r, 0) + 1
+    return dict(sorted(counts.items()))
 
 
 def _sf_of(sf_dir: str) -> float:
