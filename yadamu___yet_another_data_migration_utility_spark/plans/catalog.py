@@ -844,7 +844,7 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scratch_dir
     from ..sources.laketable import LakeTable
 
-    chg = cdc_changelog(spark, sf_dir)
+    chg = cdc_changelog(spark, sf_dir).persist()  # 5 batches x 2 subtrees
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -872,6 +872,7 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     *"02468ace")
             ).withColumn("lang", F.substring(F.md5(F.col("url")), 1, 2))
         apply_batch(table, batch, batch_id=b, run_extract=False)
+    chg.unpersist(blocking=False)
     return (
         table.read(spark)
         .withColumnRenamed("_lsn", "last_lsn")
@@ -980,7 +981,7 @@ def cdc_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scratch_dir
     from ..sources.laketable import LakeTable
 
-    chg = cdc_changelog(spark, sf_dir)
+    chg = cdc_changelog(spark, sf_dir).persist()  # 8 applies x 2 subtrees
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -1019,6 +1020,7 @@ def cdc_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in (3, 4):
         apply_batch(table, part(b), batch_id=b, run_extract=False,
                     dedup="none")
+    chg.unpersist(blocking=False)
     return (
         table.read(spark)
         .withColumnRenamed("_lsn", "last_lsn")
@@ -1143,7 +1145,7 @@ def cdc_multi_table_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_table",
         F.when(F.substring("url", 13, 1).isin(*"01234"), "low")
         .otherwise("high"),
-    )
+    ).persist()  # 3 batch slices re-scan it even with per-slice caching
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -1174,6 +1176,7 @@ def cdc_multi_table_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                               run_extract=False, dedup="none")
         finally:
             sl.unpersist()
+    chg.unpersist(blocking=False)
     return (
         tables["low"].read(spark).withColumn("tbl", F.lit("low"))
         .unionByName(
@@ -1741,7 +1744,7 @@ def cdc_mirror_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.laketable import LakeTable
     from ..streaming.stream import mirror
 
-    chg = cdc_changelog(spark, sf_dir)
+    chg = cdc_changelog(spark, sf_dir).persist()  # 3 batches x 2 subtrees
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -1772,6 +1775,7 @@ def cdc_mirror_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror(spark, src, rep_root, poll_seconds=0.01)  # seed at the snapshot
     apply_batch(src, batch(2), batch_id=2, run_extract=False)
     rep, _ = mirror(spark, src, rep_root, poll_seconds=0.01)  # CDC catch-up
+    chg.unpersist(blocking=False)
     return (
         rep.read(spark)
         .withColumnRenamed("_lsn", "last_lsn")
@@ -1820,7 +1824,7 @@ def cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.laketable import LakeTable
     from ..streaming.rollup import IncrementalRollup
 
-    chg = cdc_changelog(spark, sf_dir)
+    chg = cdc_changelog(spark, sf_dir).persist()  # 3 batches x 2 subtrees
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -1851,6 +1855,7 @@ def cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if b == 1:
             table.compact(spark)  # window 2 = merge + compact: diff path
         ru.refresh(spark)
+    chg.unpersist(blocking=False)
     return ru.read(spark).select(
         "event_type", "n_rows", F.col("sum_value").cast("double").alias("sum_value")
     )

@@ -219,7 +219,7 @@ class MergeMixin:
         key, nb = m["key"], m["bucket_count"]
         obs = Observation(f"merge_mor_{batch_id}")
         out_dir, rel_dir = self._new_commit_dir(m["version"] + 1)
-        with _ts_micros(spark), _aqe_off(spark):
+        with _ts_micros(spark):
             (
                 _distribute_delta(
                     delta.withColumn("_b", _bucket_expr(key, nb)),

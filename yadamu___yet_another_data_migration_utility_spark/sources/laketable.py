@@ -124,7 +124,7 @@ from .lakebase import (  # noqa: F401,E402
     _keylist, _bucket_expr, _distribute_delta, _znorm_expr, _zorder_expr,
     _zorder_key, _where_cond, _keys_residual, _hashable, _lsn_rank,
     _resolve, _widens, _evolved_schema, _buckets_changed_between,
-    _list_bucket_files, _ts_micros, _enc_stat, _inherit_stats,
+    _list_bucket_files, _ts_micros, _aqe_off, _enc_stat, _inherit_stats,
     _zone_kind, _session_tz, _enc_bound, _disjoint, _footer_stats,
     _align, _cap, _utc_now_iso, _ZONE_TYPES, _ZONE_STR_CAP, _WIDEN_RANK,
 )

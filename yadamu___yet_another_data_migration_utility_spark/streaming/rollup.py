@@ -236,7 +236,12 @@ class IncrementalRollup:
         kcols = [key] if isinstance(key, str) else list(key)
         nb = self.base.manifest()["bucket_count"]
         ch = self.base.read_changes(spark, cur, until)
-        keys = ch.select(*kcols).distinct()
+        # materialize the changed-key set ONCE: it feeds the touched-
+        # bucket probe plus BOTH image reads' semi-joins -- without the
+        # checkpoint the window's change scan recomputes three times
+        # per refresh. O(changed keys) rows, the quantity incremental
+        # maintenance is already bounded by.
+        keys = ch.select(*kcols).distinct().localCheckpoint(eager=True)
         touched = [
             r["_b"]
             for r in keys.select(_bucket_expr(key, nb).alias("_b"))
