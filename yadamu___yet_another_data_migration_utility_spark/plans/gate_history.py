@@ -43,13 +43,21 @@ def _row_green(v: dict) -> bool:
     )
 
 
-def rebuild(repo_root: str) -> dict:
+def rebuild(repo_root: str, max_round: int | None = None) -> dict:
+    """Fold every fully-green driver row into {query: newest round}.
+
+    ``max_round`` ignores CORRECTNESS files from rounds newer than it --
+    used by the regeneration-freshness test, since the driver drops a
+    new round's file AFTER the last commit of that round (the committed
+    map can therefore lag by exactly one round, never more)."""
     last_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         try:
             with open(path, "r", encoding="utf-8") as fh:
                 rows = json.load(fh)
