@@ -253,6 +253,10 @@ def run_queries(sf_dir: str, cpus: int, only: list[str] | None = None) -> dict:
             # across catalogs of any size (only present on full runs)
             "subtotal_r2_shared": (round(sum(shared.values()), 3)
                                    if len(shared) == len(R2_SHARED) else None),
+            # the commit-count-bound family (fenced engine replays) --
+            # the slice the per-commit fixed-cost work moves
+            "subtotal_cdc": round(sum(
+                t for n, t in timings.items() if n.startswith("cdc_")), 3),
             "sf": sf,
             "cpus": cpus,
             "n_queries": len(timings),
