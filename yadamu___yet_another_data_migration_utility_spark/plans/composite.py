@@ -74,7 +74,7 @@ def _replay_composite(spark: SparkSession, sf_dir: str, prefix: str,
     from ..session import scratch_dir
     from ..sources.laketable import LakeTable
 
-    chg = composite_changelog(spark, sf_dir)
+    chg = composite_changelog(spark, sf_dir).persist()  # n_batches x 2 subtrees
     root = tempfile.mkdtemp(prefix=prefix, dir=scratch_dir())
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     table = LakeTable.create(root, _PAGE_SCHEMA, key=["site", "path"],
@@ -87,6 +87,7 @@ def _replay_composite(spark: SparkSession, sf_dir: str, prefix: str,
             (F.col("lsn") >= lo + b * per) & (F.col("lsn") < lo + (b + 1) * per)
         )
         apply_batch(table, batch, batch_id=b, run_extract=False)
+    chg.unpersist(blocking=False)
     return table
 
 
@@ -219,7 +220,7 @@ def cdc_skew_salted_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                              (F.col("lsn") % 64).cast("string")))
         .otherwise(F.col("path")).alias("path"),
         "ts", "value", "event_type",
-    )
+    ).persist()  # 3 batches x 2 subtrees + bounds
     root = tempfile.mkdtemp(prefix="cdc_skew_", dir=scratch_dir())
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     table = LakeTable.create(root, _PAGE_SCHEMA, key=["site", "path"],
@@ -233,6 +234,7 @@ def cdc_skew_salted_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         apply_batch(table, batch, batch_id=b, run_extract=False,
                     dedup="salted", salt_buckets=8)
+    chg.unpersist(blocking=False)
     return (
         table.read(spark)
         .groupBy("site")
