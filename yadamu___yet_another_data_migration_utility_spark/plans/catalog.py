@@ -478,7 +478,7 @@ def cdc_dlq_requeue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(F.col("lsn") % 89 == 0,
                -F.abs(F.col("value")) - 1).otherwise(F.col("value")),
-    )
+    ).persist()
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -502,6 +502,7 @@ def cdc_dlq_requeue(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_batch(table, batch, batch_id=b, run_extract=False)
     requeue_quarantine(table, spark, repair={"value": "-value"},
                        run_extract=False)
+    chg.unpersist(blocking=False)
     return (
         table.read(spark)
         .withColumnRenamed("_lsn", "last_lsn")
@@ -586,7 +587,7 @@ def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scratch_dir
     from ..sources.laketable import LakeTable
 
-    chg = cdc_changelog(spark, sf_dir)
+    chg = cdc_changelog(spark, sf_dir).persist()
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -624,6 +625,7 @@ def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         insert_condition="s.action <> 'D'",
         batch_id=1,
     )
+    chg.unpersist(blocking=False)
     return (
         table.read(spark)
         .withColumnRenamed("_lsn", "last_lsn")
@@ -692,7 +694,7 @@ def cdc_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scratch_dir
     from ..sources.laketable import LakeTable
 
-    chg = cdc_changelog(spark, sf_dir)
+    chg = cdc_changelog(spark, sf_dir).persist()
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -728,6 +730,7 @@ def cdc_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     table.sync_from(spark, snap, batch_id=1)
+    chg.unpersist(blocking=False)
     return (
         table.read(spark)
         .withColumnRenamed("_lsn", "last_lsn")
@@ -910,7 +913,7 @@ def cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scratch_dir
     from ..sources.laketable import LakeTable
 
-    chg = cdc_changelog(spark, sf_dir)
+    chg = cdc_changelog(spark, sf_dir).persist()
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -942,6 +945,7 @@ def cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert frag["min_lsn"] >= lo + 3 * per and frag["max_lsn"] < lo + 4 * per
     res = table.publish_staged(3)
     assert res is not None and not res.fenced
+    chg.unpersist(blocking=False)
     return (
         table.read(spark)
         .withColumnRenamed("_lsn", "last_lsn")
@@ -1074,7 +1078,7 @@ def cdc_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scratch_dir
     from ..sources.laketable import LakeTable
 
-    chg = cdc_changelog(spark, sf_dir)
+    chg = cdc_changelog(spark, sf_dir).persist()
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -1098,6 +1102,7 @@ def cdc_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_id=b, run_extract=False, dedup="none",
         )
     table.register_meta(spark, "mt")
+    chg.unpersist(blocking=False)
     return spark.sql(
         """
         SELECT batch_id, rows_in, rows_applied, rows_deleted,
@@ -1239,7 +1244,7 @@ def cdc_constraint_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = LakeTable.create(root, schema, key="url", bucket_count=8,
                          overwrite=True, merge_mode="mor")
     t.add_constraint(spark, "value_floor", "value >= 10")
-    chg = cdc_changelog(spark, sf_dir)
+    chg = cdc_changelog(spark, sf_dir).persist()
     bounds = chg.agg(F.min("lsn"), F.max("lsn")).collect()[0]
     lo, hi = bounds[0], bounds[1]
     per = max(1, (hi - lo + 1 + 1) // 2)
@@ -1250,6 +1255,7 @@ def cdc_constraint_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & (F.col("lsn") < lo + (b + 1) * per)),
             batch_id=b, run_extract=False, dedup="none",
         )
+    chg.unpersist(blocking=False)
     return t.read(spark).select(
         "url", F.col("_lsn").alias("last_lsn"), "value", "event_type")
 
@@ -1286,7 +1292,7 @@ def cdc_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scratch_dir
     from ..sources.laketable import LakeTable
 
-    chg = cdc_changelog(spark, sf_dir)
+    chg = cdc_changelog(spark, sf_dir).persist()
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -1321,6 +1327,7 @@ def cdc_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.fast_forward("ingest-audit")
     # adopted fences keep replays exactly-once on main
     assert table.is_applied(3) and table.is_applied(4)
+    chg.unpersist(blocking=False)
     return (
         table.read(spark)
         .withColumnRenamed("_lsn", "last_lsn")
@@ -1367,7 +1374,7 @@ def cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scratch_dir
     from ..sources.laketable import LakeTable
 
-    chg = cdc_changelog(spark, sf_dir)
+    chg = cdc_changelog(spark, sf_dir).persist()
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -1391,6 +1398,7 @@ def cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_batch(table, batch, batch_id=b, run_extract=False)
         if b == 2:
             v_since = table.current_version()
+    chg.unpersist(blocking=False)
     return table.read_changes(spark, v_since).select(
         "url", "ts", "value", "event_type", "_lsn", "_change_type"
     )
@@ -1432,7 +1440,7 @@ def cdc_time_travel_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scratch_dir
     from ..sources.laketable import LakeTable
 
-    chg = cdc_changelog(spark, sf_dir)
+    chg = cdc_changelog(spark, sf_dir).persist()
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -1454,6 +1462,7 @@ def cdc_time_travel_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_batch(table, batch, batch_id=b, run_extract=False)
         if b == 1:
             table.tag("pre-batch-3")
+    chg.unpersist(blocking=False)
     return (
         table.read(spark, version="pre-batch-3")
         .withColumnRenamed("_lsn", "last_lsn")
@@ -1495,7 +1504,7 @@ def cdc_predicate_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scratch_dir
     from ..sources.laketable import LakeTable
 
-    chg = cdc_changelog(spark, sf_dir)
+    chg = cdc_changelog(spark, sf_dir).persist()
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -1510,6 +1519,7 @@ def cdc_predicate_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_batch(table, chg, batch_id=0, run_extract=False)
     table.delete_where(spark, predicate="event_type = 'click'",
                        ranges={"value": (0.5, None)})
+    chg.unpersist(blocking=False)
     return (
         table.read(spark)
         .withColumnRenamed("_lsn", "last_lsn")
@@ -1552,7 +1562,7 @@ def cdc_predicate_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scratch_dir
     from ..sources.laketable import LakeTable
 
-    chg = cdc_changelog(spark, sf_dir)
+    chg = cdc_changelog(spark, sf_dir).persist()
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -1568,6 +1578,7 @@ def cdc_predicate_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.update_where(spark, {"value": "value + 1"},
                        predicate="event_type = 'view'",
                        ranges={"value": (None, 0.3)})
+    chg.unpersist(blocking=False)
     return table.read(spark, public=True).select("url", "event_type", "value", "ts")
 
 
@@ -1616,7 +1627,7 @@ def cdc_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scratch_dir
     from ..sources.laketable import LakeTable
 
-    chg = cdc_changelog(spark, sf_dir)
+    chg = cdc_changelog(spark, sf_dir).persist()
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -1642,6 +1653,7 @@ def cdc_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.overwrite_where(spark, repl,
                           predicate="url like 'https://site3.%'",
                           batch_id=1)
+    chg.unpersist(blocking=False)
     return table.read(spark, public=True).select("url", "event_type", "value", "ts")
 
 
@@ -1684,7 +1696,7 @@ def cdc_sql_over_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scratch_dir
     from ..sources.laketable import LakeTable
 
-    chg = cdc_changelog(spark, sf_dir)
+    chg = cdc_changelog(spark, sf_dir).persist()
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -1698,6 +1710,7 @@ def cdc_sql_over_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = LakeTable.create(root, schema, key="url", bucket_count=16, overwrite=True)
     apply_batch(table, chg, batch_id=0, run_extract=False)
     table.register(spark, "lake_pages_sql")
+    chg.unpersist(blocking=False)
     return spark.sql("""
         SELECT event_type,
                COUNT(*) AS n_pages,
@@ -1877,7 +1890,7 @@ def _replayed_lookup_table(spark: SparkSession, sf_dir: str, prefix: str):
     from ..session import scratch_dir
     from ..sources.laketable import LakeTable
 
-    chg = cdc_changelog(spark, sf_dir)
+    chg = cdc_changelog(spark, sf_dir).persist()
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -1901,6 +1914,7 @@ def _replayed_lookup_table(spark: SparkSession, sf_dir: str, prefix: str):
         r["url"]
         for r in chg.select("url").distinct().orderBy("url").limit(8).collect()
     ]
+    chg.unpersist(blocking=False)
     return table, keys
 
 
